@@ -3,12 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
 import graft.operators.{Functions, MetricBatch, Relational}
+import graft.llm.{Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Ordered registry of every declared engine query (SURVEY.md §2B). */
   def registry: Seq[(String, QueryDef)] =
-    Relational.defs ++ Functions.defs ++ MetricBatch.defs
+    Relational.defs ++ Functions.defs ++ MetricBatch.defs ++
+      Dedup.defs ++ TextStats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

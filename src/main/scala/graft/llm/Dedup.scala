@@ -1,0 +1,339 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** LLM-data-pipeline deduplication + similarity operators (SURVEY.md §2B
+  * Q30/Q31 plus the extension inventory): exact fingerprint dedup, MinHash
+  * signatures + LSH candidate pairs, SimHash, shingle-set Jaccard,
+  * embedding-cosine near-dup with blocking, signed-random-projection LSH
+  * buckets, and brute-force cosine top-k as the ANN ground truth.
+  *
+  * Determinism design: every "random" hash function is derived from md5 of
+  * a seed string — identical in Spark and DuckDB, so even the LSH family is
+  * oracle-checkable. Floating-point folds are either exact decimals (LSH
+  * projections) or rounded through DECIMAL(10,4) at the output (cosines),
+  * absorbing sub-ulp association-order differences between engines.
+  *
+  * Scale notes: all shapes are shuffle-on-key (shingle, band, label) —
+  * never an unblocked cross join. The brute-force cosine (q31) broadcasts
+  * only the 5-row probe side; candidate ranking is a per-probe window.
+  */
+object Dedup extends QueryGroup {
+
+  /** (doc_id, pos, word) with 1-based positions (matches DuckDB
+    * generate_subscripts), empty tokens dropped. */
+  private[llm] def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("pos", col("pos0") + 1)
+      .drop("pos0")
+
+  /** Word 5-gram shingles (doc_id, pos, sh) via a forward-looking row
+    * frame — one window pass, no self-joins. */
+  private[llm] def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 4)
+    words(docs)
+      .withColumn("sh", concat_ws(" ", collect_list("word").over(w)))
+      .withColumn("n_in", count(lit(1)).over(w))
+      .filter(col("n_in") === 5)
+      .select(col("doc_id"), col("pos"), col("sh"))
+  }
+
+  /** Shared SQL CTE prefix producing the same words/shingles relations. */
+  private val shingleCte =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, word, pos FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |shg AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos,
+      |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sh,
+      |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
+      |    FROM wrd) WHERE n_in = 5),
+      |dsh AS (SELECT DISTINCT doc_id, sh FROM shg)""".stripMargin
+
+  // ---- Q30: exact-dup fingerprint groups --------------------------------
+  private def q30(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp"))
+
+  private val q30Sql =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+
+  // ---- Q30b: per-doc shingle stats ---------------------------------------
+  private def q30b(s: SparkSession, d: String): DataFrame =
+    shingles(T.documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  private val q30bSql =
+    s"""$shingleCte
+       |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT sh) AS n_distinct
+       |FROM shg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Q31: brute-force cosine top-k (ANN ground truth) ------------------
+  // Probe side (5 vectors) is broadcast; ranking is a per-probe window.
+  // At 100 TB the window becomes a two-phase top-k (per-partition heap +
+  // merge) — see the CosineTopK note in SURVEY.md §4.2.
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    val n = e.withColumn("nsq",
+      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))
+    val q = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("q_emb"), col("emb"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("cos").cast(DecimalType(10, 4)).as("cos_sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val q31Sql =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      |SELECT q_id, neighbor_id, CAST(cos AS DECIMAL(10,4)) AS cos_sim, rn
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |      FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // ---- MinHash signatures (8 seeded hash functions over shingle sets) ----
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+    val ids = s.range(8).select(col("id").as("i"))
+    dsh.crossJoin(broadcast(ids))
+      .withColumn("h", substring(
+        md5(concat(col("i").cast(StringType), lit(":"), col("sh"))), 1, 8))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("minhash"))
+      .orderBy(col("doc_id"), col("i"))
+  }
+
+  private val minhashSigSql =
+    s"""$shingleCte
+       |SELECT doc_id, i, MIN(substring(md5(concat(i, ':', sh)), 1, 8)) AS minhash
+       |FROM dsh CROSS JOIN (SELECT unnest(range(8)) AS i)
+       |GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin
+
+  // ---- MinHash LSH candidate pairs (join on matching signature rows) ----
+  // The join key is (i, minhash) — docs never meet unless they collide on
+  // a signature, which is the LSH banding idea (band size 1, 8 bands).
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val a = sig.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
+    a.join(b, Seq("i", "minhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("jaccard_est", col("n_match").cast(DoubleType) / 8)
+      .orderBy(col("jaccard_est").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  private val minhashPairsSql =
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id, i, MIN(substring(md5(concat(i, ':', sh)), 1, 8)) AS minhash
+       |  FROM dsh CROSS JOIN (SELECT unnest(range(8)) AS i)
+       |  GROUP BY doc_id, i)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match,
+       |  CAST(COUNT(*) AS DOUBLE) / 8 AS jaccard_est
+       |FROM sig a JOIN sig b ON a.i = b.i AND a.minhash = b.minhash
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |ORDER BY jaccard_est DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
+  // ---- SimHash (16-bit, term-frequency weighted) -------------------------
+  // Bit j of a word = (j-th hex nibble of md5(word)) >= 8; per-doc bit =
+  // sign of the ±1 vote sum — all-integer arithmetic, exactly portable.
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val wr = words(T.documents(s, d))
+    val js = s.range(16).select(col("id").as("j"))
+    wr.crossJoin(broadcast(js))
+      .withColumn("nib",
+        expr("cast(conv(substring(md5(word), cast(j+1 as int), 1), 16, 10) as int)"))
+      .withColumn("vote", when(col("nib") >= 8, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("j")).cast(LongType))
+        .otherwise(0L)).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN strpos('0123456789abcdef',
+      |          substring(md5(word), CAST(j+1 AS INT), 1)) - 1 >= 8
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM wrd CROSS JOIN (SELECT unnest(range(16)) AS j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash16
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
+  // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
+  // pair count — the standard blocking guard at scale.
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+    val rare = dsh.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select("sh")
+    val kept = dsh.join(rare, Seq("sh"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_common")).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val ngramJaccardSql =
+    s"""$shingleCte,
+       |rare AS (SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= 50),
+       |kept AS (SELECT doc_id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // ---- Embedding-cosine near-dup, blocked on the coarse label -----------
+  private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    val n = e.withColumn("nsq",
+      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))
+    val a = n.select(col("vec_id").as("vec_a"), col("label"),
+      col("emb").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = n.select(col("vec_id").as("vec_b"), col("label"),
+      col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", col("dot") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        col("cos").cast(DecimalType(10, 4)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  private val embCosinePairsSql =
+    """WITH n AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |  CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
+      |    AS DECIMAL(10,4)) AS cos_sim
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
+
+  // ---- Signed-random-projection LSH buckets (8 planes, seeded) ----------
+  // Plane direction per (plane, dim) is md5-derived ±1; the projection sum
+  // runs in exact decimals so the sign — hence the bucket — is portable.
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val x = T.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("vd", col("v").cast(DoubleType).cast(DecimalType(20, 10)))
+    val planes = s.range(8).select(col("id").as("p"))
+    x.crossJoin(broadcast(planes))
+      .withColumn("dir",
+        when(expr("substring(md5(concat(p, ':', pos)), 1, 1)").rlike("[89a-f]"), 1)
+          .otherwise(-1))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("vd") * col("dir")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("p")).cast(LongType))
+        .otherwise(0L)).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val lshBucketsSql =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
+      |          SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) AS proj
+      |  FROM x CROSS JOIN (SELECT unnest(range(8)) AS p)
+      |  GROUP BY vec_id, p)
+      |SELECT vec_id,
+      |  SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "q30_fingerprint_dedup" -> QueryDef(q30, Some(q30Sql)),
+    "q30b_shingle_stats"    -> QueryDef(q30b, Some(q30bSql)),
+    "q31_cosine_topk"       -> QueryDef(q31, Some(q31Sql)),
+    "dedup_minhash_sig"     -> QueryDef(minhashSig, Some(minhashSigSql)),
+    "dedup_minhash_pairs"   -> QueryDef(minhashPairs, Some(minhashPairsSql)),
+    "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
+    "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    "dedup_embedding_cosine" -> QueryDef(embCosinePairs, Some(embCosinePairsSql)),
+    "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
+  )
+}

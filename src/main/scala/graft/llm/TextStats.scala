@@ -1,0 +1,209 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
+  * §2B Q32 + extensions): per-language corpus stats, heuristic language
+  * identification, quality scoring, token counting, winnowing-style
+  * document fingerprints, and the binary ("multimodal") column plumbing.
+  *
+  * All ratio outputs are a single IEEE division of exact integers (or an
+  * exact-decimal sum cast to double), so values are bit-identical across
+  * engines. Everything is a hash-aggregation or window over doc_id —
+  * embarrassingly parallel at 100 TB.
+  */
+object TextStats extends QueryGroup {
+  import Dedup.{words, shingles}
+  import T.dec
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  // ---- Q32: per-language corpus statistics ------------------------------
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val docAgg = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(dec(col("n_chars"))).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+    val wordAgg = words(docs).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("word")).as("n_distinct_words"))
+    docAgg.join(wordAgg, Seq("lang")).orderBy(col("lang"))
+  }
+
+  private val q32Sql =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, word FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |da AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_chars
+      |  FROM documents GROUP BY lang),
+      |wa AS (
+      |  SELECT lang, COUNT(*) AS n_tokens,
+      |    COUNT(DISTINCT word) AS n_distinct_words
+      |  FROM wrd GROUP BY lang)
+      |SELECT da.lang AS lang, n_docs, avg_chars, n_tokens, n_distinct_words
+      |FROM da JOIN wa ON da.lang = wa.lang ORDER BY lang""".stripMargin
+
+  // ---- Language ID: charset + stopword heuristic ------------------------
+  // N-gram/charset heuristic per SURVEY extension list: CJK block → zh,
+  // German/French/Spanish diacritics, else English stopword test.
+  private def langId(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      when(col("text").rlike("[一-鿿]"), "zh")
+        .when(col("text").rlike("[äöüß]"), "de")
+        .when(col("text").rlike("[éèêàç]"), "fr")
+        .when(col("text").rlike("[ñ¡¿áí]"), "es")
+        .when(col("text").rlike("(^| )(the|a|is|of|and)( |$)"), "en")
+        .otherwise("und").as("pred_lang"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val langIdSql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |       WHEN regexp_matches(text, '[éèêàç]') THEN 'fr'
+      |       WHEN regexp_matches(text, '[ñ¡¿áí]') THEN 'es'
+      |       WHEN regexp_matches(text, '(^| )(the|a|is|of|and)( |$)') THEN 'en'
+      |       ELSE 'und' END AS pred_lang,
+      |  (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |       WHEN regexp_matches(text, '[éèêàç]') THEN 'fr'
+      |       WHEN regexp_matches(text, '[ñ¡¿áí]') THEN 'es'
+      |       WHEN regexp_matches(text, '(^| )(the|a|is|of|and)( |$)') THEN 'en'
+      |       ELSE 'und' END) = lang AS is_match
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Quality scoring: length/stopword/word-shape ratios ---------------
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val wq = words(T.documents(s, d)).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
+      sum(length(col("word"))).as("n_word_chars"))
+    T.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(wq, Seq("doc_id"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("avg_word_len",
+        col("n_word_chars").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("score",
+        col("stop_ratio") * 0.5 +
+          least(col("n_words"), lit(100)).cast(DoubleType) / 200.0)
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        col("stop_ratio"), col("avg_word_len"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |wq AS (
+      |  SELECT doc_id, COUNT(*) AS n_words,
+      |    SUM(CASE WHEN word IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS n_stop,
+      |    SUM(length(word)) AS n_word_chars
+      |  FROM wrd GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, n_words, n_stop,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      |  CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 0.5 +
+      |    CAST(least(n_words, 100) AS DOUBLE) / 200.0 AS score
+      |FROM documents d JOIN wq ON d.doc_id = wq.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- Token counting: whitespace + regex ("BPE-ish") tokenizers --------
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast(LongType).as("re_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast(LongType).as("distinct_tokens"),
+      (col("n_chars").cast(DoubleType) /
+        size(split(col("text"), " ")).cast(DoubleType)).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+      |  CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Winnowing-style fingerprint: 3 smallest shingle hashes per doc ---
+  private def winnow(s: SparkSession, d: String): DataFrame = {
+    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+      .withColumn("h", substring(md5(col("sh")), 1, 8))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("sh"))
+    dsh.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("h"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val winnowSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |shg AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sh,
+      |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
+      |    FROM wrd) WHERE n_in = 5),
+      |dsh AS (SELECT DISTINCT doc_id, sh FROM shg),
+      |hashed AS (SELECT doc_id, sh, substring(md5(sh), 1, 8) AS h FROM dsh)
+      |SELECT doc_id, rn, h FROM (
+      |  SELECT doc_id, h, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY h, sh) AS BIGINT) AS rn
+      |  FROM hashed)
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // ---- Multimodal: opaque binary column plumbing ------------------------
+  // Text bytes stand in for image/audio payloads (the real decode is
+  // stubbed — see graft.llm.Multimodal): byte length, hex/base64 prefix
+  // framing, and a deterministic fake "decode" of (width, height, frames)
+  // from the byte length — exercising the binary schema end-to-end.
+  private def multimodal(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
+      upper(hex(substring(col("text"), 1, 8).cast(BinaryType))).as("prefix_hex"),
+      base64(substring(col("text"), 1, 9).cast(BinaryType)).as("prefix_b64"),
+      (length(col("text").cast(BinaryType)) % 640).cast(LongType).as("fake_width"),
+      (length(col("text").cast(BinaryType)) % 480).cast(LongType).as("fake_height"),
+      (length(col("text").cast(BinaryType)) % 24 + 1).cast(LongType).as("fake_frames"))
+      .orderBy(col("doc_id"))
+
+  private val multimodalSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+      |  to_base64(encode(substring(text, 1, 9))) AS prefix_b64,
+      |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+      |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
+      |  CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS fake_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "q32_text_stats"     -> QueryDef(q32, Some(q32Sql)),
+    "text_langid"        -> QueryDef(langId, Some(langIdSql)),
+    "text_quality"       -> QueryDef(quality, Some(qualitySql)),
+    "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
+    "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
+    "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
+  )
+}
