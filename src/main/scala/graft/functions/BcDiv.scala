@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** `bc_div(a, b, s)` — fixed-scale TRUNCATING division with null on a zero
+  * divisor, reproducing the reference's `bc` pipeline semantics
+  * (/root/reference/scripts/custom-metrics.sh:12: `scale=2; a*100/b` under
+  * `set -e`, where `bc` truncates toward zero and a zero divisor kills the
+  * tick → no value emitted, /root/reference/scripts/custom-metrics.sh:2).
+  *
+  * Implemented as a `RuntimeReplaceable` Catalyst expression — it expands
+  * to `floor(a * 10^s / b) / 10^s` guarded by a divisor check, so the
+  * optimizer sees only built-in (codegen'd, constant-foldable) operators.
+  * Exact whenever `a * 10^s` is integral and representable in a double —
+  * always true for the metric pipeline's integer core counts.
+  */
+case class BcDiv(a: Expression, b: Expression, s: Expression,
+    replacement: Expression)
+  extends RuntimeReplaceable with InheritAnalysisRules {
+
+  def this(a: Expression, b: Expression, s: Expression) =
+    this(a, b, s, BcDiv.mkReplacement(a, b, s))
+
+  override def parameters: Seq[Expression] = Seq(a, b, s)
+  override def prettyName: String = "bc_div"
+  override protected def withNewChildInternal(newChild: Expression): BcDiv =
+    copy(replacement = newChild)
+}
+
+object BcDiv {
+  private[functions] def mkReplacement(
+      a: Expression, b: Expression, s: Expression): Expression = {
+    val pow = Pow(Literal(10.0), Cast(s, DoubleType))
+    val ad = Cast(a, DoubleType)
+    val bd = Cast(b, DoubleType)
+    If(EqualTo(bd, Literal(0.0)),
+      Literal(null, DoubleType),
+      Divide(Cast(Floor(Divide(Multiply(ad, pow), bd)), DoubleType), pow))
+  }
+
+  def apply(a: Expression, b: Expression, s: Expression): BcDiv =
+    new BcDiv(a, b, s)
+}
+
+/** Column-level engine functions (usable without SQL registration). */
+object GraftFunctions {
+  /** Column form of bc_div — same expansion the expression produces. */
+  def bc_div(a: Column, b: Column, s: Int): Column = {
+    val p = math.pow(10.0, s)
+    when(b.cast(DoubleType) === 0.0, lit(null).cast(DoubleType))
+      .otherwise(floor(a.cast(DoubleType) * p / b.cast(DoubleType)) / p)
+  }
+
+  /** Registers SQL-facing engine functions on an existing session
+    * (idempotent). Mirrors what [[GraftExtensions]] does at session build
+    * time, for sessions the driver constructs without extensions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bc_div", exprs => BcDiv(exprs(0), exprs(1), exprs(2)), "builtin")
+}
+
+/** SparkSessionExtensions hook: registers engine functions at session build:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or conf
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("bc_div"),
+      new ExpressionInfo(classOf[BcDiv].getName, "bc_div"),
+      (exprs: Seq[Expression]) => BcDiv(exprs(0), exprs(1), exprs(2))))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md extension list): image/audio/video
+  * payloads are opaque `binary` columns with typed metadata; decode /
+  * feature-extract / frame-sample run partition-batched so a real codec
+  * would amortize per-batch model/library setup — the Scala analogue of a
+  * batched pandas UDF.
+  *
+  * The codec itself is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` is a deterministic fake that "parses" a
+  * 4-byte width/height header. Everything around it — schema, encoders,
+  * partition batching, feature shape — is real and tested.
+  */
+object Multimodal {
+
+  /** An opaque media payload with typed metadata. */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+
+  final case class Decoded(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_frames: Int, features: Array[Double])
+
+  /** STUB decode — deterministic fake in place of a real codec.
+    * "Header": bytes 0-1 → width, bytes 2-3 → height (big-endian),
+    * frame count from payload length. A real implementation would call
+    * the codec here and nothing else changes. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    def u(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    val w = (u(0) << 8 | u(1)) % 1920 + 1
+    val h = (u(2) << 8 | u(3)) % 1080 + 1
+    val frames = bytes.length % 24 + 1
+    (w, h, frames)
+  }
+
+  /** STUB feature extraction: 16-bin byte histogram, L1-normalized —
+    * stands in for an embedding/feature model, with the real batch shape. */
+  def byteHistogram(bytes: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](16)
+    bytes.foreach(b => bins((b & 0xff) / 16) += 1.0)
+    val n = math.max(bytes.length, 1).toDouble
+    bins.map(_ / n)
+  }
+
+  /** Frame-sample: every k-th 16-byte "frame" of the payload. */
+  def frameSample(bytes: Array[Byte], every: Int): Array[Array[Byte]] =
+    bytes.grouped(16).zipWithIndex
+      .collect { case (frame, i) if i % every == 0 => frame }
+      .toArray
+
+  /** Partition-batched decode: one pass per partition, codec setup
+    * amortized per batch (the `mapInPandas` batch shape). */
+  def decode(ds: Dataset[MediaRow]): Dataset[Decoded] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      // real codecs would initialize here, once per partition-batch
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.media)
+        Decoded(r.doc_id, r.format, w, h, f, byteHistogram(r.media))
+      }
+    }
+  }
+
+  /** Documents' text bytes as stand-in media payloads. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast(org.apache.spark.sql.types.BinaryType).as("media"),
+        lit("fake/raw").as("format"))
+      .as[MediaRow]
+  }
+
+  /** End-to-end: payloads → batched decode → typed metadata + features. */
+  def decodedTable(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaFromDocuments(spark, dir))
+      .toDF()
+      .withColumn("feat_sum",
+        aggregate(col("features"), lit(0.0), (a, x) => a + x))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,50 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+
+/** ANN quality gates (SURVEY.md §5.2): the approximate paths must recover
+  * most of the brute-force (q31) neighbors, and HLL distinct must sit
+  * within its configured error of the exact count. */
+class AnnRecallSpec extends SparkSuite {
+
+  private def topkSet(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  lazy val truth: Map[Long, Set[Long]] = topkSet("q31_cosine_topk")
+
+  test("IVF top-k: k-means coarse quantizer reaches recall >= 0.6 at nprobe=1") {
+    val ivf = topkSet("ann_ivf_topk")
+    val recalls = truth.map { case (q, t) =>
+      ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"IVF mean recall $mean (expected ~0.88 on sf0.001/sf0.01)")
+  }
+
+  test("LSH top-k: every probe returns candidates; hits are true neighbors' cosines") {
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // rank-1 approximate neighbor should be in the brute-force top set for
+    // at least some probes (16-bucket LSH is coarse by construction)
+    val rank1 = lsh.filter(_.getAs[Long]("rn") == 1L)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val hits = rank1.count { case (q, n) => truth.getOrElse(q, Set.empty).contains(n) }
+    assert(hits >= 1, s"no rank-1 LSH hit in ${rank1.toSeq}")
+  }
+
+  test("HLL approx distinct within 10% of exact per language") {
+    SparkEntry.queries("hll_distinct")(spark, sfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_words").toDouble
+      val exact = r.getAs[Long]("exact_words").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"lang=${r.getAs[String]("lang")} approx=$approx exact=$exact")
+    }
+  }
+
+  test("deterministic across runs: LSH buckets identical on re-execution") {
+    val a = SparkEntry.queries("ann_lsh_buckets")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("ann_lsh_buckets")(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+}

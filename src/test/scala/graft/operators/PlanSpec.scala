@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Plan-shape assertions (SURVEY.md §4.2): the declared queries must keep
+  * the physical properties the 100 TB design depends on — filter/column
+  * pushdown into the scan, broadcast joins for small dims, no cartesian
+  * products on the range join, whole-stage codegen coverage. */
+class PlanSpec extends SparkSuite {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q03: filters are pushed to the parquet scan") {
+    val p = physical("q03_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("q03: scan reads only the referenced columns") {
+    val p = physical("q03_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q05: dim-dim join broadcasts (no shuffle exchange for region)") {
+    val p = physical("q05_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06: BUILDING customers broadcast; no cartesian product") {
+    val p = physical("q06_join3_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q06: top-10 runs as TakeOrderedAndProject, not a global sort") {
+    val p = physical("q06_join3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q10: range self-join stays an equi-join on user_id") {
+    val p = physical("q10_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q04: aggregation is two-phase (partial then final hash aggregate)") {
+    val p = physical("q04_groupagg_tpch1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q01/q04: whole-stage codegen covers the agg pipeline") {
+    // AQE hides the final plan until execution — run, then inspect
+    Seq("q01_scan_agg", "q04_groupagg_tpch1").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n)" is the WholeStageCodegen stage marker in plan strings
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$name:\n$p")
+      assert(p.contains("HashAggregate"), s"$name:\n$p")
+    }
+  }
+
+  test("q31: probe side is broadcast — candidates never shuffle for the join") {
+    val p = physical("q31_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("every registry query produces a resolvable plan") {
+    SparkEntry.registry.foreach { case (name, q) =>
+      val df = q.fn(spark, sfDir)
+      assert(df.queryExecution.analyzed != null, s"$name failed analysis")
+    }
+  }
+}
