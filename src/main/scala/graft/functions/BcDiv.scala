@@ -72,5 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bc_div"),
       new ExpressionInfo(classOf[BcDiv].getName, "bc_div"),
       (exprs: Seq[Expression]) => BcDiv(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.{QueryDef, QueryGroup, Tables => T}
+import graft.functions.DotProduct.dot
 
 /** Approximate-nearest-neighbor scale paths (SURVEY.md extension list):
   * the brute-force q31 is the ground truth; these trade recall for a
@@ -27,9 +28,7 @@ object Ann extends QueryGroup {
     T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-      .withColumn("nsq", aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))
-
-  private def cosine(dot: org.apache.spark.sql.Column) = dot
+      .withColumn("nsq", dot(col("emb"), col("emb")))
 
   /** Bucket per vector from 4 seeded hyperplanes (16 buckets → ~30
     * candidates per probe at sf0.01). Same md5-derived ±1 construction as
@@ -62,9 +61,7 @@ object Ann extends QueryGroup {
       .orderBy(col("cos").desc, col("vec_id"))
     n.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("q_emb"), col("emb"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)
@@ -85,22 +82,17 @@ object Ann extends QueryGroup {
 
     def centDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
       cents.toDF("ck", "cvec")
-        .withColumn("c_nsq",
-          aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+        .withColumn("c_nsq", dot(col("cvec"), col("cvec")))
 
-    def assign(cdf: DataFrame): DataFrame = {
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("ck"))
+    def assign(cdf: DataFrame): DataFrame =
+      // argmax via ordered-struct max: no window sort, one hash aggregate
       n.crossJoin(broadcast(cdf))
-        .withColumn("c_dot", aggregate(
-          zip_with(col("emb"), col("cvec"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x))
         .withColumn("c_cos",
-          col("c_dot") / (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
-        .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("ck"))
-    }
+          dot(col("emb"), col("cvec")) /
+            (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
+        .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
 
     var cents: Seq[(Int, Seq[Double])] =
       n.filter(col("vec_id") < 8).orderBy(col("vec_id"))
@@ -130,9 +122,7 @@ object Ann extends QueryGroup {
       .orderBy(col("cos").desc, col("vec_id"))
     lists.join(broadcast(probes), Seq("ck"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("q_emb"), col("emb"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.{QueryDef, QueryGroup, Tables => T}
+import graft.functions.DotProduct.dot
 
 /** LLM-data-pipeline deduplication + similarity operators (SURVEY.md §2B
   * Q30/Q31 plus the extension inventory): exact fingerprint dedup, MinHash
@@ -34,17 +35,23 @@ object Dedup extends QueryGroup {
       .withColumn("pos", col("pos0") + 1)
       .drop("pos0")
 
-  /** Word 5-gram shingles (doc_id, pos, sh) via a forward-looking row
-    * frame — one window pass, no self-joins. */
-  private[llm] def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, 4)
-    words(docs)
-      .withColumn("sh", concat_ws(" ", collect_list("word").over(w)))
-      .withColumn("n_in", count(lit(1)).over(w))
-      .filter(col("n_in") === 5)
+  /** Word 5-gram shingles (doc_id, pos, sh), built per row with array
+    * higher-order functions — no shuffle, no window sort: the whole
+    * shingling stage stays inside the scan's codegen, which is the shape
+    * that survives a 100× scale-up (shingling 100 TB of documents is then
+    * embarrassingly parallel). */
+  private[llm] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .withColumn("shs",
+        when(size(col("ws")) >= 5,
+          transform(sequence(lit(1), size(col("ws")) - 4),
+            i => concat_ws(" ", slice(col("ws"), i, lit(5)))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos0", "sh")))
+      .withColumn("pos", col("pos0") + 1)
       .select(col("doc_id"), col("pos"), col("sh"))
-  }
 
   /** Shared SQL CTE prefix producing the same words/shingles relations. */
   private val shingleCte =
@@ -97,8 +104,7 @@ object Dedup extends QueryGroup {
   private def q31(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-    val n = e.withColumn("nsq",
-      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))
+    val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
     val q = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
@@ -106,9 +112,7 @@ object Dedup extends QueryGroup {
       .orderBy(col("cos").desc, col("vec_id"))
     n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("q_emb"), col("emb"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)
@@ -259,16 +263,13 @@ object Dedup extends QueryGroup {
   private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-    val n = e.withColumn("nsq",
-      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))
+    val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
     val a = n.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("label"),
       col("emb").as("emb_b"), col("nsq").as("nsq_b"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", aggregate(
-        zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", dot(col("emb_a"), col("emb_b")))
       .withColumn("cos", col("dot") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .select(col("vec_a"), col("vec_b"), col("label"),
         col("cos").cast(DecimalType(10, 4)).as("cos_sim"))

@@ -173,15 +173,23 @@ object Relational extends QueryGroup {
       |ORDER BY c_custkey""".stripMargin
 
   // ---- Q10: theta/range self-join on events ----------------------------
-  // Equi on user_id (shuffle key) + range predicate on ts evaluated as a
-  // post-join filter — the plan stays a hash/sort-merge join on user_id,
-  // which is the scalable shape (never a cartesian product).
+  // Interval-join decomposition: a 5-minute range predicate means a match
+  // can only live in the same or the next 5-minute time bucket, so the
+  // left side explodes to (bucket, bucket+1) and the join key becomes
+  // (user_id, bucket). Candidate pairs are bounded per (user, bucket)
+  // instead of per user — the shape that survives hot users at 100 TB.
+  // The exact range predicates remain on the join, so semantics equal the
+  // plain theta join.
   private def q10(s: SparkSession, d: String): DataFrame = {
-    val ev = T.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
-    val e1 = ev.as("e1")
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .withColumn("b", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+    val e1 = ev.withColumn("jb", explode(array(col("b"), col("b") + 1)))
+      .drop("b").as("e1")
     val e2 = ev.as("e2")
     e1.join(e2,
         col("e1.user_id") === col("e2.user_id") &&
+        col("e1.jb") === col("e2.b") &&
         col("e2.ts") >= col("e1.ts") &&
         col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES") &&
         col("e1.event_id") < col("e2.event_id"))
