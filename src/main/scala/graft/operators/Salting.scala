@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-salting recipe for hot join keys (SURVEY.md §4.2 / §7.4 item 6).
+  *
+  * AQE's OptimizeSkewedJoin splits oversized shuffle blocks at runtime, but
+  * only for sort-merge joins and only post-shuffle; pre-salting is the
+  * planned fix when one key is known-hot (the Q06 shape: one customer with
+  * millions of orders). The fact side gets a random salt in [0, n); the dim
+  * side is exploded n× so every salted fact key finds its match. The join
+  * key becomes (key, salt) — the hot key's rows spread over n tasks.
+  */
+object Salting {
+
+  /** Salt the (large, skewed) fact side: adds `__salt`. */
+  def saltFact(fact: DataFrame, n: Int): DataFrame =
+    fact.withColumn("__salt", (rand(seed = 42) * n).cast("int"))
+
+  /** Replicate the (small) dim side across all salt values: adds `__salt`. */
+  def replicateDim(dim: DataFrame, n: Int): DataFrame =
+    dim.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+
+  /** Salted equi-join on `keys` (+ the salt), dropping the salt after. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      n: Int, joinType: String = "inner"): DataFrame = {
+    val f = saltFact(fact, n)
+    val d = replicateDim(dim, n)
+    f.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+}
