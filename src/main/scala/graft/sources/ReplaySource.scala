@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2 micro-batch streaming source (SURVEY.md §7.3's
+  * stretch goal, replacing the reference's cron+curl poll loop,
+  * /root/reference/scripts/setup-custom-metrics.sh:24): replays a JSONL
+  * file of `{"ts": <epochSec>, "payload": "<json>"}` records as a
+  * rate-limited stream — `maxRowsPerBatch` rows per micro-batch.
+  *
+  * Demonstrates the full `TableProvider → SupportsRead(MICRO_BATCH_READ) →
+  * MicroBatchStream → InputPartition → PartitionReader` stack; offsets are
+  * plain row indices, so the source is replayable/checkpointable (the
+  * engine re-reads any [start, end) slice on recovery).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.ReplaySource")
+  *   .option("path", file).option("maxRowsPerBatch", "10").load()
+  * }}}
+  */
+class ReplaySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplaySource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ReplayTable(properties.get("path"),
+      Option(properties.get("maxRowsPerBatch")).map(_.toInt).getOrElse(10))
+}
+
+object ReplaySource {
+  val schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType), StructField("payload", StringType)))
+
+  /** (epochSec, payload) parsed from one JSONL line — driver side, tiny. */
+  private[sources] def parseLine(line: String): (Long, String) = {
+    val tsKey = line.indexOf("\"ts\"")
+    val colon = line.indexOf(':', tsKey)
+    val comma = line.indexOf(',', colon)
+    val ts = line.substring(colon + 1, comma).trim.toLong
+    val pKey = line.indexOf("\"payload\"")
+    val pColon = line.indexOf(':', pKey)
+    val raw = line.substring(pColon + 1).trim.stripSuffix("}").trim
+    val unquoted = raw.stripPrefix("\"").stripSuffix("\"")
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    (ts, unquoted)
+  }
+
+  private[sources] def readAll(path: String): IndexedSeq[(Long, String)] =
+    scala.io.Source.fromFile(path).getLines()
+      .filter(_.trim.nonEmpty).map(parseLine).toIndexedSeq
+}
+
+private class ReplayTable(path: String, maxRowsPerBatch: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"replay($path)"
+  override def schema(): StructType = ReplaySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ReplaySource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ReplayMicroBatchStream(path, maxRowsPerBatch)
+    }
+}
+
+private case class ReplayOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+private class ReplayMicroBatchStream(path: String, maxRowsPerBatch: Int)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private lazy val rows = ReplaySource.readAll(path)
+  private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+
+  // Admission control: the engine asks how far it MAY read from `start`
+  // this batch — the rate limit lives here, so every trigger mode
+  // (ProcessingTime, AvailableNow, Once) sees the same batching.
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxRowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].index
+    val hardEnd = availableNowTarget.getOrElse(rows.length.toLong)
+    ReplayOffset(math.min(hardEnd, s + maxRowsPerBatch))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(rows.length.toLong)
+
+  override def reportLatestOffset(): Offset = ReplayOffset(rows.length.toLong)
+
+  override def deserializeOffset(json: String): Offset =
+    ReplayOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].index
+    val e = end.asInstanceOf[ReplayOffset].index
+    if (e <= s) Array.empty
+    else Array(ReplayPartition(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[ReplayPartition]
+      new PartitionReader[InternalRow] {
+        private val slice = ReplaySource.readAll(p.path)
+          .slice(p.start.toInt, p.end.toInt).iterator
+        private var current: (Long, String) = _
+        override def next(): Boolean =
+          if (slice.hasNext) { current = slice.next(); true } else false
+        override def get(): InternalRow =
+          InternalRow(current._1 * 1000000L, UTF8String.fromString(current._2))
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private case class ReplayPartition(path: String, start: Long, end: Long)
+  extends InputPartition

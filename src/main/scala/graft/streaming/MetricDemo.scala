@@ -47,11 +47,13 @@ object MetricDemo {
     }
     Files.writeString(srcDir.resolve("trace.jsonl"), trace.mkString("\n"))
 
-    val schema = StructType(Seq(
-      StructField("ts", LongType), StructField("payload", StringType)))
-    val payloads = spark.readStream.schema(schema)
-      .json(srcDir.toString)
-      .select(timestamp_seconds(col("ts")).as("ts"), col("payload"))
+    // the custom DSv2 replay source stands in for the reference's
+    // cron+curl poll loop, rate-limited to one "tick" batch per trigger
+    val payloads = spark.readStream
+      .format("graft.sources.ReplaySource")
+      .option("path", srcDir.resolve("trace.jsonl").toString)
+      .option("maxRowsPerBatch", "20")
+      .load()
 
     val q = MetricPipeline.start(
       payloads, "j-DEMO",
