@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
-import graft.operators.{Analytics, Functions, MetricBatch, Relational}
+import graft.operators.{Analytics, Extras, Functions, MetricBatch, Relational}
 import graft.llm.{Ann, Dedup, MlLsh, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Ordered registry of every declared engine query (SURVEY.md §2B). */
   def registry: Seq[(String, QueryDef)] =
-    Relational.defs ++ Functions.defs ++ Analytics.defs ++ MetricBatch.defs ++
+    Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
+      MetricBatch.defs ++
       Dedup.defs ++ TextStats.defs ++ Ann.defs ++ MlLsh.defs ++ Seq(
         // batched binary decode (stubbed codec) — rows-only
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedTable(s, d)))

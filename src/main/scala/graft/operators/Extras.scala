@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+import graft.functions.GraftFunctions.bc_div
+
+/** Breadth extras: outer generators (null-preserving explode/inline) and a
+  * schema-declared JSON line source running the bc_div expression under the
+  * oracle. */
+object Extras extends QueryGroup {
+
+  // ---- Q36: outer generators over possibly-empty arrays -----------------
+  private def q36(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) >= 6).as("lw"))
+      .select(col("doc_id"),
+        inline_outer(transform(col("lw"),
+          w => struct(w.as("word"), length(w).cast(LongType).as("wlen")))))
+      .orderBy(col("doc_id"), col("word").asc_nulls_first)
+
+  private val q36Sql =
+    """SELECT doc_id, u.word AS word, u.wlen AS wlen FROM (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(l) = 0
+      |         THEN [{'word': CAST(NULL AS VARCHAR), 'wlen': CAST(NULL AS BIGINT)}]
+      |         ELSE list_transform(l, w -> {'word': w, 'wlen': CAST(length(w) AS BIGINT)})
+      |    END) AS u
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), w -> length(w) >= 6) AS l
+      |        FROM documents))
+      |ORDER BY doc_id, word NULLS FIRST""".stripMargin
+
+  // ---- Q37: declared-schema JSON source + bc_div under the oracle -------
+  private[operators] object MetricsJsonl {
+    val path = "/root/repo/target/fixtures/metrics.jsonl"
+    def ensure(): String = synchronized {
+      val p = Paths.get(path)
+      Files.createDirectories(p.getParent)
+      val lines = (0 until 200).map { i =>
+        val total = if (i % 17 == 0) 0 else 16 // zero-divisor ticks included
+        s"""{"ts": ${1700000000L + i * 30}, "avail": ${i % 17}, "total": $total}"""
+      }
+      Files.writeString(p, lines.mkString("\n") + "\n")
+      path
+    }
+  }
+
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val path = MetricsJsonl.ensure()
+    s.read.schema("ts LONG, avail LONG, total LONG").json(path)
+      .select(col("ts"),
+        bc_div(col("avail") * 100, col("total"), 2).as("pct"))
+      .orderBy(col("ts"))
+  }
+
+  private val q37Sql =
+    s"""SELECT ts,
+       |  CASE WHEN total = 0 THEN NULL
+       |       ELSE floor(CAST(avail * 100 AS DOUBLE) * 100.0 / CAST(total AS DOUBLE)) / 100.0
+       |  END AS pct
+       |FROM read_json('${MetricsJsonl.path}', format='newline_delimited',
+       |  columns={'ts': 'BIGINT', 'avail': 'BIGINT', 'total': 'BIGINT'})
+       |ORDER BY ts""".stripMargin
+
+  // ---- Q38: as-of join (most recent prior observation) ------------------
+  // The merge-ordered composition of an as-of join: for every event, the
+  // value of the latest 'error' event at-or-before it for the same user —
+  // one window pass over (user, ts) instead of a per-row backward probe.
+  // Scales as a single shuffle on user_id + sort, the standard distributed
+  // as-of shape.
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    T.events(s, d)
+      .withColumn("last_error_value",
+        last(when(col("event_type") === "error", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("last_error_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q38Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "q36_generator_outer" -> QueryDef(q36, Some(q36Sql)),
+    "q37_json_source_bcdiv" -> QueryDef(q37, Some(q37Sql)),
+    "q38_asof_join" -> QueryDef(q38, Some(q38Sql)),
+  )
+}

@@ -70,6 +70,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q14/q31: rank-limit pushes down as two-phase WindowGroupLimit") {
+    // the declarative row_number + filter form lets Catalyst insert
+    // Partial/Final WindowGroupLimit — per-partition top-k before the
+    // shuffle, exactly the 100 TB shape (no custom rule needed)
+    Seq("q14_window_rank", "q31_cosine_topk").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$name:\n$p")
+    }
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
