@@ -40,6 +40,31 @@ class ReplaySourceSpec extends SparkSuite {
     assert(firstTs == 1700000000L)
   }
 
+  test("checkpoint recovery: restart resumes from the committed offset") {
+    val path = writeTrace(30)
+    val ckpt = Files.createTempDirectory("graft_ck_rec").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def run(maxBatches: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.ReplaySource")
+        .option("path", path).option("maxRowsPerBatch", "7").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          if (epoch < maxBatches)
+            batch.collect().foreach(r => seen.add(r.getTimestamp(0).getTime))
+          else throw new RuntimeException("injected failure")
+          ()
+        }.start()
+      try q.awaitTermination(60000)
+      catch { case _: Throwable => () }
+    }
+    run(maxBatches = 2)   // fails mid-stream after 2 committed batches
+    run(Int.MaxValue)     // restart from checkpoint, drain the rest
+    assert(seen.size == 30, s"expected 30 distinct rows, got ${seen.size}")
+  }
+
   test("drives the metric pipeline end-to-end (parse -> window -> decide)") {
     val path = writeTrace(40)
     val payloads = spark.readStream.format("graft.sources.ReplaySource")
