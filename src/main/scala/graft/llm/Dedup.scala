@@ -245,7 +245,12 @@ object Dedup extends QueryGroup {
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
   // pair count — the standard blocking guard at scale.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // join key = 48-bit md5 prefix of the shingle: the self-join shuffles
+    // 8-byte longs instead of ~60-byte strings (same rows in both engines;
+    // collision odds at 2^48 are negligible and mirrored in the oracle)
     val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("sh"))
     val rare = dsh.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)
@@ -268,8 +273,10 @@ object Dedup extends QueryGroup {
 
   private val ngramJaccardSql =
     s"""$shingleCte,
-       |rare AS (SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= 50),
-       |kept AS (SELECT doc_id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh),
+       |dshh AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM dsh),
+       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
+       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

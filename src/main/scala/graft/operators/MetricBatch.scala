@@ -48,7 +48,35 @@ object MetricBatch extends QueryGroup {
       |FROM events GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  // ---- Q29b: SLIDING window average (the alarm's literal R14 shape:
+  // Period 300 s re-evaluated on the 150 s half-cadence). Each observation
+  // lands in ceil(window/slide)=2 windows; DuckDB emulates the assignment
+  // with an explicit 2-way expansion over epoch-ms arithmetic.
+  private def q29b(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes", "150 seconds").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        (sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("avg_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_obs"), col("avg_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val q29bSql =
+    """WITH x AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(12,4)) AS v,
+      |    (epoch_ms(CAST(ts AS TIMESTAMP))//150000 - k) * 150000 AS wsms,
+      |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ems
+      |  FROM events CROSS JOIN (SELECT unnest(range(2)) AS k))
+      |SELECT CAST(to_timestamp(wsms/1000.0) AS TIMESTAMP) AS win_start,
+      |  event_type, COUNT(*) AS n_obs,
+      |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM x WHERE ems - wsms < 300000
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q29_metric_window" -> QueryDef(q29, Some(q29Sql)),
+    "q29b_sliding_window" -> QueryDef(q29b, Some(q29bSql)),
   )
 }

@@ -132,6 +132,30 @@ class MetricPipelineSpec extends SparkSuite {
     assert(sess == Seq(1L, 2L))
   }
 
+  test("stream-static join: per-metric thresholds joined onto the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rules = Seq(("m1", 50.0), ("m2", 10.0)).toDF("metric", "threshold")
+    val input = MemoryStream[MetricPoint](spark)
+    val joined = input.toDS().toDF()
+      .join(broadcast(rules), Seq("metric"))
+      .withColumn("breach", col("value") > col("threshold"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        MetricPoint(ts(10), "j-1", "m1", 60.0),
+        MetricPoint(ts(20), "j-1", "m1", 40.0),
+        MetricPoint(ts(30), "j-1", "m2", 20.0),
+        MetricPoint(ts(40), "j-1", "m3", 99.0)) // no rule -> dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("metric", "value", "breach").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(rows == Set(("m1", 60.0, true), ("m1", 40.0, false),
+        ("m2", 20.0, true)))
+    } finally q.stop()
+  }
+
   test("end-to-end 30s-trigger query runs through foreachBatch sink") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
