@@ -244,10 +244,11 @@ object Dedup extends QueryGroup {
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
   // pair count — the standard blocking guard at scale.
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // join key = 48-bit md5 prefix of the shingle: the self-join shuffles
-    // 8-byte longs instead of ~60-byte strings (same rows in both engines;
-    // collision odds at 2^48 are negligible and mirrored in the oracle)
+  /** All-pairs exact shingle-set Jaccard via a join on shared shingles —
+    * join key is a 48-bit md5 prefix so the shuffle carries 8-byte longs
+    * (same rows in both engines; 2^-48 collision odds mirrored in the
+    * oracle); stop-shingle cap bounds the pair count. */
+  private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("sh"))
@@ -266,10 +267,13 @@ object Dedup extends QueryGroup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", col("n_common").cast(DoubleType) /
         (col("na") + col("nb") - col("n_common")).cast(DoubleType))
+  }
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
-  }
 
   private val ngramJaccardSql =
     s"""$shingleCte,
@@ -319,6 +323,60 @@ object Dedup extends QueryGroup {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
+  // ---- Near-dup clustering: bounded label propagation -------------------
+  // The dedup endgame: connected components over the near-dup pair graph
+  // (exact Jaccard >= 0.5), via 5 rounds of min-label propagation — each
+  // round is one join + one aggregation, the standard distributed CC loop
+  // (log-doubling replaces the fixed count at larger diameters). The
+  // 5-round semantics ("min doc_id within 5 hops") is mirrored exactly by
+  // the oracle's depth-bounded recursive CTE; near-dup clusters here have
+  // diameter ≤ 2, so this equals true connected components.
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = T.documents(s, d).select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    (1 to 5).foreach { _ =>
+      val fromNbr = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      labels = labels.union(fromNbr)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+    }
+    labels
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |dshh AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM dsh),
+       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
+       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS lbl, 0 AS depth FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lbl, r.depth + 1 AS depth
+       |  FROM edges e JOIN reach r ON e.dst = r.doc_id WHERE r.depth < 5)
+       |SELECT doc_id, MIN(lbl) AS cluster, doc_id = MIN(lbl) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Signed-random-projection LSH buckets (8 planes, seeded) ----------
   // Plane direction per (plane, dim) is md5-derived ±1; the projection sum
   // runs in exact decimals so the sign — hence the bucket — is portable.
@@ -365,6 +423,7 @@ object Dedup extends QueryGroup {
     "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs, Some(embCosinePairsSql)),
+    "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
   )
 }

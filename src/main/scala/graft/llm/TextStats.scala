@@ -172,6 +172,47 @@ object TextStats extends QueryGroup {
       |  FROM hashed)
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---- TF-IDF: top terms per document -----------------------------------
+  // Two hash aggregations (tf, df) + one broadcast of the corpus size;
+  // ranking reuses the WindowGroupLimit pushdown. Scores are rounded
+  // through DECIMAL(18,6) so the ln() libm tail can't break parity, and
+  // ties (same tf, df) rank identically in both engines via the word
+  // tiebreaker.
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val w = words(T.documents(s, d))
+    val tf = w.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+          .cast(DecimalType(18, 6)))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rn", row_number().over(wnd).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val tfidfSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wrd GROUP BY doc_id, word),
+      |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, word, score FROM (
+      |  SELECT doc_id, word,
+      |    CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) DESC,
+      |               word) AS BIGINT) AS rn
+      |  FROM tf JOIN dfq USING (word) CROSS JOIN n)
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   // ---- Multimodal: opaque binary column plumbing ------------------------
   // Text bytes stand in for image/audio payloads (the real decode is
   // stubbed — see graft.llm.Multimodal): byte length, hex/base64 prefix
@@ -204,6 +245,7 @@ object TextStats extends QueryGroup {
     "text_quality"       -> QueryDef(quality, Some(qualitySql)),
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
     "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
+    "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }
