@@ -177,7 +177,7 @@ object Dedup extends QueryGroup {
   // The join key is (i, minhash) — docs never meet unless they collide on
   // a signature, which is the LSH banding idea (band size 1, 8 bands).
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
+    val sig = minhashSig(s, d).cache() // self-joined: compute once
     val a = sig.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
     val b = sig.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
     a.join(b, Seq("i", "minhash"))
@@ -249,14 +249,19 @@ object Dedup extends QueryGroup {
     * (same rows in both engines; 2^-48 collision odds mirrored in the
     * oracle); stop-shingle cap bounds the pair count. */
   private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+    // hash BEFORE distinct so the dedup shuffle already carries longs, and
+    // cache the kept set — the plan reads it four times (a-side, b-side,
+    // and both size joins); without the cache the whole scan+explode chain
+    // re-executes per read
+    val dsh = shingles(T.documents(s, d))
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("sh"))
+      .distinct()
     val rare = dsh.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)
       .select("sh")
-    val kept = dsh.join(rare, Seq("sh"))
+    val kept = dsh.join(rare, Seq("sh")).cache()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = kept.select(col("doc_id").as("doc_a"), col("sh"))
     val b = kept.select(col("doc_id").as("doc_b"), col("sh"))
@@ -277,8 +282,8 @@ object Dedup extends QueryGroup {
 
   private val ngramJaccardSql =
     s"""$shingleCte,
-       |dshh AS (SELECT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM dsh),
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
        |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
        |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
@@ -338,13 +343,17 @@ object Dedup extends QueryGroup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache() // read every round; the pair pipeline must not re-execute
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     (1 to 5).foreach { _ =>
       val fromNbr = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster"))
+      // materialize each round: keeps the lineage flat (iterative loops
+      // otherwise double their plan depth every round)
       labels = labels.union(fromNbr)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
     }
     labels
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
@@ -353,8 +362,8 @@ object Dedup extends QueryGroup {
 
   private val dedupClustersSql =
     s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |dshh AS (SELECT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM dsh),
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
        |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
        |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
