@@ -31,7 +31,8 @@ object MetricTickMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 
-    val payloads = spark.read.text(path)
+    // wholetext: one payload per FILE, so pretty-printed JSON works too
+    val payloads = spark.read.option("wholetext", "true").text(path)
       .select(current_timestamp().as("ts"), col("value").as("payload"))
     val points = MetricPipeline.parseRmPayload(payloads, jobFlowId).collect()
 

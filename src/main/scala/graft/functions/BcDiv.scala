@@ -37,9 +37,13 @@ object BcDiv {
     val pow = Pow(Literal(10.0), Cast(s, DoubleType))
     val ad = Cast(a, DoubleType)
     val bd = Cast(b, DoubleType)
+    val scaled = Divide(Multiply(ad, pow), bd)
+    // bc truncates TOWARD ZERO: floor for non-negative, ceil for negative
+    val truncated = If(GreaterThanOrEqual(scaled, Literal(0.0)),
+      Cast(Floor(scaled), DoubleType), Cast(Ceil(scaled), DoubleType))
     If(EqualTo(bd, Literal(0.0)),
       Literal(null, DoubleType),
-      Divide(Cast(Floor(Divide(Multiply(ad, pow), bd)), DoubleType), pow))
+      Divide(truncated, pow))
   }
 
   def apply(a: Expression, b: Expression, s: Expression): BcDiv =
@@ -51,8 +55,10 @@ object GraftFunctions {
   /** Column form of bc_div — same expansion the expression produces. */
   def bc_div(a: Column, b: Column, s: Int): Column = {
     val p = math.pow(10.0, s)
+    val scaled = a.cast(DoubleType) * p / b.cast(DoubleType)
+    val truncated = when(scaled >= 0, floor(scaled)).otherwise(ceil(scaled))
     when(b.cast(DoubleType) === 0.0, lit(null).cast(DoubleType))
-      .otherwise(floor(a.cast(DoubleType) * p / b.cast(DoubleType)) / p)
+      .otherwise(truncated / p)
   }
 
   /** Registers SQL-facing engine functions on an existing session

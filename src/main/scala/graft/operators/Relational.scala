@@ -389,9 +389,16 @@ object Relational extends QueryGroup {
       |FROM documents GROUP BY text, lang ORDER BY doc_id""".stripMargin
 
   // ---- Q28: scalar + IN subqueries (via spark.sql → ScalarSubquery) ----
+  // Temp views are named per data-dir so concurrent runs (or a user
+  // session with its own `orders` view) cannot collide; the oracle SQL
+  // keeps the plain table names.
+  private def viewSuffix(d: String): String =
+    java.lang.Integer.toHexString(d.hashCode)
+
   private def q28a(s: SparkSession, d: String): DataFrame = {
-    T.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(q28aSql)
+    val v = s"graft_orders_${viewSuffix(d)}"
+    T.orders(s, d).createOrReplaceTempView(v)
+    s.sql(q28aSql.replaceAll("\\borders\\b", v))
   }
 
   private val q28aSql =
@@ -402,10 +409,13 @@ object Relational extends QueryGroup {
       |ORDER BY o_orderkey""".stripMargin
 
   private def q28b(s: SparkSession, d: String): DataFrame = {
-    T.customer(s, d).createOrReplaceTempView("customer")
-    T.nation(s, d).createOrReplaceTempView("nation")
-    T.region(s, d).createOrReplaceTempView("region")
-    s.sql(q28bSql)
+    val (vc, vn, vr) = (s"graft_customer_${viewSuffix(d)}",
+      s"graft_nation_${viewSuffix(d)}", s"graft_region_${viewSuffix(d)}")
+    T.customer(s, d).createOrReplaceTempView(vc)
+    T.nation(s, d).createOrReplaceTempView(vn)
+    T.region(s, d).createOrReplaceTempView(vr)
+    s.sql(q28bSql.replaceAll("\\bcustomer\\b", vc)
+      .replaceAll("\\bnation\\b", vn).replaceAll("\\bregion\\b", vr))
   }
 
   private val q28bSql =

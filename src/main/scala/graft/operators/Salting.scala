@@ -25,6 +25,10 @@ object Salting {
   /** Salted equi-join on `keys` (+ the salt), dropping the salt after. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       n: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface the n-way dim replication as spurious
+    // null-padded rows — only fact-preserving join types are salt-safe
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
     val f = saltFact(fact, n)
     val d = replicateDim(dim, n)
     f.join(d, keys :+ "__salt", joinType).drop("__salt")

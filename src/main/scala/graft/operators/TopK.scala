@@ -27,7 +27,11 @@ object TopK {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
     val keyIdx = keyCols.map(schema.fieldIndex)
     val ordIdx = schema.fieldIndex(ordCol)
-    val rowOrd: Ordering[Row] = Ordering.by((r: Row) => r.getDouble(ordIdx))
+    // numeric-generic, null-safe: nulls sort lowest (never enter a top-k
+    // unless fewer than k non-null rows exist)
+    val rowOrd: Ordering[Row] = Ordering.by((r: Row) =>
+      if (r.isNullAt(ordIdx)) Double.NegativeInfinity
+      else r.getAs[Number](ordIdx).doubleValue())
 
     def partialTopK(rows: Iterator[Row]): Iterator[Row] = {
       val heaps = mutable.Map.empty[Seq[Any], mutable.PriorityQueue[Row]]

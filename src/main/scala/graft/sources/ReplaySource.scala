@@ -35,21 +35,27 @@ class ReplaySource extends TableProvider {
     ReplaySource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ReplayTable(properties.get("path"),
-      Option(properties.get("maxRowsPerBatch")).map(_.toInt).getOrElse(10))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties) // DSv2 contract
+    new ReplayTable(opts.get("path"),
+      Option(opts.get("maxRowsPerBatch")).map(_.toInt).getOrElse(10))
+  }
 }
 
 object ReplaySource {
   val schema: StructType = StructType(Seq(
     StructField("ts", TimestampType), StructField("payload", StringType)))
 
-  /** (epochSec, payload) parsed from one JSONL line — driver side, tiny. */
+  /** (epochSec, payload) parsed from one JSONL line — driver side, tiny.
+    * The ts key is matched outside escaped-quote context so a payload
+    * containing `\"ts\":` cannot shadow the real field. */
+  private val tsRe = """(?<!\\)"ts"\s*:\s*(\d+)""".r
+
   private[sources] def parseLine(line: String): (Long, String) = {
-    val tsKey = line.indexOf("\"ts\"")
-    val colon = line.indexOf(':', tsKey)
-    val comma = line.indexOf(',', colon)
-    val ts = line.substring(colon + 1, comma).trim.toLong
+    val ts = tsRe.findFirstMatchIn(line)
+      .getOrElse(throw new IllegalArgumentException(
+        s"replay line missing numeric ts: ${line.take(80)}"))
+      .group(1).toLong
     val pKey = line.indexOf("\"payload\"")
     val pColon = line.indexOf(':', pKey)
     val raw = line.substring(pColon + 1).trim.stripSuffix("}").trim

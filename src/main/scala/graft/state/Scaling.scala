@@ -64,8 +64,9 @@ object Scaling {
     * scaling activity even when capacity is pinned. */
   def step(rules: Seq[Rule], cons: Constraints, st: ClusterState,
       ev: WindowAvg): (ClusterState, Seq[Action]) = {
-    rules.find(r => matches(r.comparison, ev.avg, r.threshold)) match {
-      case Some(r) if !st.inCooldown(r, ev.windowEndSec) =>
+    rules.find(r => matches(r.comparison, ev.avg, r.threshold) &&
+        !st.inCooldown(r, ev.windowEndSec)) match {
+      case Some(r) =>
         val next = clamp(st.capacity + r.adjustment, cons)
         val st2 = ClusterState(next,
           st.lastFiredSec + (r.name -> ev.windowEndSec))

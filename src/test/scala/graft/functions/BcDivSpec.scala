@@ -28,6 +28,13 @@ class BcDivSpec extends SparkSuite {
     assert(one(bc_div(lit(7), lit(2), 0)) == 3.0)
   }
 
+  test("negative quotients truncate toward zero, not toward -inf") {
+    assert(one(bc_div(lit(-100), lit(3), 2)) == -33.33) // bc: -33.33, floor would give -33.34
+    assert(one(bc_div(lit(-7), lit(2), 0)) == -3.0)
+    val sql = spark.sql("SELECT bc_div(-100, 3, 2) AS v").collect()(0).getDouble(0)
+    assert(sql == -33.33)
+  }
+
   test("SQL registration via extensions: bc_div usable in spark.sql") {
     val r = spark.sql("SELECT bc_div(1300, 16, 2) AS v").collect()(0).getDouble(0)
     assert(r == 81.25)

@@ -63,6 +63,17 @@ class ScalingSpec extends AnyFunSuite {
     assert(acts.map(_.rule) == Seq("scale-out", "scale-in"))
   }
 
+  test("a cooling rule yields to the next matching eligible rule") {
+    val tiers = Seq(
+      Rule("out-fast", "LESS_THAN_OR_EQUAL", 10.0, +10, 600L),
+      Rule("out-slow", "LESS_THAN_OR_EQUAL", 25.0, +2, 0L))
+    // 1st event fires out-fast; 2nd (still low, fast rule cooling) must
+    // fall through to out-slow instead of doing nothing
+    val (_, acts) = Scaling.run(tiers, cons, ClusterState(0, Map.empty),
+      Seq(ev(300, 5.0), ev(600, 5.0)))
+    assert(acts.map(_.rule) == Seq("out-fast", "out-slow"))
+  }
+
   test("unknown comparison operator is rejected") {
     intercept[IllegalArgumentException](matches("BOGUS", 1.0, 2.0))
   }
