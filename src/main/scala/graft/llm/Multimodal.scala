@@ -50,6 +50,29 @@ object Multimodal {
       .collect { case (frame, i) if i % every == 0 => frame }
       .toArray
 
+  /** STUB resize: nearest-neighbor downsample of the payload treated as a
+    * row-major byte "image" — deterministic index arithmetic in place of a
+    * real scaler; output is always targetW*targetH bytes. */
+  def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
+      targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val out = new Array[Byte](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = y.toLong * srcH / targetH
+      var x = 0
+      while (x < targetW) {
+        val sx = x.toLong * srcW / targetW
+        val idx = sy * srcW + sx
+        out(y * targetW + x) =
+          if (idx < bytes.length) bytes(idx.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Partition-batched decode: one pass per partition, codec setup
     * amortized per batch (the `mapInPandas` batch shape). */
   def decode(ds: Dataset[MediaRow]): Dataset[Decoded] = {

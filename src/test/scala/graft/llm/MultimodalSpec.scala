@@ -28,6 +28,16 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(0).toSeq == bytes.slice(0, 16).toSeq)
   }
 
+  test("resize stub: exact target shape, deterministic, degenerate-safe") {
+    val img = Array.tabulate[Byte](64 * 48)(_.toByte)
+    val small = resizeStub(img, 64, 48, 16, 12)
+    assert(small.length == 16 * 12)
+    assert(small.toSeq == resizeStub(img, 64, 48, 16, 12).toSeq)
+    // upscale + short payload both stay in bounds
+    assert(resizeStub(Array[Byte](1, 2), 64, 48, 8, 8).length == 64)
+    intercept[IllegalArgumentException](resizeStub(img, 64, 48, 0, 5))
+  }
+
   test("partition-batched decode: typed end-to-end over documents") {
     val out = decode(mediaFromDocuments(spark, sfDir)).collect()
     assert(out.nonEmpty)
