@@ -100,12 +100,12 @@ object Functions extends QueryGroup {
     T.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("mstart"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
       .orderBy(col("mstart"))
 
   private val q21bSql =
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY mstart""".stripMargin
 
   // ---- Q22: math functions over part ------------------------------------
@@ -115,15 +115,17 @@ object Functions extends QueryGroup {
   private def q22(s: SparkSession, d: String): DataFrame =
     T.part(s, d).select(
       col("p_partkey"),
-      col("p_retailprice").cast(DecimalType(12, 2)).as("rnd"),
+      col("p_retailprice").cast(DecimalType(12, 2)).cast(DoubleType).as("rnd"),
       floor(col("p_retailprice")).cast(LongType).as("flr"),
       ceil(col("p_retailprice")).cast(LongType).as("cl"),
       abs(col("p_retailprice") - 950.0).as("ab"),
       (col("p_size") % 7).cast(LongType).as("md"),
       pow(col("p_size"), 2).as("pw"),
       sqrt(col("p_size").cast(DoubleType)).as("sq"),
-      log(col("p_size") + 1).cast(DecimalType(18, 6)).as("lg"),
-      log10(col("p_size") + 1).cast(DecimalType(18, 6)).as("l10"),
+      // round through DECIMAL(18,6) to absorb the libm 1-ulp tail, then
+      // export as double (decimal→double is identical in both engines)
+      log(col("p_size") + 1).cast(DecimalType(18, 6)).cast(DoubleType).as("lg"),
+      log10(col("p_size") + 1).cast(DecimalType(18, 6)).cast(DoubleType).as("l10"),
       greatest(col("p_retailprice"), lit(1000.0)).as("gr"),
       least(col("p_size"), lit(20)).cast(LongType).as("le"),
       signum(col("p_retailprice") - 1000.0).cast(LongType).as("sg"))
@@ -131,15 +133,15 @@ object Functions extends QueryGroup {
 
   private val q22Sql =
     """SELECT p_partkey,
-      |  CAST(p_retailprice AS DECIMAL(12,2)) AS rnd,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS rnd,
       |  CAST(floor(p_retailprice) AS BIGINT) AS flr,
       |  CAST(ceil(p_retailprice) AS BIGINT) AS cl,
       |  abs(p_retailprice - 950.0) AS ab,
       |  CAST(p_size % 7 AS BIGINT) AS md,
       |  pow(p_size, 2) AS pw,
       |  sqrt(CAST(p_size AS DOUBLE)) AS sq,
-      |  CAST(ln(p_size + 1) AS DECIMAL(18,6)) AS lg,
-      |  CAST(log10(p_size + 1) AS DECIMAL(18,6)) AS l10,
+      |  CAST(CAST(ln(p_size + 1) AS DECIMAL(18,6)) AS DOUBLE) AS lg,
+      |  CAST(CAST(log10(p_size + 1) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
       |  greatest(p_retailprice, 1000.0) AS gr,
       |  CAST(least(p_size, 20) AS BIGINT) AS le,
       |  CAST(sign(p_retailprice - 1000.0) AS BIGINT) AS sg
@@ -185,10 +187,10 @@ object Functions extends QueryGroup {
       size(filter(col("embedding"), x => x > 0)).cast(LongType).as("npos"),
       aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
-        .cast(DecimalType(18, 6)).as("ssq"),
+        .cast(DecimalType(18, 6)).cast(DoubleType).as("ssq"),
       aggregate(slice(col("embedding"), 1, 8), lit(0.0),
         (acc, x) => acc + x.cast(DoubleType))
-        .cast(DecimalType(18, 6)).as("head_sum"))
+        .cast(DecimalType(18, 6)).cast(DoubleType).as("head_sum"))
       .orderBy(col("vec_id"))
 
   private val q24Sql =
@@ -197,12 +199,12 @@ object Functions extends QueryGroup {
       |  CAST(embedding[1] AS DOUBLE) AS first,
       |  CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos,
-      |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-      |    (a, b) -> a + b) AS DECIMAL(18,6)) AS ssq,
-      |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    (a, b) -> a + b) AS DECIMAL(18,6)) AS DOUBLE) AS ssq,
+      |  CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |    list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
-      |    (a, b) -> a + b) AS DECIMAL(18,6)) AS head_sum
+      |    (a, b) -> a + b) AS DECIMAL(18,6)) AS DOUBLE) AS head_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- Q25: map functions + map explode ---------------------------------

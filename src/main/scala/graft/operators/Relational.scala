@@ -65,12 +65,15 @@ object Relational extends QueryGroup {
     val one = lit(1).cast(DecimalType(6, 4))
     val discPrice = dec(col("l_extendedprice")) * (one - decr(col("l_discount")))
     val charge = discPrice * (one + decr(col("l_tax")))
+    // Sums are exact decimals internally; the OUTPUT layer casts to double
+    // (decimal→double is round-to-nearest of the identical exact value in
+    // both engines) so the driver's hasher canonicalizes identically.
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
-        sum(discPrice).cast(DecimalType(38, 8)).as("sum_disc_price"),
-        sum(charge).cast(DecimalType(38, 12)).as("sum_charge"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DoubleType).as("sum_charge"),
         avgExact(col("l_quantity")).as("avg_qty"),
         avgExact(col("l_extendedprice")).as("avg_price"),
         avgExact(col("l_discount")).as("avg_disc"),
@@ -80,10 +83,10 @@ object Relational extends QueryGroup {
 
   private val q04Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -114,14 +117,14 @@ object Relational extends QueryGroup {
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (one - decr(col("l_discount"))))
-        .cast(DecimalType(38, 8)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
   private val q06Sql =
     """SELECT o_orderkey, o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8)) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -242,13 +245,13 @@ object Relational extends QueryGroup {
     T.orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("sum_price"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"),
         grouping_id().cast(LongType).as("gid"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
   private val q13Sql =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -285,7 +288,7 @@ object Relational extends QueryGroup {
     T.orders(s, d).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
       sum(dec(col("o_totalprice"))).over(wRun)
-        .cast(DecimalType(38, 4)).as("running_total"),
+        .cast(DoubleType).as("running_total"),
       lag(col("o_orderdate"), 1).over(w).as("prev_date"),
       lead(col("o_orderdate"), 1).over(w).as("next_date"),
       (sum(dec(col("o_totalprice"))).over(wMov).cast(DoubleType) /
@@ -295,7 +298,7 @@ object Relational extends QueryGroup {
 
   private val q15Sql =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER wr AS DECIMAL(38,4)) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER wr AS DOUBLE) AS running_total,
       |  LAG(o_orderdate, 1) OVER w AS prev_date,
       |  LEAD(o_orderdate, 1) OVER w AS next_date,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER wm AS DOUBLE) / COUNT(*) OVER wm AS mov_avg3
@@ -317,17 +320,20 @@ object Relational extends QueryGroup {
     T.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"),
         dec(col("s_acctbal")).as("acctbal"))
-      .withColumn("running",
-        sum(col("acctbal")).over(w).cast(DecimalType(38, 4)))
+      .withColumn("running", sum(col("acctbal")).over(w))
+      // the RANGE frame runs over exact decimals; outputs go out as double
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("acctbal").cast(DoubleType).as("acctbal"),
+        col("running").cast(DoubleType).as("running"))
       .orderBy(col("s_suppkey"))
   }
 
   private val q16Sql =
     """SELECT s_suppkey, s_nationkey,
-      |  CAST(s_acctbal AS DECIMAL(12,4)) AS acctbal,
+      |  CAST(CAST(s_acctbal AS DECIMAL(12,4)) AS DOUBLE) AS acctbal,
       |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) OVER (
       |    PARTITION BY s_nationkey ORDER BY CAST(s_acctbal AS DECIMAL(12,4))
-      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
   // ---- Q17: global top-k -------------------------------------------------
