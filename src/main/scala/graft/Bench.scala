@@ -33,6 +33,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact summary LAST (<500 bytes): the full line above can exceed the
+    // driver's tail-capture, leaving `parsed` null — this one never does
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    val totalStr = f"$total%.2f"
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

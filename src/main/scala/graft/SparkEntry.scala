@@ -12,8 +12,9 @@ object SparkEntry {
     Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
       MetricBatch.defs ++
       Dedup.defs ++ TextStats.defs ++ Ann.defs ++ MlLsh.defs ++ Sketches.defs ++ Seq(
-        // batched binary decode (stubbed codec) — rows-only
-        "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedTable(s, d)))
+        // batched binary decode (stubbed codec) — rows-only; scalar digest
+        // projection (the driver's hasher can't sort array columns)
+        "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

@@ -66,7 +66,8 @@ object Ann extends QueryGroup {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("cos").cast(DecimalType(10, 4)).as("cos_sim"), col("rn"))
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
+        col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -127,22 +128,78 @@ object Ann extends QueryGroup {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("cos").cast(DecimalType(10, 4)).as("cos_sim"), col("rn"))
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
+        col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** HLL approximate distinct — capability-matrix operator (rows-only;
-    * accuracy asserted vs exact counts in unit tests). */
-  private def hllDistinct(s: SparkSession, d: String): DataFrame =
+  /** The full LSH pipeline is deterministic (seeded md5 planes,
+    * exact-decimal projections, cosine rounded through DECIMAL(10,4)), so
+    * unlike most ANN implementations it is oracle-expressible end-to-end:
+    * the same 4-plane bucketing + in-bucket exact re-rank in DuckDB. */
+  private val lshTopkSql =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
+      |          SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) AS proj
+      |  FROM x CROSS JOIN (SELECT unnest(range(4)) AS p)
+      |  GROUP BY vec_id, p),
+      |bkt AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (
+      |  SELECT e.vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                       CAST(embedding AS DOUBLE[])) AS nsq,
+      |    b.bucket
+      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND q.bucket = c.bucket
+      |    AND q.vec_id <> c.vec_id)
+      |SELECT q_id, neighbor_id,
+      |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |      FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** HLL approximate distinct (Spark-native approx_count_distinct, rsd 2%)
+    * alongside the exact count — the raw surface for `AnnRecallSpec`. */
+  private[llm] def hllDistinctRaw(s: SparkSession, d: String): DataFrame =
     Dedup.words(T.documents(s, d))
       .groupBy(col("lang"))
       .agg(approx_count_distinct(col("word"), 0.02).as("approx_words"),
         countDistinct(col("word")).as("exact_words"))
+
+  /** Registry surface: exact count graded by the oracle; `acd_ok` asserts
+    * the HLL++ estimate sits within 10% of exact. */
+  private def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllDistinctRaw(s, d)
+      .select(col("lang"), col("exact_words"),
+        (abs(col("approx_words").cast(DoubleType) - col("exact_words").cast(DoubleType)) /
+          col("exact_words").cast(DoubleType) <= 0.10).as("acd_ok"))
       .orderBy(col("lang"))
 
+  private val hllDistinctSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, word FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> '')
+      |SELECT lang, COUNT(DISTINCT word) AS exact_words, TRUE AS acd_ok
+      |FROM wrd GROUP BY lang ORDER BY lang""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
-    "ann_lsh_topk"     -> QueryDef(lshTopk),      // rows-only: recall-tested
-    "ann_ivf_topk"     -> QueryDef(ivfTopk),      // rows-only: recall-tested
-    "hll_distinct"     -> QueryDef(hllDistinct),  // rows-only: approximate
+    "ann_lsh_topk"     -> QueryDef(lshTopk, Some(lshTopkSql)),
+    "ann_ivf_topk"     -> QueryDef(ivfTopk), // rows-only: Lloyd loop not SQL-expressible
+    "hll_distinct"     -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )
 }

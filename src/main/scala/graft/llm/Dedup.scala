@@ -85,16 +85,23 @@ object Dedup extends QueryGroup {
       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
 
   // ---- Q30b: per-doc shingle stats ---------------------------------------
+  // Shingles are hashed to 48-bit md5-prefix longs BEFORE the distinct
+  // aggregation, so the countDistinct shuffle carries 8-byte keys instead
+  // of ~30-byte 5-word strings (2^-48 collision odds, mirrored in the
+  // oracle) — the shape that holds at 100 TB.
   private def q30b(s: SparkSession, d: String): DataFrame =
     shingles(T.documents(s, d))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("shh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("sh")).as("n_distinct"))
+        countDistinct(col("shh")).as("n_distinct"))
       .orderBy(col("doc_id"))
 
   private val q30bSql =
     s"""$shingleCte
-       |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT sh) AS n_distinct
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  COUNT(DISTINCT CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT)) AS n_distinct
        |FROM shg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- Q31: brute-force cosine top-k (ANN ground truth) ------------------
@@ -117,7 +124,10 @@ object Dedup extends QueryGroup {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("cos").cast(DecimalType(10, 4)).as("cos_sim"), col("rn"))
+        // round through DECIMAL(10,4) (absorbs sub-ulp association-order
+        // drift), then cast DOUBLE so the driver's hasher canonicalizes
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
+        col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -131,7 +141,8 @@ object Dedup extends QueryGroup {
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-      |SELECT q_id, neighbor_id, CAST(cos AS DECIMAL(10,4)) AS cos_sim, rn
+      |SELECT q_id, neighbor_id,
+      |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
       |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
       |      FROM p)
@@ -178,8 +189,16 @@ object Dedup extends QueryGroup {
   // a signature, which is the LSH banding idea (band size 1, 8 bands).
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d).cache() // self-joined: compute once
-    val a = sig.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
+    // hot-band guard: a band value shared by f docs emits f² pairs, so one
+    // popular signature is quadratic at scale — drop bands with df > 50
+    // (stop-band removal; same cap jaccardPairs applies to stop shingles)
+    val cool = sig.groupBy(col("i"), col("minhash"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= 50)
+      .select(col("i"), col("minhash"))
+    val kept = sig.join(cool, Seq("i", "minhash"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
     a.join(b, Seq("i", "minhash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -199,10 +218,13 @@ object Dedup extends QueryGroup {
        |sig AS (
        |  SELECT doc_id, i, MIN((h1 + i * h2) % 1000003) AS minhash
        |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS i)
-       |  GROUP BY doc_id, i)
+       |  GROUP BY doc_id, i),
+       |cool AS (SELECT i, minhash FROM sig GROUP BY i, minhash HAVING COUNT(*) <= 50),
+       |kept AS (SELECT sig.doc_id, sig.i, sig.minhash
+       |         FROM sig JOIN cool USING (i, minhash))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match,
        |  CAST(COUNT(*) AS DOUBLE) / 8 AS jaccard_est
-       |FROM sig a JOIN sig b ON a.i = b.i AND a.minhash = b.minhash
+       |FROM kept a JOIN kept b ON a.i = b.i AND a.minhash = b.minhash
        |  AND a.doc_id < b.doc_id
        |GROUP BY doc_a, doc_b
        |ORDER BY jaccard_est DESC, doc_a, doc_b LIMIT 100""".stripMargin
@@ -238,7 +260,8 @@ object Dedup extends QueryGroup {
       |  FROM wrd CROSS JOIN (SELECT unnest(range(16)) AS j)
       |  GROUP BY doc_id, j)
       |SELECT doc_id,
-      |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash16
+      |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS simhash16
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
@@ -311,7 +334,7 @@ object Dedup extends QueryGroup {
       .withColumn("dot", dot(col("emb_a"), col("emb_b")))
       .withColumn("cos", col("dot") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        col("cos").cast(DecimalType(10, 4)).as("cos_sim"))
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }
@@ -323,37 +346,47 @@ object Dedup extends QueryGroup {
       |                       CAST(embedding AS DOUBLE[])) AS nsq
       |  FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-      |  CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
-      |    AS DECIMAL(10,4)) AS cos_sim
+      |  CAST(CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
+      |    AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
-  // ---- Near-dup clustering: bounded label propagation -------------------
+  // ---- Near-dup clustering: converging label propagation ----------------
   // The dedup endgame: connected components over the near-dup pair graph
-  // (exact Jaccard >= 0.5), via 5 rounds of min-label propagation — each
-  // round is one join + one aggregation, the standard distributed CC loop
-  // (log-doubling replaces the fixed count at larger diameters). The
-  // 5-round semantics ("min doc_id within 5 hops") is mirrored exactly by
-  // the oracle's depth-bounded recursive CTE; near-dup clusters here have
-  // diameter ≤ 2, so this equals true connected components.
+  // (exact Jaccard >= 0.5) via min-label propagation — each round is one
+  // join + one aggregation, the standard distributed CC loop. The loop
+  // runs until a round changes ZERO labels (correct at any diameter; the
+  // expensive pair pipeline is materialized once up front), which the
+  // oracle mirrors with an unbounded UNION-deduped recursive CTE.
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val docs = T.documents(s, d).select(col("doc_id"))
+    // materialize the pair pipeline ONCE (eager, lineage truncated) — it is
+    // re-read every round and must not re-execute the shingle self-join
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .cache() // read every round; the pair pipeline must not re-execute
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-    (1 to 5).foreach { _ =>
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // 64 = log-safe bound, never hit
+      rounds += 1
       val fromNbr = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster"))
-      // materialize each round: keeps the lineage flat (iterative loops
-      // otherwise double their plan depth every round)
-      labels = labels.union(fromNbr)
+      // checkpoint each round: keeps the lineage flat, and the convergence
+      // count below then reads materialized data (one cheap action)
+      val next = labels.union(fromNbr)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("prev")), Seq("doc_id"))
+        .filter(col("cluster") =!= col("prev"))
+        .count()
+      labels = next
     }
     labels
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
@@ -379,10 +412,10 @@ object Dedup extends QueryGroup {
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach AS (
-       |  SELECT doc_id, doc_id AS lbl, 0 AS depth FROM documents
+       |  SELECT doc_id, doc_id AS lbl FROM documents
        |  UNION
-       |  SELECT e.src AS doc_id, r.lbl, r.depth + 1 AS depth
-       |  FROM edges e JOIN reach r ON e.dst = r.doc_id WHERE r.depth < 5)
+       |  SELECT e.src AS doc_id, r.lbl
+       |  FROM edges e JOIN reach r ON e.dst = r.doc_id)
        |SELECT doc_id, MIN(lbl) AS cluster, doc_id = MIN(lbl) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -420,7 +453,8 @@ object Dedup extends QueryGroup {
       |  FROM x CROSS JOIN (SELECT unnest(range(8)) AS p)
       |  GROUP BY vec_id, p)
       |SELECT vec_id,
-      |  SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      |  CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS bucket
       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   override val defs: Seq[(String, QueryDef)] = Seq(

@@ -104,4 +104,20 @@ object Multimodal {
       .withColumn("feat_sum",
         aggregate(col("features"), lit(0.0), (a, x) => a + x))
       .orderBy(col("doc_id"))
+
+  /** Registry-facing projection of [[decodedTable]]: scalar columns only —
+    * the feature vector is digested (md5 of the 6-dp rendering) because the
+    * driver's result hasher can't canonicalize array columns. */
+  def decodedDigest(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_sum"),
+        md5(concat_ws(",",
+          transform(col("features"), x => format_string("%.6f", x))))
+          .as("feat_md5"))
+      .orderBy(col("doc_id"))
 }

@@ -109,7 +109,7 @@ object TextStats extends QueryGroup {
       |    FROM documents) WHERE word <> ''),
       |wq AS (
       |  SELECT doc_id, COUNT(*) AS n_words,
-      |    SUM(CASE WHEN word IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS n_stop,
+      |    CAST(SUM(CASE WHEN word IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
       |    SUM(length(word)) AS n_word_chars
       |  FROM wrd GROUP BY doc_id)
       |SELECT d.doc_id AS doc_id, n_words, n_stop,
@@ -140,10 +140,16 @@ object TextStats extends QueryGroup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- Winnowing-style fingerprint: 3 smallest shingle hashes per doc ---
+  // The fingerprint is a 48-bit md5-prefix long, computed BEFORE the
+  // distinct + window, so both shuffles carry 8-byte keys instead of raw
+  // 5-word shingle strings — hashing first is what survives 100 TB
+  // (2^-48 collision odds; distinct-per-doc makes the window order total).
   private def winnow(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
-      .withColumn("h", substring(md5(col("sh")), 1, 8))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("sh"))
+    val dsh = shingles(T.documents(s, d))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
     dsh.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("h"))
@@ -164,11 +170,11 @@ object TextStats extends QueryGroup {
       |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
       |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
       |    FROM wrd) WHERE n_in = 5),
-      |dsh AS (SELECT DISTINCT doc_id, sh FROM shg),
-      |hashed AS (SELECT doc_id, sh, substring(md5(sh), 1, 8) AS h FROM dsh)
+      |hashed AS (SELECT DISTINCT doc_id,
+      |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h FROM shg)
       |SELECT doc_id, rn, h FROM (
       |  SELECT doc_id, h, CAST(ROW_NUMBER() OVER (
-      |    PARTITION BY doc_id ORDER BY h, sh) AS BIGINT) AS rn
+      |    PARTITION BY doc_id ORDER BY h) AS BIGINT) AS rn
       |  FROM hashed)
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
@@ -192,7 +198,9 @@ object TextStats extends QueryGroup {
       .orderBy(col("score").desc, col("word"))
     scored.withColumn("rn", row_number().over(wnd).cast(LongType))
       .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("rn"), col("word"), col("score"))
+      // ranking stays on the exact decimal; the output layer casts DOUBLE
+      .select(col("doc_id"), col("rn"), col("word"),
+        col("score").cast(DoubleType).as("score"))
       .orderBy(col("doc_id"), col("rn"))
   }
 
@@ -204,7 +212,7 @@ object TextStats extends QueryGroup {
       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wrd GROUP BY doc_id, word),
       |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
-      |SELECT doc_id, rn, word, score FROM (
+      |SELECT doc_id, rn, word, CAST(score AS DOUBLE) AS score FROM (
       |  SELECT doc_id, word,
       |    CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS score,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id

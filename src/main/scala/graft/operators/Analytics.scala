@@ -86,10 +86,11 @@ object Analytics extends QueryGroup {
     T.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
+        // rounded through DECIMAL(18,4), output DOUBLE for hasher parity
         expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)")
-          .cast(DecimalType(18, 4)).as("p50"),
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("p50"),
         expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)")
-          .cast(DecimalType(18, 4)).as("p90"),
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("p90"),
         max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
           .getField("k").as("top_orderkey"),
         min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
@@ -98,8 +99,8 @@ object Analytics extends QueryGroup {
 
   private val q35Sql =
     """SELECT o_orderpriority,
-      |  CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DECIMAL(18,4)) AS p50,
-      |  CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS DECIMAL(18,4)) AS p90,
+      |  CAST(CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+      |  CAST(CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
       |  (max({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey,
       |  (min({'p': o_totalprice, 'k': o_orderkey})).k AS bottom_orderkey
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

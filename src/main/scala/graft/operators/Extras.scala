@@ -95,9 +95,35 @@ object Extras extends QueryGroup {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- Q39: skewed fact⋈dim join via explicit salting -------------------
+  // The hot-key guard from SURVEY §4.2: events concentrate on few user_ids
+  // (the fixture's activity distribution is uneven), so a shuffle join on
+  // user_id puts a hot user's rows in one task. `Salting.saltedJoin` turns
+  // the key into (user_id, salt∈[0,8)): the fact side salts, the dim side
+  // replicates 8×, the hot key's rows spread over 8 tasks. The salt is
+  // internal — the aggregate result is identical to the plain join, which
+  // is exactly what the oracle replays (plan shape asserted in PlanSpec).
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select(col("user_id"), col("value"))
+    val cust = T.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    Salting.saltedJoin(ev, cust, Seq("user_id"), n = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(T.dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q39Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q36_generator_outer" -> QueryDef(q36, Some(q36Sql)),
     "q37_json_source_bcdiv" -> QueryDef(q37, Some(q37Sql)),
     "q38_asof_join" -> QueryDef(q38, Some(q38Sql)),
+    "q39_skew_salted_join" -> QueryDef(q39, Some(q39Sql)),
   )
 }

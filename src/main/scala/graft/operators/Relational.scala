@@ -62,12 +62,21 @@ object Relational extends QueryGroup {
   // ---- Q04: TPC-H Q1 shape — multi-agg in exact decimals ---------------
   private def q04(s: SparkSession, d: String): DataFrame = {
     val l = T.lineitem(s, d)
-    val one = lit(1).cast(DecimalType(6, 4))
-    val discPrice = dec(col("l_extendedprice")) * (one - decr(col("l_discount")))
-    val charge = discPrice * (one + decr(col("l_tax")))
+    // Product terms use scale-2 operands (the generated data is exactly
+    // 2-decimal, so the casts are lossless): disc_price sums at scale 4,
+    // charge at scale 6, keeping unscaled sums < 2^53 up to ~sf1. That
+    // bound matters: DuckDB's wide-decimal→DOUBLE conversion rounds twice
+    // (hugeint significand → double, then ÷10^scale) and is 1 ulp off
+    // Spark's correctly-rounded BigDecimal.doubleValue once the unscaled
+    // value exceeds 2^53 — observed live on scale-12 charge sums at sf0.01.
+    val money2 = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one2 = lit(1).cast(DecimalType(4, 2))
+    val discPrice = money2 * (one2 - col("l_discount").cast(DecimalType(4, 2)))
+    val charge = discPrice * (one2 + col("l_tax").cast(DecimalType(4, 2)))
     // Sums are exact decimals internally; the OUTPUT layer casts to double
-    // (decimal→double is round-to-nearest of the identical exact value in
-    // both engines) so the driver's hasher canonicalizes identically.
+    // (round-to-nearest of the identical exact value in both engines,
+    // guaranteed correct only while unscaled sums stay < 2^53) so the
+    // driver's hasher canonicalizes identically.
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
@@ -85,8 +94,8 @@ object Relational extends QueryGroup {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -34,7 +34,7 @@ class AnnRecallSpec extends SparkSuite {
   }
 
   test("HLL approx distinct within 10% of exact per language") {
-    SparkEntry.queries("hll_distinct")(spark, sfDir).collect().foreach { r =>
+    Ann.hllDistinctRaw(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_words").toDouble
       val exact = r.getAs[Long]("exact_words").toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,

@@ -8,7 +8,7 @@ import org.apache.spark.util.sketch.CountMinSketch
 class SketchesSpec extends SparkSuite {
 
   test("count-min sketch: point estimates bounded by eps * N") {
-    val rows = SparkEntry.queries("sketch_cms")(spark, sfDir).collect()
+    val rows = Sketches.cmsRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val exact = graft.core.Tables.events(spark, sfDir)
       .groupBy("event_type", "user_id").count().collect()
@@ -29,7 +29,7 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("datasketches HLL distinct within 5% of exact per language") {
-    SparkEntry.queries("sketch_hll")(spark, sfDir).collect().foreach { r =>
+    Sketches.hllRaw(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("hll_words").toDouble
       val exact = r.getAs[Long]("exact_words").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
@@ -39,8 +39,15 @@ class SketchesSpec extends SparkSuite {
 
   test("sketches are deterministic across runs (mergeable, seeded)") {
     def snap(): Seq[String] =
-      SparkEntry.queries("sketch_cms")(spark, sfDir).collect()
+      Sketches.cmsRaw(spark, sfDir).collect()
         .map(_.getAs[String]("cms_hex")).toSeq
     assert(snap() == snap())
+  }
+
+  test("registry accuracy flags are all true (what the oracle asserts)") {
+    assert(SparkEntry.queries("sketch_cms")(spark, sfDir).collect()
+      .forall(_.getAs[Boolean]("cms_ok")))
+    assert(SparkEntry.queries("sketch_hll")(spark, sfDir).collect()
+      .forall(_.getAs[Boolean]("hll_ok")))
   }
 }

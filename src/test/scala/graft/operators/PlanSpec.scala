@@ -83,6 +83,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q39: salted join replicates the dim side and joins on (key, salt)") {
+    val p = physical("q39_skew_salted_join")
+    // dim replication shows as a Generate(explode) feeding the join
+    assert(p.contains("Generate explode") || p.contains("explode(sequence"), p)
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
