@@ -105,9 +105,33 @@ object Analytics extends QueryGroup {
       |  (min({'p': o_totalprice, 'k': o_orderkey})).k AS bottom_orderkey
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Q40: exact-decimal precision canary ------------------------------
+  // Everything else canonicalizes decimal outputs to DOUBLE for the
+  // driver's hasher, which caps the oracle's resolution at 53 bits. This
+  // one query keeps full-precision DECIMAL outputs with scales matched
+  // exactly on both sides (both render e.g. '506627.00'), so an
+  // aggregation bug smaller than 1 ulp of a double still trips the gate.
+  // Scale-2 sums of 2-decimal data are exact, and no decimal→double
+  // conversion happens at all.
+  private def q40(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(22, 2)).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q40Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
     "q35_percentile_argmax" -> QueryDef(q35, Some(q35Sql)),
+    "q40_decimal_canary" -> QueryDef(q40, Some(q40Sql)),
   )
 }
