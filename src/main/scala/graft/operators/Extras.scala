@@ -120,10 +120,44 @@ object Extras extends QueryGroup {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ---- Q41: as-of join on the native custom operator --------------------
+  // Same family as q38, but through the engine's whole-operator path:
+  // AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec (plans/AsOfJoin.scala),
+  // the (c)-tier of SURVEY §7.3. Probes are all events; quotes are the
+  // 'error' events pre-aggregated per (user_id, ts) with max_by(event_id)
+  // so right-side ties are deterministic — the same uniqueness contract
+  // DuckDB's ASOF JOIN needs, which is exactly what the oracle runs.
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val probes = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val errs = T.events(s, d).where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("err_value"))
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("err_value"))
+    graft.plans.AsOfJoin
+      .asofJoin(probes, errs, Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("err_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q41Sql =
+    """WITH r AS (
+      |  SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts,
+      |         max_by(value, event_id) AS err_value
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |       e.event_type, r.err_value
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.r_user AND CAST(e.ts AS TIMESTAMP) >= r.r_ts
+      |ORDER BY e.event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q36_generator_outer" -> QueryDef(q36, Some(q36Sql)),
     "q37_json_source_bcdiv" -> QueryDef(q37, Some(q37Sql)),
     "q38_asof_join" -> QueryDef(q38, Some(q38Sql)),
     "q39_skew_salted_join" -> QueryDef(q39, Some(q39Sql)),
+    "q41_asof_native" -> QueryDef(q41, Some(q41Sql)),
   )
 }

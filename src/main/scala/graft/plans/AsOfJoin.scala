@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator (c)-tier of SURVEY.md §7.3: a
+  * custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` registered through
+  * `SparkSessionExtensions` for semantics the built-in operators can only
+  * express with a window over a unioned stream (SURVEY.md §2B Q38).
+  *
+  * Semantics (the standard trade/quote as-of): for every left row, append
+  * the single right row with the same key and the greatest right timestamp
+  * `<=` the left timestamp (inclusive), or nulls when none exists. Rows
+  * whose key or timestamp is null never match — SQL equality semantics.
+  * For a deterministic result the right side must be unique per
+  * `(key, ts)` (pre-aggregate ties away, e.g. with `max_by`), the same
+  * contract DuckDB's `ASOF JOIN` has.
+  *
+  * Scale shape: both sides hash-cluster on the join key and sort within
+  * partitions on `(key, ts)` — exactly a sort-merge join's distribution,
+  * so at 100 TB it is one co-partitioned shuffle per side, no broadcast,
+  * no per-row backward probe, and the merge itself is a single forward
+  * pass holding ONE remembered right row (no per-key buffering, so a hot
+  * key cannot OOM an executor the way a buffered window partition can).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    "as-of join needs matching, non-empty key lists")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; injected via
+  * `GraftExtensions` (and idempotently by [[AsOfJoin.asofJoin]] for
+  * sessions built without extensions). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children are hash-clustered on the keys and
+  * sorted by `(keys, ts)`, then each co-partition pair is merged in one
+  * forward pass that remembers only the latest qualifying right row. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lKeyE, rKeyE, lTsE, rTsE) = (leftKeys, rightKeys, leftTs, rightTs)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyE, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeyE, rightOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsE), leftOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsE), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyE.map(_.dataType))
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
+      // Bind against nullability-WIDENED right attrs: unmatched left rows
+      // pair with an all-null row, so a non-nullable binding would skip the
+      // null check in codegen and read garbage zeros.
+      val outProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+
+      // Current right cursor (copies: sort iterators reuse row buffers).
+      var rValid = false
+      var rRow: InternalRow = null
+      var rKey: UnsafeRow = null
+      var rTs: UnsafeRow = null
+      // Latest right row whose (key, ts) qualified for some left row.
+      var matchedRow: InternalRow = null
+      var matchedKey: UnsafeRow = null
+
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          rRow = rIter.next().copy()
+          rKey = rKeyProj(rRow).copy()
+          rTs = rTsProj(rRow).copy()
+          rValid = true
+        } else rValid = false
+      advanceRight()
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTs = lTsProj(lRow)
+        if (lKey.anyNull || lTs.isNullAt(0)) joined(lRow, nullRight)
+        else {
+          // Advance right past every row at-or-before (lKey, lTs); the last
+          // same-key, non-null-ts row seen is the as-of match. Both inputs
+          // are sorted, so the cursor only ever moves forward.
+          var advancing = rValid
+          while (advancing) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { advanceRight(); advancing = rValid }
+            else if (c == 0 && tsOrd.compare(rTs, lTs) <= 0) {
+              if (!rTs.isNullAt(0)) { matchedRow = rRow; matchedKey = rKey }
+              advanceRight(); advancing = rValid
+            } else advancing = false
+          }
+          if (matchedRow != null && keyOrd.compare(matchedKey, lKey) == 0)
+            joined(lRow, matchedRow)
+          else joined(lRow, nullRight)
+        }
+      }.map(outProj)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** As-of join `left` to `right` on equal keys with the latest
+    * `right.tsRight <= left.tsLeft`; output is all left columns followed by
+    * all right columns (nulls when unmatched). Column name collisions are
+    * the caller's to avoid (alias the right side). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    GraftBridge.withExtraStrategy(left.sparkSession, AsOfJoinStrategy)
+    val lp = GraftBridge.analyzed(left)
+    val rp = GraftBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+    GraftBridge.ofRows(left.sparkSession, AsOfJoinPlan(lp, rp,
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTsCol), attr(rp, rightTsCol)))
+  }
+}

@@ -1,11 +1,30 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Bridge into Spark's `private[sql]` Column constructor so the engine can
-  * expose custom Catalyst expressions as first-class `Column`s (the Spark 4
-  * replacement for the removed `new Column(expr)`). */
+/** Bridge into Spark's `private[sql]` surface so the engine can expose
+  * custom Catalyst expressions and logical plans as first-class
+  * `Column`s/`DataFrame`s (the Spark 4 replacement for the removed
+  * `new Column(expr)` / public `Dataset.ofRows`). */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap a logical plan as a DataFrame on the given session. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently append a planner strategy to the session (covers
+    * sessions built without `GraftExtensions`). */
+  def withExtraStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

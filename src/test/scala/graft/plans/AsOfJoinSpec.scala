@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSuite}
+import graft.core.{Tables => T}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Correctness + plan shape for the native as-of join
+  * (plans/AsOfJoin.scala): synthetic edge cases, a brute-force oracle on
+  * the real events fixture, and the sort-merge physical shape the 100 TB
+  * design depends on. */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def asof(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+
+  test("matches latest at-or-before right row per key, inclusive ties") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),
+      (2L, 5L, "d"), (3L, 9L, "e"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 10L, 1.0), (1L, 19L, 2.0), (1L, 30L, 3.0),
+      (2L, 6L, 4.0))
+      .toDF("rk", "rts", "v")
+    val got = asof(l, r).select("tag", "v").as[(String, Option[Double])]
+      .collect().toMap
+    // a: tie at ts=10 is inclusive; b: 19 <= 20; c: 30 > 25 keeps 19;
+    // d: right ts 6 > 5 → no match; e: key 3 absent → no match
+    assert(got === Map("a" -> Some(1.0), "b" -> Some(2.0),
+      "c" -> Some(2.0), "d" -> None, "e" -> None))
+  }
+
+  test("null keys and null timestamps never match") {
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "ts", "tag")
+    val r = Seq((Some(1L), Some(5L), 1.0), (None, Some(1L), 9.0),
+      (Some(1L), None, 8.0)).toDF("rk", "rts", "v")
+    val got = asof(l, r).select("tag", "v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got === Map("a" -> Some(1.0), "b" -> None, "c" -> None))
+  }
+
+  test("matches the brute-force oracle on the events fixture") {
+    val probes = T.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts"))
+    val errs = T.events(spark, sfDir).where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+      .select(col("user_id").as("rk"), col("ts").cast("long").as("rts"),
+        col("v"))
+    val got = AsOfJoin
+      .asofJoin(probes, errs, Seq("user_id"), Seq("rk"), "ts", "rts")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+
+    val quotes = errs.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = probes.as[(Long, Long, Long)].collect().map {
+      case (id, u, ts) =>
+        id -> quotes.getOrElse(u, Array.empty[(Long, Long, Double)])
+          .takeWhile(_._2 <= ts).lastOption.map(_._3)
+    }.toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
+  test("plan: custom exec with co-partitioned sort-merge shape") {
+    val p = SparkEntry.queries("q41_asof_native")(spark, sfDir)
+    p.collect() // force AQE to finalize the real plan
+    val s = p.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin "), s) // plan strings strip the Exec suffix
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    // one hash-cluster shuffle per side, sorted on (key, ts)
+    assert(s.linesIterator.count(_.contains("hashpartitioning(")) >= 2, s)
+    assert(s.contains("Sort ["), s)
+  }
+
+  test("q41 registry query returns one row per event") {
+    val df = SparkEntry.queries("q41_asof_native")(spark, sfDir)
+    assert(df.count() === T.events(spark, sfDir).count())
+  }
+}
