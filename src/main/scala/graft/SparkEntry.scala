@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
 import graft.operators.{Analytics, Extras, Functions, MetricBatch, Relational}
-import graft.llm.{Ann, Dedup, MlLsh, Multimodal, Sketches, TextStats}
+import graft.llm.{Ann, Dedup, MlLsh, Multimodal, Pipeline, Sketches, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
   def registry: Seq[(String, QueryDef)] =
     Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
       MetricBatch.defs ++
-      Dedup.defs ++ TextStats.defs ++ Ann.defs ++ MlLsh.defs ++ Sketches.defs ++ Seq(
+      Dedup.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
+      Sketches.defs ++ Seq(
         // batched binary decode (stubbed codec) — rows-only; scalar digest
         // projection (the driver's hasher can't sort array columns)
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d)))

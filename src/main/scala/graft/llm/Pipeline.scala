@@ -1,0 +1,200 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** Training-data curation operators a 100 TB pipeline needs around the
+  * dedup/quality core: deterministic corpus splitting, stratified
+  * sampling, repetition (boilerplate) signals, and PII masking.
+  *
+  * Scale notes: every operator here is a narrow-shuffle design —
+  * hash-split and PII masking are shuffle-free maps; stratified sampling
+  * is one shuffle on the stratum key with a WindowGroupLimit top-k;
+  * repetition signals pre-hash words/bigrams to 48-bit longs before any
+  * grouping (same rule as Dedup.scala — never shuffle raw shingle
+  * strings), with per-doc partial aggregation map-side.
+  */
+object Pipeline extends QueryGroup {
+
+  /** 48-bit md5-prefix long of a string column — the repo's portable
+    * seeded hash (oracle side: `CAST('0x'||substring(md5(x),1,12) AS
+    * BIGINT)`). */
+  private def h48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  // ---- sample_hash_split: deterministic 90/5/5 corpus split -------------
+  // Split membership must be a pure function of the stable document id —
+  // never of row order or partitioning — so re-runs, backfills, and
+  // incremental appends land every doc in the same split on any cluster
+  // layout. A salted md5 bucket gives that with no shuffle at all.
+  private def hashSplit(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        (h48(concat(lit("split:"), col("doc_id").cast(StringType))) % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid").otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  private val hashSplitSql =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)),1,12)
+      |          AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- sample_stratified: deterministic k-per-stratum sample ------------
+  // Training-mix curation: k docs per language, chosen by seeded hash
+  // order so the sample is stable across runs. One shuffle on the stratum
+  // key; the rank≤k filter plans as WindowGroupLimit (two-phase top-k),
+  // so no stratum's full population ever sorts globally.
+  private def stratified(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        h48(concat(lit("strat:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      .where(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+
+  private val stratifiedSql =
+    """SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST('0x'||substring(md5('strat:'||CAST(doc_id AS VARCHAR)),1,12)
+      |        AS BIGINT), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  // ---- text_repetition: Gopher-style repetition/boilerplate signals -----
+  // Per doc: word count, distinct-word count, most-frequent-word count,
+  // and the bigram equivalents — the inputs to duplicate-line/top-ngram
+  // quality filters. Words and bigrams are hashed to 48-bit longs BEFORE
+  // grouping (8-byte shuffle keys; identical hashing on the oracle side
+  // keeps even collisions bit-equal).
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), h48(col("w")).as("wh"))
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    val wordAgg = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast(LongType).as("n_words"),
+      count(lit(1)).as("n_uniq_words"),
+      max(col("c")).as("top_word_n"))
+    val bc = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // sequence(1, 0) would DESCEND, not empty out — guard 1-word docs
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), h48(col("b")).as("bh"))
+      .groupBy(col("doc_id"), col("bh")).agg(count(lit(1)).as("c"))
+    val biAgg = bc.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_uniq_bigrams"),
+      max(col("c")).as("top_bigram_n"))
+    wordAgg.join(biAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        col("top_word_n"),
+        coalesce(col("n_uniq_bigrams"), lit(0L)).as("n_uniq_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH w AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(u),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+      |        FROM documents)),
+      |wc AS (SELECT doc_id, wh, count(*) AS c FROM w GROUP BY 1, 2),
+      |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |         COUNT(*) AS n_uniq_words, MAX(c) AS top_word_n
+      |       FROM wc GROUP BY 1),
+      |b AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(bg),1,12) AS BIGINT) AS bh
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ws)),
+      |            i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents))),
+      |bc AS (SELECT doc_id, bh, count(*) AS c FROM b GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, COUNT(*) AS n_uniq_bigrams, MAX(c) AS top_bigram_n
+      |       FROM bc GROUP BY 1)
+      |SELECT wa.doc_id, n_words, n_uniq_words, top_word_n,
+      |  COALESCE(n_uniq_bigrams, 0) AS n_uniq_bigrams,
+      |  COALESCE(top_bigram_n, 0) AS top_bigram_n
+      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+      |ORDER BY wa.doc_id""".stripMargin
+
+  // ---- text_pii_mask: email/phone scrubbing -------------------------------
+  // Shuffle-free map over the corpus; patterns are RE2-and-Java-compatible
+  // (no backrefs) so engine and oracle agree. The fixture JSONL is written
+  // deterministically (same pattern as Extras.MetricsJsonl for q37) since
+  // the generated tables carry no PII-shaped text.
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\+?\d[\d -]{7,}\d"""
+
+  private[llm] object ContactsJsonl {
+    val path = "/root/repo/fixtures/contacts.jsonl"
+    def ensure(): String = synchronized {
+      val p = Paths.get(path)
+      Files.createDirectories(p.getParent)
+      val lines = (0 until 400).map { i =>
+        val note = (i % 4: @unchecked) match {
+          case 0 => s"reach me at user$i@example.org or +1-555-${1000 + i}"
+          case 1 => s"no contact info in row $i"
+          case 2 => s"mail: a$i@corp.net, b$i@corp.net tel 020 7946 ${100 + i}"
+          case 3 => s"call ${200 + i} ${300 + i} not-a-phone, ping c.$i@x.io"
+        }
+        s"""{"id": $i, "note": "$note"}"""
+      }
+      Files.writeString(p, lines.mkString("\n") + "\n")
+      path
+    }
+  }
+
+  private def piiMask(s: SparkSession, d: String): DataFrame = {
+    val path = ContactsJsonl.ensure()
+    s.read.schema("id LONG, note STRING").json(path)
+      .select(col("id"),
+        regexp_replace(
+          regexp_replace(col("note"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("masked"),
+        size(regexp_extract_all(col("note"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("note"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phone"))
+      .orderBy(col("id"))
+  }
+
+  private val piiMaskSql =
+    s"""SELECT id,
+       |  regexp_replace(regexp_replace(note, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS masked,
+       |  CAST(len(regexp_extract_all(note, '$emailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(note, '$phoneRe')) AS BIGINT) AS n_phone
+       |FROM read_json('${ContactsJsonl.path}', format='newline_delimited',
+       |  columns={'id': 'BIGINT', 'note': 'VARCHAR'})
+       |ORDER BY id""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
+    "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
+    "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
+    "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
+  )
+}

@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data curation bundle (llm/Pipeline.scala);
+  * exact values are the driver's DuckDB oracle gate. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("hash split: pure function of doc_id, roughly 90/5/5") {
+    val df = run("sample_hash_split").cache()
+    try {
+      val n = df.count()
+      val frac = df.groupBy("split").count()
+        .as[(String, Long)].collect().toMap.view.mapValues(_.toDouble / n)
+      assert(frac("train") > 0.8 && frac("train") < 0.97, frac)
+      assert(frac.getOrElse("valid", 0.0) < 0.15, frac)
+      // stable across recomputation (no order/partitioning dependence)
+      val again = run("sample_hash_split").collect()
+      assert(df.collect().toSeq === again.toSeq)
+    } finally df.unpersist()
+  }
+
+  test("stratified sample: at most k rows per language, ranks contiguous") {
+    val got = run("sample_stratified").groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, mx) =>
+      assert(n <= 20 && mx === n, s"$lang n=$n mx=$mx")
+    }
+  }
+
+  test("stratified sample plans as two-phase WindowGroupLimit top-k") {
+    val df = run("sample_stratified")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("repetition signals: counting invariants hold") {
+    val bad = run("text_repetition").where(
+      col("n_uniq_words") > col("n_words") ||
+        col("top_word_n") > col("n_words") ||
+        col("n_uniq_bigrams") > greatest(col("n_words") - 1, lit(0)) ||
+        (col("n_words") >= 2 && col("top_bigram_n") < 1)).count()
+    assert(bad === 0)
+  }
+
+  test("pii mask: masked text carries no residual emails or phones") {
+    val df = run("text_pii_mask").cache()
+    try {
+      assert(df.where(col("masked").rlike(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() === 0)
+      assert(df.where(col("masked").rlike("\\+?\\d[\\d -]{7,}\\d")).count() === 0)
+      // rows with hits counted them; untouched rows kept their text
+      assert(df.where(col("n_email") > 0 || col("n_phone") > 0)
+        .where(!col("masked").contains("<EMAIL>") &&
+          !col("masked").contains("<PHONE>")).count() === 0)
+    } finally df.unpersist()
+  }
+}
