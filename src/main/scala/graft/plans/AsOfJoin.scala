@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Native as-of join — the whole-operator (c)-tier of SURVEY.md §7.3: a
   * custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` registered through
@@ -41,13 +42,23 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; injected via
-  * `GraftExtensions` (and idempotently by [[AsOfJoin.asofJoin]] for
-  * sessions built without extensions). */
+/** Plans [[AsOfJoinPlan]], choosing the physical shape from statistics the
+  * way Spark's own join strategy does: a right side under the session's
+  * `autoBroadcastJoinThreshold` broadcasts ([[BroadcastAsOfJoinExec]] — the
+  * 100 TB probe side is never shuffled at all); otherwise both sides
+  * hash-cluster and merge ([[AsOfJoinExec]]). Under AQE the planner re-runs
+  * on runtime stats, so the choice self-corrects after the right side's
+  * aggregation actually executes. Injected via `GraftExtensions` (and
+  * idempotently by [[AsOfJoin.asofJoin]] for sessions built without
+  * extensions). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -138,6 +149,85 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join: the right side ships to every executor whole
+  * (IdentityBroadcastMode), gets indexed per task as key → ts-sorted rows,
+  * and each left partition probes it with a binary search — the LEFT SIDE
+  * IS NEVER SHUFFLED OR SORTED, which is the whole point when the probe
+  * side is the 100 TB one. Build cost is per task over the broadcast
+  * array, same trade Spark's own BroadcastHashJoin makes. */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lKeyE, rKeyE, lTsE, rTsE) = (leftKeys, rightKeys, leftTs, rightTs)
+    val broadcastRight = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeyE, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeyE, rightOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsE), leftOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsE), rightOut)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
+      val outProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+
+      // key → rows sorted by ts (null-key/null-ts rows can never match)
+      val index = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+      broadcastRight.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTsProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          index.getOrElseUpdate(k.copy(),
+            scala.collection.mutable.ArrayBuffer.empty) += ((t.copy(), r))
+        }
+      }
+      val sorted: scala.collection.Map[UnsafeRow, Array[(UnsafeRow, InternalRow)]] =
+        index.view.mapValues(
+          _.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0).toArray).toMap
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTs = lTsProj(lRow)
+        val m =
+          if (lKey.anyNull || lTs.isNullAt(0)) null
+          else sorted.get(lKey).map { rows =>
+            // greatest index with rows(i).ts <= lTs
+            var lo = 0
+            var hi = rows.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) rows(ans)._2 else null
+          }.orNull
+        outProj(joined(lRow, if (m == null) nullRight else m))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -2,21 +2,30 @@ package graft.plans
 
 import graft.{SparkEntry, SparkSuite}
 import graft.core.{Tables => T}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Correctness + plan shape for the native as-of join
-  * (plans/AsOfJoin.scala): synthetic edge cases, a brute-force oracle on
-  * the real events fixture, and the sort-merge physical shape the 100 TB
-  * design depends on. */
+  * (plans/AsOfJoin.scala): synthetic edge cases and a brute-force oracle
+  * on the real events fixture, both run through BOTH physical paths
+  * (shuffled sort-merge and stats-picked broadcast), plus the plan shapes
+  * the 100 TB design depends on. */
 class AsOfJoinSpec extends SparkSuite {
   import spark.implicits._
 
-  private def asof(l: org.apache.spark.sql.DataFrame,
-      r: org.apache.spark.sql.DataFrame) =
+  private def asof(l: DataFrame, r: DataFrame) =
     AsOfJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "ts", "rts")
 
-  test("matches latest at-or-before right row per key, inclusive ties") {
+  /** Run `body` with the broadcast threshold pinned (-1 forces the
+    * sort-merge exec; default picks broadcast for tiny right sides). */
+  private def withThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
+  private def checkSemantics(): Unit = {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),
       (2L, 5L, "d"), (3L, 9L, "e"))
       .toDF("k", "ts", "tag")
@@ -29,19 +38,25 @@ class AsOfJoinSpec extends SparkSuite {
     // d: right ts 6 > 5 → no match; e: key 3 absent → no match
     assert(got === Map("a" -> Some(1.0), "b" -> Some(2.0),
       "c" -> Some(2.0), "d" -> None, "e" -> None))
-  }
 
-  test("null keys and null timestamps never match") {
-    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+    val ln = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
       (Some(1L), None, "c")).toDF("k", "ts", "tag")
-    val r = Seq((Some(1L), Some(5L), 1.0), (None, Some(1L), 9.0),
+    val rn = Seq((Some(1L), Some(5L), 1.0), (None, Some(1L), 9.0),
       (Some(1L), None, 8.0)).toDF("rk", "rts", "v")
-    val got = asof(l, r).select("tag", "v").as[(String, Option[Double])]
+    val gotN = asof(ln, rn).select("tag", "v").as[(String, Option[Double])]
       .collect().toMap
-    assert(got === Map("a" -> Some(1.0), "b" -> None, "c" -> None))
+    assert(gotN === Map("a" -> Some(1.0), "b" -> None, "c" -> None))
   }
 
-  test("matches the brute-force oracle on the events fixture") {
+  test("sort-merge path: ties, latest-at-or-before, null semantics") {
+    withThreshold("-1")(checkSemantics())
+  }
+
+  test("broadcast path: identical semantics") {
+    checkSemantics() // tiny right side → stats pick BroadcastAsOfJoinExec
+  }
+
+  private def fixtureAsOf(): Map[Long, Option[Double]] = {
     val probes = T.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts"))
     val errs = T.events(spark, sfDir).where(col("event_type") === "error")
@@ -49,30 +64,54 @@ class AsOfJoinSpec extends SparkSuite {
       .agg(max_by(col("value"), col("event_id")).as("v"))
       .select(col("user_id").as("rk"), col("ts").cast("long").as("rts"),
         col("v"))
-    val got = AsOfJoin
-      .asofJoin(probes, errs, Seq("user_id"), Seq("rk"), "ts", "rts")
+    AsOfJoin.asofJoin(probes, errs, Seq("user_id"), Seq("rk"), "ts", "rts")
       .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
-
-    val quotes = errs.as[(Long, Long, Double)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
-    val expected = probes.as[(Long, Long, Long)].collect().map {
-      case (id, u, ts) =>
-        id -> quotes.getOrElse(u, Array.empty[(Long, Long, Double)])
-          .takeWhile(_._2 <= ts).lastOption.map(_._3)
-    }.toMap
-    assert(got.size === expected.size)
-    assert(got === expected)
   }
 
-  test("plan: custom exec with co-partitioned sort-merge shape") {
-    val p = SparkEntry.queries("q41_asof_native")(spark, sfDir)
-    p.collect() // force AQE to finalize the real plan
-    val s = p.queryExecution.executedPlan.toString
-    assert(s.contains("AsOfJoin "), s) // plan strings strip the Exec suffix
-    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
-    // one hash-cluster shuffle per side, sorted on (key, ts)
-    assert(s.linesIterator.count(_.contains("hashpartitioning(")) >= 2, s)
-    assert(s.contains("Sort ["), s)
+  test("both paths match the brute-force oracle on the events fixture") {
+    val gotMerge = withThreshold("-1")(fixtureAsOf())
+    val gotBcast = fixtureAsOf()
+
+    val errs = T.events(spark, sfDir).where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+      .select(col("user_id"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = T.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"))
+      .as[(Long, Long, Long)].collect().map { case (id, u, ts) =>
+        id -> errs.getOrElse(u, Array.empty[(Long, Long, Double)])
+          .takeWhile(_._2 <= ts).lastOption.map(_._3)
+      }.toMap
+    assert(gotMerge.size === expected.size)
+    assert(gotMerge === expected)
+    assert(gotBcast === expected)
+  }
+
+  test("forced merge plan: co-partitioned sort-merge shape") {
+    withThreshold("-1") {
+      val p = SparkEntry.queries("q41_asof_native")(spark, sfDir)
+      p.collect() // force AQE to finalize the real plan
+      val s = p.queryExecution.executedPlan.toString
+      assert(s.contains("AsOfJoin "), s) // plan strings strip the Exec suffix
+      assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+      // one hash-cluster shuffle per side, sorted on (key, ts)
+      assert(s.linesIterator.count(_.contains("hashpartitioning(")) >= 2, s)
+      assert(s.contains("Sort ["), s)
+    }
+  }
+
+  test("broadcast plan: probe side has no exchange and no sort") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "ts", "tag")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rts", "v")
+    val df = asof(l, r)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastAsOfJoin"), s)
+    assert(s.contains("BroadcastExchange"), s)
+    assert(!s.contains("hashpartitioning("), s)
+    assert(!s.contains("Sort ["), s)
   }
 
   test("q41 registry query returns one row per event") {
