@@ -20,7 +20,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JVM/codegen startup isn't charged to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.registry.map { case (name, q) =>
+    // dev convenience: name args select a subset; the driver passes none
+    val selected =
+      if (args.isEmpty) SparkEntry.registry
+      else SparkEntry.registry.filter(args.toSet contains _._1)
+    val results = selected.map { case (name, q) =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

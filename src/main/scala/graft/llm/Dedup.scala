@@ -422,23 +422,41 @@ object Dedup extends QueryGroup {
   // ---- Signed-random-projection LSH buckets (8 planes, seeded) ----------
   // Plane direction per (plane, dim) is md5-derived ±1; the projection sum
   // runs in exact decimals so the sign — hence the bucket — is portable.
-  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val x = T.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .withColumn("pos", col("pos0") + 1)
-      .withColumn("vd", col("v").cast(DoubleType).cast(DecimalType(20, 10)))
-    val planes = s.range(8).select(col("id").as("p"))
-    x.crossJoin(broadcast(planes))
-      .withColumn("dir",
-        when(expr("substring(md5(concat(p, ':', pos)), 1, 1)").rlike("[89a-f]"), 1)
-          .otherwise(-1))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("vd") * col("dir")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("p")).cast(LongType))
-        .otherwise(0L)).as("bucket"))
-      .orderBy(col("vec_id"))
+  //
+  // The ±1 matrix is a CONSTANT (8 × dim), so it is computed once on the
+  // driver with the same md5 formula the oracle SQL evaluates, and the 8
+  // projections fold per row with decimal HOFs. The earlier shape —
+  // posexplode × 8 planes, md5 per exploded row, two shuffled aggregations
+  // (~1M rows and 1M md5 calls at sf0.1 for 2000 vectors) — recomputed
+  // that constant per row and shuffled the blow-up; this is a shuffle-free
+  // narrow map until the final presentation sort, and at 100 TB it scans
+  // embeddings exactly once with no intermediate explosion.
+  private lazy val lshDirs: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(8) { p =>
+      Seq.tabulate(256) { pos0 => // supports dims ≤ 256; sliced to size(vec)
+        val h = md.digest(s"$p:${pos0 + 1}".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1 else -1 // first hex char ∈ [89a-f]
+      }
+    }
   }
+
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .where(size(col("embedding")) > 0) // posexplode dropped these; so does unnest
+      .select(col("vec_id"), col("embedding"), typedLit(lshDirs).as("dirs"))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + IF(
+          |    aggregate(
+          |      zip_with(embedding,
+          |        slice(element_at(dirs, p + 1), 1, size(embedding)),
+          |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
+          |      CAST(0 AS DECIMAL(38,10)),
+          |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))"""
+          .stripMargin).as("bucket"))
+      .orderBy(col("vec_id"))
 
   private val lshBucketsSql =
     """WITH x AS (
