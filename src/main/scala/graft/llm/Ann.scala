@@ -32,23 +32,14 @@ object Ann extends QueryGroup {
 
   /** Bucket per vector from 4 seeded hyperplanes (16 buckets → ~30
     * candidates per probe at sf0.01). Same md5-derived ±1 construction as
-    * Dedup.lshBuckets, fewer planes for recall. */
-  private def buckets4(s: SparkSession, d: String): DataFrame = {
-    val x = T.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .withColumn("pos", col("pos0") + 1)
-      .withColumn("vd", col("v").cast(DoubleType).cast(DecimalType(20, 10)))
-    val planes = s.range(4).select(col("id").as("p"))
-    x.crossJoin(broadcast(planes))
-      .withColumn("dir",
-        when(expr("substring(md5(concat(p, ':', pos)), 1, 1)").rlike("[89a-f]"), 1)
-          .otherwise(-1))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("vd") * col("dir")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("p")).cast(LongType))
-        .otherwise(0L)).as("bucket"))
-  }
+    * Dedup.lshBuckets (shared precomputed matrix + per-row decimal fold —
+    * shuffle-free), fewer planes for recall. */
+  private def buckets4(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .where(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"),
+        typedLit(Dedup.lshDirs).as("dirs"))
+      .select(col("vec_id"), expr(Dedup.lshBucketSql(4)).as("bucket"))
 
   /** ANN top-5 via LSH bucketing: probes 0..4, candidates = same bucket,
     * exact cosine re-rank inside the bucket. */

@@ -431,7 +431,7 @@ object Dedup extends QueryGroup {
   // that constant per row and shuffled the blow-up; this is a shuffle-free
   // narrow map until the final presentation sort, and at 100 TB it scans
   // embeddings exactly once with no intermediate explosion.
-  private lazy val lshDirs: Seq[Seq[Int]] = {
+  private[llm] lazy val lshDirs: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(8) { p =>
       Seq.tabulate(256) { pos0 => // supports dims ≤ 256; sliced to size(vec)
@@ -441,21 +441,25 @@ object Dedup extends QueryGroup {
     }
   }
 
+  /** Bucket from the first `nPlanes` rows of [[lshDirs]]: per-row fold of
+    * sign(Σ dec(v_i)·dir_pi) into bit p — expects an `embedding` array and
+    * a `dirs` literal column ([[lshDirs]]) in scope. */
+  private[llm] def lshBucketSql(nPlanes: Int): String =
+    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+       |  acc + IF(
+       |    aggregate(
+       |      zip_with(embedding,
+       |        slice(element_at(dirs, p + 1), 1, size(embedding)),
+       |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
+       |      CAST(0 AS DECIMAL(38,10)),
+       |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .where(size(col("embedding")) > 0) // posexplode dropped these; so does unnest
       .select(col("vec_id"), col("embedding"), typedLit(lshDirs).as("dirs"))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
-          |  acc + IF(
-          |    aggregate(
-          |      zip_with(embedding,
-          |        slice(element_at(dirs, p + 1), 1, size(embedding)),
-          |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
-          |      CAST(0 AS DECIMAL(38,10)),
-          |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))"""
-          .stripMargin).as("bucket"))
+      .select(col("vec_id"), expr(lshBucketSql(8)).as("bucket"))
       .orderBy(col("vec_id"))
 
   private val lshBucketsSql =
