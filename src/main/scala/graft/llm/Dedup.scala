@@ -54,7 +54,7 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"), col("pos"), col("sh"))
 
   /** Shared SQL CTE prefix producing the same words/shingles relations. */
-  private val shingleCte =
+  private[llm] val shingleCte =
     """WITH wrd AS (
       |  SELECT doc_id, lang, word, pos FROM (
       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word,

@@ -140,6 +140,39 @@ object Pipeline extends QueryGroup {
       |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
       |ORDER BY wa.doc_id""".stripMargin
 
+  // ---- text_boilerplate: C4-style duplicated-span signals ----------------
+  // Per doc: how much of it is made of 5-gram spans that also appear in
+  // OTHER documents (df ≥ 2 over distinct per-doc shingles) — the signal
+  // behind C4's "discard spans seen elsewhere" rule. Reuses the dedup
+  // family's codegen'd shingling; shingles are 48-bit hashed before the
+  // df aggregation and the 1:N df join runs on 8-byte keys (a truly hot
+  // boilerplate shingle is AQE-skew-split, same guard as the join family).
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val dsh = Dedup.shingles(T.documents(s, d))
+      .select(col("doc_id"), h48(col("sh")).as("shh")).distinct()
+    val dfc = dsh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    dsh.join(dfc, Seq("shh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType)
+          .as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateSql =
+    s"""${Dedup.shingleCte},
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x'||substring(md5(sh),1,12) AS BIGINT) AS shh FROM dsh),
+       |dfc AS (SELECT shh, COUNT(*) AS df FROM dshh GROUP BY shh)
+       |SELECT d.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+       |FROM dshh d JOIN dfc USING (shh)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ---- text_pii_mask: email/phone scrubbing -------------------------------
   // Shuffle-free map over the corpus; patterns are RE2-and-Java-compatible
   // (no backrefs) so engine and oracle agree. The fixture JSONL is written
@@ -195,6 +228,7 @@ object Pipeline extends QueryGroup {
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
+    "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
   )
 }

@@ -50,6 +50,17 @@ class PipelineSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("boilerplate: shared-span counts bounded and fraction in [0,1]") {
+    val df = run("text_boilerplate").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.where(col("n_shared") > col("n_shingles") ||
+        col("shared_frac") < 0 || col("shared_frac") > 1).count() === 0)
+      // the fixture contains near-duplicate docs, so some spans ARE shared
+      assert(df.agg(sum("n_shared")).head.getLong(0) > 0)
+    } finally df.unpersist()
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
