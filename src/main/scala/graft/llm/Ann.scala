@@ -95,7 +95,11 @@ object Ann extends QueryGroup {
       val updated = assigned.join(n, Seq("vec_id"))
         .select(col("ck"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("ck"), col("pos"))
-        .agg(avg(col("v")).as("c"))
+        // exact-decimal mean (Tables.avgExact shape): the decimal sum is
+        // order-independent, so the centroids — hence the whole fixed
+        // 2-iteration Lloyd loop — are deterministic and oracle-replayable
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast(DoubleType) /
+          count(lit(1))).as("c"))
         .groupBy(col("ck"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
         .select(col("ck"), transform(col("ps"), p => p.getField("c")).as("cvec"))
@@ -163,6 +167,78 @@ object Ann extends QueryGroup {
       |      FROM p)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** The fixed 2-iteration Lloyd loop IS SQL-expressible once centroid
+    * means are exact-decimal (order-independent): init = vecs 0..7, two
+    * assign+update rounds (argmax cosine, ties to the lower centroid id —
+    * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
+    * the previous centroid, then probe the final inverted lists. */
+  private val ivfTopkSql =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS ck, emb AS cvec
+      |       FROM n WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, ck FROM (
+      |    SELECT n.vec_id, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_inner_product(n.emb, c.cvec) /
+      |          (sqrt(n.nsq) * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
+      |        c.ck) AS rn
+      |    FROM n CROSS JOIN c0 c) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT a.ck, x.pos,
+      |    CAST(SUM(CAST(x.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM a1 a JOIN x ON a.vec_id = x.vec_id GROUP BY a.ck, x.pos),
+      |c1 AS (
+      |  SELECT c0.ck, COALESCE(u.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT ck, list(c ORDER BY pos) AS cvec
+      |                     FROM u1 GROUP BY ck) u USING (ck)),
+      |a2 AS (
+      |  SELECT vec_id, ck FROM (
+      |    SELECT n.vec_id, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_inner_product(n.emb, c.cvec) /
+      |          (sqrt(n.nsq) * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
+      |        c.ck) AS rn
+      |    FROM n CROSS JOIN c1 c) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT a.ck, x.pos,
+      |    CAST(SUM(CAST(x.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY a.ck, x.pos),
+      |c2 AS (
+      |  SELECT c1.ck, COALESCE(u.cvec, c1.cvec) AS cvec
+      |  FROM c1 LEFT JOIN (SELECT ck, list(c ORDER BY pos) AS cvec
+      |                     FROM u2 GROUP BY ck) u USING (ck)),
+      |a3 AS (
+      |  SELECT vec_id, ck FROM (
+      |    SELECT n.vec_id, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_inner_product(n.emb, c.cvec) /
+      |          (sqrt(n.nsq) * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
+      |        c.ck) AS rn
+      |    FROM n CROSS JOIN c2 c) WHERE rn = 1),
+      |lst AS (SELECT n.vec_id, n.emb, n.nsq, a3.ck FROM n JOIN a3 USING (vec_id)),
+      |pr AS (SELECT vec_id AS q_id, emb AS q_emb, nsq AS q_nsq, ck
+      |       FROM lst WHERE vec_id < 5),
+      |p AS (
+      |  SELECT pr.q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(pr.q_emb, c.emb) /
+      |      (sqrt(pr.q_nsq) * sqrt(c.nsq)) AS cos
+      |  FROM lst c JOIN pr ON c.ck = pr.ck AND pr.q_id <> c.vec_id)
+      |SELECT q_id, neighbor_id,
+      |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |      FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** HLL approximate distinct (Spark-native approx_count_distinct, rsd 2%)
     * alongside the exact count — the raw surface for `AnnRecallSpec`. */
   private[llm] def hllDistinctRaw(s: SparkSession, d: String): DataFrame =
@@ -190,7 +266,7 @@ object Ann extends QueryGroup {
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "ann_lsh_topk"     -> QueryDef(lshTopk, Some(lshTopkSql)),
-    "ann_ivf_topk"     -> QueryDef(ivfTopk), // rows-only: Lloyd loop not SQL-expressible
+    "ann_ivf_topk"     -> QueryDef(ivfTopk, Some(ivfTopkSql)),
     "hll_distinct"     -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )
 }
