@@ -64,9 +64,18 @@ object GraftFunctions {
   /** Registers SQL-facing engine functions on an existing session
     * (idempotent). Mirrors what [[GraftExtensions]] does at session build
     * time, for sessions the driver constructs without extensions. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bc_div", exprs => BcDiv(exprs(0), exprs(1), exprs(2)), "builtin")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
+      "bc_div", exprs => BcDiv(exprs(0), exprs(1), exprs(2)), "built-in")
+    r.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    r.createOrReplaceTempFunction("might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook: registers engine functions at session build:
@@ -82,6 +91,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Spark ships these bloom expressions for its internal runtime join
+    // filters but does not SQL-register them; exposing them makes the
+    // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.
+    e.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

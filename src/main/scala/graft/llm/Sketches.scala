@@ -86,8 +86,86 @@ object Sketches extends QueryGroup {
       |SELECT lang, COUNT(DISTINCT word) AS exact_words, TRUE AS hll_ok
       |FROM wrd GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Greenwald-Khanna quantile sketch (approx_percentile, accuracy 100 →
+    * rank error ≤ n/100) over per-language doc lengths. Graded columns are
+    * the exact interpolated p50/p90 (percentile ↔ quantile_cont match
+    * bitwise on doubles); `q_ok` checks the sketch's RANK guarantee
+    * in-query with the tie-robust sandwich: #(< est)/n ≤ q+ε and
+    * #(≤ est)/n ≥ q−ε. */
+  private def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("lang"), col("n_chars"))
+    val agg = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+      percentile(col("n_chars"), lit(0.9)).as("exact_p90"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("ap50"))
+    val ranks = docs.join(agg.select(col("lang"), col("ap50")), Seq("lang"))
+      .groupBy(col("lang")).agg(
+        sum(when(col("n_chars") < col("ap50"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("n_chars") <= col("ap50"), 1L).otherwise(0L)).as("n_le"))
+    val eps = lit(0.02) + lit(1.0) / col("n").cast(DoubleType)
+    agg.join(ranks, Seq("lang"))
+      .select(col("lang"), col("n"), col("exact_p50"), col("exact_p90"),
+        (col("n_lt").cast(DoubleType) / col("n") <= lit(0.5) + eps &&
+          col("n_le").cast(DoubleType) / col("n") >= lit(0.5) - eps).as("q_ok"))
+      .orderBy(col("lang"))
+  }
+
+  private val quantileSketchSql =
+    """SELECT lang, COUNT(*) AS n,
+      |  quantile_cont(n_chars, 0.5) AS exact_p50,
+      |  quantile_cont(n_chars, 0.9) AS exact_p90,
+      |  TRUE AS q_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Bloom-filter membership — the runtime-filter shape: build a bloom
+    * over the dim-side keys (BUILDING customers), probe the fact side
+    * (events) WITHOUT joining it, so at 100 TB the filter prunes the probe
+    * scan before any shuffle. Graded columns are the exact membership
+    * counts; the flags check the bloom's two guarantees in-query (zero
+    * false negatives; false-positive rate under the sizing bound). */
+  private def bloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // sessions built w/o extensions
+    T.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("user_id"))
+      .createOrReplaceTempView("g_sketch_bloom_members")
+    T.events(s, d).select(col("user_id"))
+      .createOrReplaceTempView("g_sketch_bloom_events")
+    // might_contain requires the bloom as a scalar subquery — built once,
+    // broadcast as a literal, probed per fact row with no join of the
+    // fact side against the dim side.
+    s.sql(
+      """SELECT COUNT(*) AS n_events,
+        |  CAST(SUM(is_m) AS BIGINT) AS n_member_events,
+        |  SUM(CASE WHEN is_m = 1 AND NOT bh THEN 1 ELSE 0 END) = 0
+        |    AS bloom_no_false_neg,
+        |  CAST(SUM(CASE WHEN is_m = 0 AND bh THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(GREATEST(SUM(CASE WHEN is_m = 0 THEN 1 ELSE 0 END), 1)
+        |      AS DOUBLE) <= 0.05 AS bloom_fpr_ok
+        |FROM (
+        |  SELECT e.user_id,
+        |    CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_m,
+        |    might_contain(
+        |      (SELECT bloom_filter_agg(user_id, 10000L, 80000L)
+        |       FROM g_sketch_bloom_members), e.user_id) AS bh
+        |  FROM g_sketch_bloom_events e
+        |  LEFT JOIN g_sketch_bloom_members m ON e.user_id = m.user_id)"""
+        .stripMargin)
+  }
+
+  private val bloomSql =
+    """SELECT COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_member_events,
+      |  TRUE AS bloom_no_false_neg, TRUE AS bloom_fpr_ok
+      |FROM events e LEFT JOIN
+      |  (SELECT c_custkey AS user_id FROM customer
+      |   WHERE c_mktsegment = 'BUILDING') c USING (user_id)""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sketch_cms" -> QueryDef(cms, Some(cmsSql)),
     "sketch_hll" -> QueryDef(hll, Some(hllSql)),
+    "sketch_quantile" -> QueryDef(quantileSketch, Some(quantileSketchSql)),
+    "sketch_bloom" -> QueryDef(bloom, Some(bloomSql)),
   )
 }
