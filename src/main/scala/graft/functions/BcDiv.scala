@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[BloomFilterMightContain].getName, "might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    // whole-operator tier: the native as-of join's planner strategy and
+    // its predicate-pushdown optimizer rule (plans/AsOfJoin.scala)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
   }
 }

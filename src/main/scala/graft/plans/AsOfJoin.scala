@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeMap, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -40,6 +41,46 @@ case class AsOfJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Predicate pushdown through [[AsOfJoinPlan]] — Catalyst cannot push
+  * filters through nodes it does not know, so without this rule a filter
+  * over an as-of join runs AFTER the join, scanning and shuffling rows the
+  * query provably discards. Each left row produces exactly one output row,
+  * so any conjunct referencing only left columns filters identically
+  * before the join; conjuncts on the JOIN KEYS additionally transfer to
+  * the right side (a right row only matters if its key survives on the
+  * left). At 100 TB this is the difference between shuffling the whole
+  * probe table and shuffling one user's slice. Injected via
+  * `GraftExtensions.injectOptimizerRule`. */
+object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val newLeft = Filter(pushable.reduce(And), aj.left)
+        // key-only conjuncts also prune the right side, rewritten onto
+        // the matching right key attributes
+        val keyAttrs = aj.leftKeys.zip(aj.rightKeys).collect {
+          case (l: Attribute, r: Attribute) => l -> r
+        }
+        val keyMap = AttributeMap(keyAttrs)
+        val rightPreds = pushable
+          .filter(_.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(
+              keyAttrs.map(_._1))))
+          .map(_.transform { case a: Attribute if keyMap.contains(a) =>
+            keyMap(a) })
+        val newRight =
+          if (rightPreds.isEmpty) aj.right
+          else Filter(rightPreds.reduce(And), aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoinPlan]], choosing the physical shape from statistics the

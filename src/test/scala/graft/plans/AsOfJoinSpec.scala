@@ -114,6 +114,34 @@ class AsOfJoinSpec extends SparkSuite {
     assert(!s.contains("Sort ["), s)
   }
 
+  test("optimizer rule pushes key filters through the as-of join") {
+    withThreshold("-1") {
+      val probes = T.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errs = T.events(spark, sfDir).where(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+        .select(col("user_id").as("rk"), col("ts").as("rts"), col("v"))
+      val joined = AsOfJoin.asofJoin(probes, errs,
+        Seq("user_id"), Seq("rk"), "ts", "rts")
+
+      val filtered = joined.where(col("user_id") === 7)
+      filtered.collect()
+      val s = filtered.queryExecution.executedPlan.toString
+      // the key predicate must reach BOTH parquet scans, not sit above the
+      // join (AQE plan strings repeat the plan, hence >= 2)
+      assert(s.linesIterator.count(l => l.contains("PushedFilters") &&
+        l.contains("EqualTo(user_id,7)")) >= 2, s)
+
+      // and filter-then-join ≡ join-then-filter
+      val direct = AsOfJoin.asofJoin(
+        probes.where(col("user_id") === 7),
+        errs.where(col("rk") === 7), Seq("user_id"), Seq("rk"), "ts", "rts")
+      assert(filtered.orderBy("event_id").collect().toSeq ===
+        direct.orderBy("event_id").collect().toSeq)
+    }
+  }
+
   test("q41 registry query returns one row per event") {
     val df = SparkEntry.queries("q41_asof_native")(spark, sfDir)
     assert(df.count() === T.events(spark, sfDir).count())
