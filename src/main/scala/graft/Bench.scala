@@ -39,10 +39,14 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact summary LAST (<500 bytes): the full line above can exceed the
     // driver's tail-capture, leaving `parsed` null — this one never does
+    // Locale.ROOT: the f interpolator uses the JVM default locale, which
+    // would print "132,7" (invalid JSON) under e.g. de_DE
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
-    val totalStr = f"$total%.2f"
+    val totalStr = num(total, 2)
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }

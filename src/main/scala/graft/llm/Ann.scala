@@ -18,9 +18,11 @@ import graft.functions.DotProduct.dot
   *  - IVF: coarse quantizer = per-label centroid (the fixture's label is
   *    the coarse cluster); probes scan only the nearest `nprobe=1` list.
   *
-  * Both are deterministic (seeded planes, exact-decimal projections) but
-  * registered rows-only: their value is measured as recall vs q31 in
-  * `AnnRecallSpec`, not by a DuckDB replay.
+  * Both are deterministic end-to-end (seeded planes, exact-decimal
+  * projections and centroid means) and ORACLE-GRADED: the LSH pipeline and
+  * the fixed 2-iteration Lloyd loop are both replayed in DuckDB SQL.
+  * `AnnRecallSpec` additionally grades recall vs the q31 ground truth —
+  * keep any change deterministic or BOTH gates break.
   */
 object Ann extends QueryGroup {
 
@@ -35,8 +37,7 @@ object Ann extends QueryGroup {
     * Dedup.lshBuckets (shared precomputed matrix + per-row decimal fold —
     * shuffle-free), fewer planes for recall. */
   private def buckets4(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d)
-      .where(size(col("embedding")) > 0)
+    Dedup.lshInput(s, d)
       .select(col("vec_id"), col("embedding"),
         typedLit(Dedup.lshDirs).as("dirs"))
       .select(col("vec_id"), expr(Dedup.lshBucketSql(4)).as("bucket"))

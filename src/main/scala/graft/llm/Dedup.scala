@@ -372,7 +372,10 @@ object Dedup extends QueryGroup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) { // 64 = log-safe bound, never hit
+    // min-label propagation needs up to DIAMETER rounds (it is not
+    // pointer-doubling); 64 is a runaway valve that must FAIL, not
+    // silently return unconverged labels the oracle would reject
+    while (changed > 0 && rounds < 64) {
       rounds += 1
       val fromNbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
@@ -388,6 +391,9 @@ object Dedup extends QueryGroup {
         .count()
       labels = next
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"dedup_clusters did not converge in $rounds rounds — component " +
+        "diameter exceeds the cap; raise it or switch to pointer-doubling")
     labels
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy(col("doc_id"))
@@ -455,9 +461,18 @@ object Dedup extends QueryGroup {
        |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
        |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
 
-  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+  /** Embeddings with the shared guards: empty vectors dropped (posexplode
+    * did that; so does the oracle's unnest) and dims beyond the
+    * precomputed plane matrix REJECTED loudly — silently slicing them off
+    * would zero every projection and collapse all buckets. */
+  private[llm] def lshInput(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
-      .where(size(col("embedding")) > 0) // posexplode dropped these; so does unnest
+      .where(size(col("embedding")) > 0)
+      .where(assert_true(size(col("embedding")) <= 256,
+        lit("embedding dim exceeds the 256-dim LSH plane matrix")).isNull)
+
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    lshInput(s, d)
       .select(col("vec_id"), col("embedding"), typedLit(lshDirs).as("dirs"))
       .select(col("vec_id"), expr(lshBucketSql(8)).as("bucket"))
       .orderBy(col("vec_id"))

@@ -126,16 +126,21 @@ object Sketches extends QueryGroup {
     * false negatives; false-positive rate under the sizing bound). */
   private def bloom(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // sessions built w/o extensions
-    T.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val members = T.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("user_id"))
-      .createOrReplaceTempView("g_sketch_bloom_members")
+    members.createOrReplaceTempView("g_sketch_bloom_members")
     T.events(s, d).select(col("user_id"))
       .createOrReplaceTempView("g_sketch_bloom_events")
+    // bloom_filter_agg needs FOLDABLE sizing, so size it from the actual
+    // dim-side count (one tiny dim-side action, like the IVF centroid
+    // collect) — fixed constants would blow the FPR bound the flag checks
+    // as soon as the scale factor grows. 16 bits/item ≈ 4e-4 FPR at any n.
+    val nMembers = math.max(members.count(), 1L)
     // might_contain requires the bloom as a scalar subquery — built once,
     // broadcast as a literal, probed per fact row with no join of the
     // fact side against the dim side.
     s.sql(
-      """SELECT COUNT(*) AS n_events,
+      s"""SELECT COUNT(*) AS n_events,
         |  CAST(SUM(is_m) AS BIGINT) AS n_member_events,
         |  SUM(CASE WHEN is_m = 1 AND NOT bh THEN 1 ELSE 0 END) = 0
         |    AS bloom_no_false_neg,
@@ -146,7 +151,7 @@ object Sketches extends QueryGroup {
         |  SELECT e.user_id,
         |    CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_m,
         |    might_contain(
-        |      (SELECT bloom_filter_agg(user_id, 10000L, 80000L)
+        |      (SELECT bloom_filter_agg(user_id, ${nMembers}L, ${nMembers * 16}L)
         |       FROM g_sketch_bloom_members), e.user_id) AS bh
         |  FROM g_sketch_bloom_events e
         |  LEFT JOIN g_sketch_bloom_members m ON e.user_id = m.user_id)"""

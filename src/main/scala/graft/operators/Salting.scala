@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Salt the (large, skewed) fact side: adds `__salt`. */
+  /** Salt the (large, skewed) fact side: adds `__salt`.
+    *
+    * The salt is a DETERMINISTIC hash of the whole row, not rand(): a
+    * random salt is re-evaluated on task retry, so a re-run map task can
+    * emit a row under a different (key, salt) than the one a reducer
+    * already consumed — duplicating or dropping rows exactly in the
+    * distributed setting salting targets. Row-content hashing spreads a
+    * hot key just as well (its rows differ in their other columns) and is
+    * stable under recomputation. */
   def saltFact(fact: DataFrame, n: Int): DataFrame =
-    fact.withColumn("__salt", (rand(seed = 42) * n).cast("int"))
+    fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(n)))
 
   /** Replicate the (small) dim side across all salt values: adds `__salt`. */
   def replicateDim(dim: DataFrame, n: Int): DataFrame =

@@ -221,29 +221,38 @@ case class BroadcastAsOfJoinExec(
     val broadcastRight = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyE, leftOut)
-      val rKeyProj = UnsafeProjection.create(rKeyE, rightOut)
       val lTsProj = UnsafeProjection.create(Seq(lTsE), leftOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTsE), rightOut)
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
       val outProj = UnsafeProjection.create(outAttrs,
         leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
 
-      // key → rows sorted by ts (null-key/null-ts rows can never match)
-      val index = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
-      broadcastRight.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTsProj(r)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          index.getOrElseUpdate(k.copy(),
-            scala.collection.mutable.ArrayBuffer.empty) += ((t.copy(), r))
+      // key → rows sorted by ts, built ONCE per executor per broadcast
+      // (BroadcastHashJoin shares its HashedRelation the same way —
+      // rebuilding per left partition would multiply build cost by the
+      // task count); null-key/null-ts rows can never match
+      val sorted = BroadcastAsOfJoinExec.cachedIndex(broadcastRight.id, () => {
+        val rKeyProj = UnsafeProjection.create(rKeyE, rightOut)
+        val rTsProj = UnsafeProjection.create(Seq(rTsE), rightOut)
+        val index = scala.collection.mutable.HashMap
+          .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+        broadcastRight.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTsProj(r)
+          if (!k.anyNull && !t.isNullAt(0)) {
+            var buf = index.getOrElse(k, null)
+            if (buf == null) { // copy the projected key only on first sight
+              buf = scala.collection.mutable.ArrayBuffer
+                .empty[(UnsafeRow, InternalRow)]
+              index.put(k.copy(), buf)
+            }
+            buf += ((t.copy(), r))
+          }
         }
-      }
-      val sorted: scala.collection.Map[UnsafeRow, Array[(UnsafeRow, InternalRow)]] =
         index.view.mapValues(
           _.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0).toArray).toMap
+      })
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -270,6 +279,27 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    scala.collection.Map[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
+  // Executor-wide derived-index cache keyed by broadcast id. Soft refs let
+  // the JVM reclaim an index under memory pressure (it is rebuilt from the
+  // still-broadcast rows on the next probe).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def cachedIndex(id: Long, build: () => Index): Index = {
+    val ref = cache.get(id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val built = build() // racing tasks may build twice; last write wins
+      cache.put(id, new java.lang.ref.SoftReference(built))
+      built
+    }
+  }
 }
 
 object AsOfJoin {
