@@ -128,10 +128,90 @@ object Analytics extends QueryGroup {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- Q42: event sessionization (session_window, 30 min gap) ----------
+  // The classic event-stream reshaping: events closer than the gap merge
+  // into one session; `session_window` plans as one shuffle on user_id
+  // with runtime window-merge — no self-join, no driver loop, the shape
+  // that scales to 100 TB of clickstream. Oracle replays it with the
+  // lag-flag + running-sum sessionization idiom (new session iff the gap
+  // to the previous event is >= 30 min, matching the half-open
+  // [start, last+gap) window Spark builds).
+  private def q42(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q42Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flag AS (SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+      |  END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT user_id, ts,
+      |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- Q43: grouping sets + grouping_id (SQL passthrough) ---------------
+  // The general form rollup/cube specialize (q12/q13); grouping_id bit
+  // semantics match DuckDB's GROUPING(a, b).
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).createOrReplaceTempView("g_q43_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id() AS BIGINT) AS gid, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        |FROM g_q43_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val q43Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  // ---- Q44: navigation windows (lag/lead/ntile/percent_rank) ------------
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("event_id"),
+        lag(col("value"), 1).over(w).as("lag_v"),
+        lead(col("value"), 1).over(w).as("lead_v"),
+        ntile(4).over(w).cast(LongType).as("nt"),
+        percent_rank().over(w).as("pr"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q44Sql =
+    """SELECT event_id, lag(value) OVER w AS lag_v, lead(value) OVER w AS lead_v,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS nt, percent_rank() OVER w AS pr
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
     "q35_percentile_argmax" -> QueryDef(q35, Some(q35Sql)),
     "q40_decimal_canary" -> QueryDef(q40, Some(q40Sql)),
+    "q42_sessionize"  -> QueryDef(q42, Some(q42Sql)),
+    "q43_grouping_sets" -> QueryDef(q43, Some(q43Sql)),
+    "q44_nav_windows" -> QueryDef(q44, Some(q44Sql)),
   )
 }
