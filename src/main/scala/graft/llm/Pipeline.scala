@@ -78,6 +78,42 @@ object Pipeline extends QueryGroup {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // ---- sample_mix: deterministic domain-mix downsampling ----------------
+  // Training-mix reweighting: each language keeps a target fraction of its
+  // docs (e.g. downweight the over-represented language), decided per doc
+  // by comparing its 48-bit seeded hash against the weight threshold —
+  // shuffle-free, stable under re-runs and appends, and composable with
+  // [[hashSplit]] because the hash is salted differently.
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+
+  private def sampleMix(s: SparkSession, d: String): DataFrame = {
+    val w = mixWeights.map { case (l, f) =>
+      s"WHEN '$l' THEN CAST($f AS DOUBLE)" }.mkString(" ")
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        h48(concat(lit("mix:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("keep_frac", expr(s"CASE lang $w ELSE CAST(1.0 AS DOUBLE) END"))
+      // h is uniform on [0, 2^48); keep iff h < frac·2^48 — exact integer
+      // compare, no floating division
+      .where(col("h").cast(DoubleType) < col("keep_frac") * lit(281474976710656.0))
+      .select(col("doc_id"), col("lang"), col("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleMixSql = {
+    val w = mixWeights.map { case (l, f) =>
+      s"WHEN '$l' THEN CAST($f AS DOUBLE)" }.mkString(" ")
+    s"""SELECT doc_id, lang, keep_frac FROM (
+       |  SELECT doc_id, lang,
+       |    CASE lang $w ELSE CAST(1.0 AS DOUBLE) END AS keep_frac,
+       |    CAST(CAST('0x'||substring(md5('mix:'||CAST(doc_id AS VARCHAR)),1,12)
+       |      AS BIGINT) AS DOUBLE) AS h
+       |  FROM documents)
+       |WHERE h < keep_frac * 281474976710656.0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- text_repetition: Gopher-style repetition/boilerplate signals -----
   // Per doc: word count, distinct-word count, most-frequent-word count,
   // and the bigram equivalents — the inputs to duplicate-line/top-ngram
@@ -227,6 +263,7 @@ object Pipeline extends QueryGroup {
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
+    "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),

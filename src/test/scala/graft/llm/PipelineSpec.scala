@@ -24,6 +24,17 @@ class PipelineSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("mix sampling: downweighted language lands near its target fraction") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = run("sample_mix").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val enFrac = kept("en").toDouble / all("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en kept frac $enFrac")
+    // weight-1.0 languages are never dropped
+    (all.keySet - "en").foreach(l => assert(kept(l) === all(l), l))
+  }
+
   test("stratified sample: at most k rows per language, ranks contiguous") {
     val got = run("sample_stratified").groupBy("lang")
       .agg(count(lit(1)).as("n"), max("rn").as("mx"))
