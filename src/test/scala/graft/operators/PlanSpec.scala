@@ -70,6 +70,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q42: sessionization is one shuffle on the session key, no join") {
+    val df = SparkEntry.queries("q42_sessionize")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one hash-cluster exchange (the presentation sort adds a
+    // range partition; AQE strings may repeat the plan, so bound per line)
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, p) // final + initial AQE rendering
+  }
+
   test("q14/q31: rank-limit pushes down as two-phase WindowGroupLimit") {
     // the declarative row_number + filter form lets Catalyst insert
     // Partial/Final WindowGroupLimit — per-partition top-k before the
