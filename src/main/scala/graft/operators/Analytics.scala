@@ -205,6 +205,74 @@ object Analytics extends QueryGroup {
       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---- Q45: time-series gap fill + forward fill --------------------------
+  // The metrics-domain reshaping: each user's daily series densified over
+  // its own active range (sequence + explode — per-row generation, no
+  // driver loop), zero-filled counts, and the day's closing value carried
+  // forward with last(ignoreNulls) over an ordered window. The closing
+  // value uses lexicographic struct max on (ts, event_id, value) — the
+  // deterministic arg-max idiom (q35) — since max_by ties are unspecified
+  // in both engines.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val daily = T.events(s, d)
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("last_v"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("last_v"))
+      .withColumn("ffill_v", last(col("last_v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("n_events"), col("ffill_v"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q45Sql =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    COUNT(*) AS n,
+      |    struct_extract(max({'t': CAST(ts AS TIMESTAMP), 'id': event_id,
+      |                        'v': value}), 'v') AS last_v
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |          FROM daily GROUP BY 1),
+      |cal AS (SELECT user_id,
+      |          unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |        FROM spans),
+      |joined AS (
+      |  SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n_events, d.last_v
+      |  FROM cal c LEFT JOIN daily d
+      |    ON c.user_id = d.user_id AND c.day = d.day)
+      |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+      |  last_value(last_v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS ffill_v
+      |FROM joined ORDER BY user_id, day""".stripMargin
+
+  // ---- Q46: fixed-width histogram binning --------------------------------
+  private def q46(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).where(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / 25.0).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  private val q46Sql =
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
@@ -213,5 +281,7 @@ object Analytics extends QueryGroup {
     "q42_sessionize"  -> QueryDef(q42, Some(q42Sql)),
     "q43_grouping_sets" -> QueryDef(q43, Some(q43Sql)),
     "q44_nav_windows" -> QueryDef(q44, Some(q44Sql)),
+    "q45_gap_fill"    -> QueryDef(q45, Some(q45Sql)),
+    "q46_histogram"   -> QueryDef(q46, Some(q46Sql)),
   )
 }
