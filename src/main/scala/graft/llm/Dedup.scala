@@ -276,15 +276,16 @@ object Dedup extends QueryGroup {
 
   // ---- SimHash near-dup pairs (48-bit, banded hamming) -------------------
   // Completes the simhash story: candidates meet only inside a shared
-  // 12-bit band of a 48-bit signature (4 bands; Pigeonhole: hamming ≤ 5
-  // pairs share at least one intact band at distance ≤ 3·12... any pair
-  // within 5 flips differs in at most 5 bands' bits, so with 4 bands at
-  // least one band is untouched whenever flips ≤ 3; wider distances are
-  // found probabilistically, the standard banding trade). A hot-band
-  // frequency cap (≤ 50 docs per band value, mirrored in the oracle)
-  // keeps the self-join linear — one popular band value is otherwise
-  // quadratic at 100 TB, the same guard as the minhash band join. 48-bit
-  // signatures come from one md5 prefix per word (ANSI-safe longs).
+  // 12-bit band of a 48-bit signature (4 bands). Recall contract: by
+  // pigeonhole, any pair within hamming 3 MUST share an intact band
+  // (complete recall up to 3 flips); pairs at distance 4-5 can touch all
+  // four bands and are found only when some band happens to survive —
+  // the standard banding trade, which the oracle mirrors exactly so
+  // parity is unaffected. A hot-band frequency cap (≤ 50 docs per band
+  // value, mirrored in the oracle) keeps the self-join linear — one
+  // popular band value is otherwise quadratic at 100 TB, the same guard
+  // as the minhash band join. 48-bit signatures come from one md5 prefix
+  // per word (ANSI-safe longs).
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val wh = words(T.documents(s, d)).select(col("doc_id"),
       conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("h48"))
@@ -300,9 +301,13 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"),
         (0 until 48).map(j => when(col(s"s$j") * 2 > col("n"),
           lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sig"))
+    // cached: read three times (hot-band filter + both self-join sides) —
+    // same pattern as jaccardPairs' kept set; without it the whole
+    // words→md5→48-sum pipeline re-executes per read
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr("shiftright(sig, cast(b*12 as int)) & 4095"))
+      .cache()
     val ok = bands.groupBy(col("b"), col("bv"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= 50).drop("n")
     val kept = bands.join(ok, Seq("b", "bv"))

@@ -94,8 +94,11 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), col("lang"),
         h48(concat(lit("mix:"), col("doc_id").cast(StringType))).as("h"))
       .withColumn("keep_frac", expr(s"CASE lang $w ELSE CAST(1.0 AS DOUBLE) END"))
-      // h is uniform on [0, 2^48); keep iff h < frac·2^48 — exact integer
-      // compare, no floating division
+      // h is uniform on [0, 2^48); keep iff h < frac·2^48. Parity rests on
+      // (a) h < 2^48 ≤ 2^53 so the cast to double is exact, and (b) both
+      // engines computing the identical IEEE product frac·2^48 — the
+      // threshold itself may round, which is fine as long as it rounds the
+      // same way on both sides (it does: one multiply of two doubles)
       .where(col("h").cast(DoubleType) < col("keep_frac") * lit(281474976710656.0))
       .select(col("doc_id"), col("lang"), col("keep_frac"))
       .orderBy(col("doc_id"))

@@ -129,13 +129,15 @@ object Analytics extends QueryGroup {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---- Q42: event sessionization (session_window, 30 min gap) ----------
-  // The classic event-stream reshaping: events closer than the gap merge
-  // into one session; `session_window` plans as one shuffle on user_id
-  // with runtime window-merge — no self-join, no driver loop, the shape
-  // that scales to 100 TB of clickstream. Oracle replays it with the
-  // lag-flag + running-sum sessionization idiom (new session iff the gap
-  // to the previous event is >= 30 min, matching the half-open
-  // [start, last+gap) window Spark builds).
+  // The classic event-stream reshaping: events within the gap merge into
+  // one session; `session_window` plans as one shuffle on user_id with
+  // runtime window-merge — no self-join, no driver loop, the shape that
+  // scales to 100 TB of clickstream. Oracle replays it with the lag-flag
+  // + running-sum sessionization idiom. Boundary semantics (verified
+  // empirically on Spark 4.1): an event EXACTLY gap after the previous
+  // one still merges, so the oracle's new-session flag must use strict
+  // `>` — `>=` would split sessions the engine merges whenever the data
+  // contains an exact-gap pair.
   private def q42(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -148,7 +150,7 @@ object Analytics extends QueryGroup {
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |flag AS (SELECT user_id, ts,
       |  CASE WHEN lag(ts) OVER w IS NULL
-      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+      |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0
       |  END AS ns
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |sess AS (SELECT user_id, ts,

@@ -45,12 +45,15 @@ class MalformedInputSpec extends SparkSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
   }
 
-  test("FAILFAST fails the read instead of guessing") {
+  test("FAILFAST fails the read because of the malformed record") {
     val e = intercept[SparkException] {
       spark.read.schema("id LONG, v LONG")
         .option("mode", "FAILFAST").json(path).collect()
     }
-    assert(e.getMessage.contains("Malformed") ||
-      e.getCause != null, e.getMessage)
+    // the failure must be the malformed-record error, not just any error
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.toLowerCase.contains("malformed"), messages)
   }
 }

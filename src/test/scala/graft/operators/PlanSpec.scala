@@ -76,11 +76,12 @@ class PlanSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("SessionWindow") || p.contains("session_window"), p)
     assert(!p.contains("Join"), p)
-    // exactly one hash-cluster exchange (the presentation sort adds a
-    // range partition; AQE strings may repeat the plan, so bound per line)
-    val hashEx = p.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 2, p) // final + initial AQE rendering
+    // EXACTLY one hash-cluster exchange in the final plan (count before
+    // AQE's "Initial Plan" section, which repeats the tree)
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, p)
   }
 
   test("q14/q31: rank-limit pushes down as two-phase WindowGroupLimit") {
