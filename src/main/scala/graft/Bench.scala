@@ -36,7 +36,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query detail first; named "per_query" so the driver's
+    // first-"total"-match lands on the compact summary line below, never on
+    // this (truncation-prone) one
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact summary LAST (<500 bytes): the full line above can exceed the
     // driver's tail-capture, leaving `parsed` null — this one never does
     // Locale.ROOT: the f interpolator uses the JVM default locale, which

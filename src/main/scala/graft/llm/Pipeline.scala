@@ -221,7 +221,7 @@ object Pipeline extends QueryGroup {
   private val phoneRe = """\+?\d[\d -]{7,}\d"""
 
   private[llm] object ContactsJsonl {
-    val path = "/root/repo/fixtures/contacts.jsonl"
+    val path: String = graft.core.Fixtures.path("contacts.jsonl")
     def ensure(): String = synchronized {
       val p = Paths.get(path)
       Files.createDirectories(p.getParent)

@@ -136,6 +136,14 @@ object Sketches extends QueryGroup {
     // collect) — fixed constants would blow the FPR bound the flag checks
     // as soon as the scale factor grows. 16 bits/item ≈ 4e-4 FPR at any n.
     val nMembers = math.max(members.count(), 1L)
+    // Spark rejects numBits above the session's bloom-filter ceiling
+    // (spark.sql.optimizer.runtime.bloomFilter.maxNumBits, default 64M) —
+    // clamp so the query still runs past ~4.2M members; past the clamp the
+    // bound degrades gracefully and the in-query fpr_ok flag absorbs it.
+    val maxNumBits = s.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val numBits = math.min(nMembers * 16, maxNumBits)
     // might_contain requires the bloom as a scalar subquery — built once,
     // broadcast as a literal, probed per fact row with no join of the
     // fact side against the dim side.
@@ -151,7 +159,7 @@ object Sketches extends QueryGroup {
         |  SELECT e.user_id,
         |    CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_m,
         |    might_contain(
-        |      (SELECT bloom_filter_agg(user_id, ${nMembers}L, ${nMembers * 16}L)
+        |      (SELECT bloom_filter_agg(user_id, ${nMembers}L, ${numBits}L)
         |       FROM g_sketch_bloom_members), e.user_id) AS bh
         |  FROM g_sketch_bloom_events e
         |  LEFT JOIN g_sketch_bloom_members m ON e.user_id = m.user_id)"""

@@ -108,23 +108,25 @@ object Analytics extends QueryGroup {
   // ---- Q40: exact-decimal precision canary ------------------------------
   // Everything else canonicalizes decimal outputs to DOUBLE for the
   // driver's hasher, which caps the oracle's resolution at 53 bits. This
-  // one query keeps full-precision DECIMAL outputs with scales matched
-  // exactly on both sides (both render e.g. '506627.00'), so an
-  // aggregation bug smaller than 1 ulp of a double still trips the gate.
-  // Scale-2 sums of 2-decimal data are exact, and no decimal→double
-  // conversion happens at all.
+  // one query keeps full precision by rendering the exact DECIMAL(22,2)
+  // sum as a canonical STRING on both sides (both print e.g.
+  // '506627.00'), so an aggregation bug smaller than 1 ulp of a double
+  // still trips the gate. Scale-2 sums of 2-decimal data are exact, and
+  // no decimal→double conversion happens at all; the string render is
+  // what the driver's hasher (which cannot canonicalize raw DECIMAL
+  // columns) compares.
   private def q40(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(22, 2)).as("sum_price"),
+          .cast(DecimalType(22, 2)).cast(StringType).as("sum_price"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
   private val q40Sql =
     """SELECT o_orderstatus,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_price,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

@@ -38,7 +38,7 @@ object Extras extends QueryGroup {
 
   // ---- Q37: declared-schema JSON source + bc_div under the oracle -------
   private[operators] object MetricsJsonl {
-    val path = "/root/repo/fixtures/metrics.jsonl"
+    val path: String = graft.core.Fixtures.path("metrics.jsonl")
     def ensure(): String = synchronized {
       val p = Paths.get(path)
       Files.createDirectories(p.getParent)

@@ -10,7 +10,7 @@ import java.nio.file.{Files, Paths}
   * function of the row index — byte-identical on every run, so both Spark
   * and the DuckDB oracle read the same file. */
 object ReviewsTsv {
-  val path = "/root/repo/fixtures/reviews.tsv"
+  val path: String = graft.core.Fixtures.path("reviews.tsv")
 
   private val header = Seq(
     "marketplace", "customer_id", "review_id", "product_id", "product_parent",

@@ -24,7 +24,12 @@ object GraftBridge {
     * sessions built without `GraftExtensions`). */
   def withExtraStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    // check-then-append must be atomic: concurrent callers on one session
+    // would otherwise both pass the contains() check and grow the session
+    // strategy list without bound under repeated races
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }
