@@ -91,6 +91,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_ngrams"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingle_ngrams"),
+      (exprs: Seq[Expression]) => Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the
     // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.

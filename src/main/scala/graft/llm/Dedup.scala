@@ -41,15 +41,14 @@ object Dedup extends QueryGroup {
     * that survives a 100× scale-up (shingling 100 TB of documents is then
     * embarrassingly parallel). */
   private[llm] def shingles(docs: DataFrame): DataFrame =
+    // codegen'd one-pass shingling (graft.functions.Shingles): the HOF
+    // form (transform + slice + concat_ws) evaluates interpreted per
+    // element and profiled ~20× slower; strings are byte-identical so
+    // every downstream md5 and all oracle SQL are unchanged
     docs
       .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("ws"))
-      .withColumn("shs",
-        when(size(col("ws")) >= 5,
-          transform(sequence(lit(1), size(col("ws")) - 4),
-            i => concat_ws(" ", slice(col("ws"), i, lit(5)))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos0", "sh")))
+        posexplode(graft.functions.Shingles.shingleNgrams(col("text"), 5))
+          .as(Seq("pos0", "sh")))
       .withColumn("pos", col("pos0") + 1)
       .select(col("doc_id"), col("pos"), col("sh"))
 
