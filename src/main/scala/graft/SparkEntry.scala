@@ -13,9 +13,10 @@ object SparkEntry {
       MetricBatch.defs ++
       Dedup.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
       Sketches.defs ++ Seq(
-        // batched binary decode (stubbed codec) — rows-only; scalar digest
-        // projection (the driver's hasher can't sort array columns)
-        "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d)))
+        // batched binary decode (stubbed codec); scalar projection with a
+        // DuckDB replay of the stub arithmetic (ASCII payloads)
+        "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d),
+          Some(Multimodal.decodedDigestSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

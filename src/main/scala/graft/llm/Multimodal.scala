@@ -106,8 +106,14 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** Registry-facing projection of [[decodedTable]]: scalar columns only —
-    * the feature vector is digested (md5 of the 6-dp rendering) because the
-    * driver's result hasher can't canonicalize array columns. */
+    * the driver's result hasher can't canonicalize array columns — and
+    * every column oracle-expressible. The stub decode is integer
+    * arithmetic on payload bytes, and the generated documents are pure
+    * ASCII at every scale factor (byte i == codepoint of char i+1), so
+    * DuckDB replays width/height/frames from `ascii(substring(...))` and
+    * the histogram's support size from distinct `codepoint/16` bins —
+    * keeping the mapPartitions decode AND byteHistogram load-bearing in
+    * the hash compare instead of rows-only. */
   def decodedDigest(spark: SparkSession, dir: String): DataFrame =
     decode(mediaFromDocuments(spark, dir))
       .toDF()
@@ -115,9 +121,19 @@ object Multimodal {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("n_frames").cast("long").as("n_frames"),
-        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_sum"),
-        md5(concat_ws(",",
-          transform(col("features"), x => format_string("%.6f", x))))
-          .as("feat_md5"))
+        size(filter(col("features"), x => x > 0.0)).cast("long")
+          .as("feat_nonzero"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
+  val decodedDigestSql: String =
+    """SELECT doc_id, 'fake/raw' AS format,
+      |  CAST((ascii(substring(text,1,1))*256 + ascii(substring(text,2,1)))
+      |       % 1920 + 1 AS BIGINT) AS width,
+      |  CAST((ascii(substring(text,3,1))*256 + ascii(substring(text,4,1)))
+      |       % 1080 + 1 AS BIGINT) AS height,
+      |  CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames,
+      |  CAST(len(list_distinct(list_transform(string_split(text, ''),
+      |       c -> ascii(c)//16))) AS BIGINT) AS feat_nonzero
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
