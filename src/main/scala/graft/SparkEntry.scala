@@ -2,16 +2,16 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
-import graft.operators.{Analytics, Extras, Functions, MetricBatch, Relational}
-import graft.llm.{Ann, Dedup, MlLsh, Multimodal, Pipeline, Sketches, TextStats}
+import graft.operators.{Analytics, Extras, Functions, MetricBatch, Profiling, Relational}
+import graft.llm.{Ann, Dedup, GraphOps, MlLsh, Multimodal, Pipeline, Sketches, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Ordered registry of every declared engine query (SURVEY.md §2B). */
   def registry: Seq[(String, QueryDef)] =
     Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
-      MetricBatch.defs ++
-      Dedup.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
+      MetricBatch.defs ++ Profiling.defs ++
+      Dedup.defs ++ GraphOps.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
       Sketches.defs ++ Seq(
         // batched binary decode (stubbed codec); scalar projection with a
         // DuckDB replay of the stub arithmetic (ASCII payloads)

@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.{QueryDef, QueryGroup}
+
+/** Graph analytics over the near-duplicate similarity graph (the corpus
+  * graph the dedup family already builds): PageRank as the second
+  * iterative-propagation operator next to [[Dedup]]'s connected
+  * components.
+  *
+  * Determinism: floating-point PageRank sums are partition-order
+  * dependent, so the whole computation runs in 1e12-scaled BIGINT
+  * fixed-point — integer sums are exact and order-independent, and
+  * truncating integer division (`div` / DuckDB `//`) is bit-identical in
+  * both engines, so the oracle replays the iterations as plain CTEs.
+  *
+  * Scale shape: each iteration is one join (ranks ⋈ edges on an 8-byte
+  * key) + one aggregation — the standard distributed PageRank step; the
+  * iteration COUNT is fixed (3), so lineage stays bounded without
+  * checkpointing. Edges reuse the stop-shingle-capped Jaccard pipeline,
+  * so the graph build is linear, not all-pairs.
+  */
+object GraphOps extends QueryGroup {
+
+  private val Scale = 1000000000000L // 1e12 fixed-point
+  private val Iters = 3
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(s, d).filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // read 3× (outdeg + every iteration); materialize the pair pipeline once
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = outdeg.select(col("src").as("node"), col("outdeg"))
+    val nNodes = nodes.count() // one scalar, like the IVF centroid collect
+    if (nNodes == 0) {
+      // degenerate corpus with no near-dup pairs: empty result, stable schema
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("node", LongType, nullable = false)
+          .add("rank_scaled", LongType, nullable = false))
+    }
+    val base = (Scale / nNodes) * 15L / 100L
+    var ranks = nodes.select(col("node"),
+      lit(Scale / nNodes).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = ranks
+        .join(nodes, Seq("node"))
+        .withColumn("c", expr("rank div outdeg"))
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col("node")).join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+  }
+
+  private val pagerankSql =
+    s"""${Dedup.shingleCte},
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
+       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
+       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.3),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS nn FROM deg),
+       |r0 AS (SELECT node, outdeg, CAST($Scale AS BIGINT) // nn AS rank FROM deg, n),
+       |i1 AS (SELECT d.node, d.outdeg,
+       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |       FROM deg d CROSS JOIN n
+       |       LEFT JOIN edges e ON e.dst = d.node
+       |       LEFT JOIN r0 r ON r.node = e.src
+       |       GROUP BY d.node, d.outdeg, nn),
+       |i2 AS (SELECT d.node, d.outdeg,
+       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |       FROM deg d CROSS JOIN n
+       |       LEFT JOIN edges e ON e.dst = d.node
+       |       LEFT JOIN i1 r ON r.node = e.src
+       |       GROUP BY d.node, d.outdeg, nn),
+       |i3 AS (SELECT d.node,
+       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |       FROM deg d CROSS JOIN n
+       |       LEFT JOIN edges e ON e.dst = d.node
+       |       LEFT JOIN i2 r ON r.node = e.src
+       |       GROUP BY d.node, nn)
+       |SELECT node, rank AS rank_scaled FROM i3
+       |ORDER BY rank_scaled DESC, node""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)))
+}

@@ -263,6 +263,56 @@ object Pipeline extends QueryGroup {
        |  columns={'id': 'BIGINT', 'note': 'VARCHAR'})
        |ORDER BY id""".stripMargin
 
+  // ---- pack_sequences: greedy token packing into fixed budgets ----------
+  // The pre-training batching op: stream the corpus in a deterministic
+  // (hash) order and cut it into ~budget-token packs; a doc belongs to the
+  // pack its first token lands in. Everything is a pure function of the
+  // exclusive running token count, so the whole operator is a distributed
+  // prefix sum. Rather than one global-order window (a single reducer at
+  // 100 TB), it runs the classic two-phase shape: per-bucket cumsum in
+  // parallel (buckets = the hash's leading byte, so bucket order IS hash
+  // order), then a 256-row bucket-offset window broadcast back — the same
+  // result as the global window, computed scalably. All integer
+  // arithmetic → bit-identical to the oracle's single-window replay.
+  private val packBudget = 2048L
+
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast(LongType))
+    val inBucket = toks.withColumn("cum_in",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff",
+        coalesce(sum(col("btok")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("offset", col("boff") + col("cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr(s"offset div $packBudget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  SUM(n_tokens) OVER (ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |    AS "offset"
+       |  FROM t)
+       |SELECT doc_id, n_tokens, "offset",
+       |  "offset" // $packBudget AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
@@ -270,5 +320,6 @@ object Pipeline extends QueryGroup {
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
+    "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
   )
 }

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Invariants for the round-4 additions: PageRank fixed-point iteration,
+  * two-phase sequence packing, and schema-driven profiling. */
+class GraphPackSpec extends SparkSuite {
+
+  test("pagerank: positive ranks, near-conserved mass, determinism") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rank_scaled") > 0))
+    // fixed-point truncation only ever LOSES mass: total <= 1e12, and the
+    // loss is bounded by ~(#divisions) ulps — far under 0.1% here
+    val total = rows.map(_.getAs[Long]("rank_scaled")).sum
+    assert(total <= 1000000000000L, s"mass created: $total")
+    assert(total > 999000000000L, s"mass lost beyond truncation bound: $total")
+    val again = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("pagerank: node set equals the jaccard>=0.3 pair graph's nodes") {
+    val nodes = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+      .select("node").collect().map(_.getLong(0)).toSet
+    val pairNodes = Dedup.jaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.3).collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(nodes == pairNodes)
+  }
+
+  test("pack_sequences: contiguous offsets, conserved tokens, stable ids") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val byOffset = rows.sortBy(_.getAs[Long]("offset"))
+    assert(byOffset.head.getAs[Long]("offset") == 0L)
+    // each doc starts exactly where the previous one ended (no gaps/overlap)
+    byOffset.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("offset") + a.getAs[Long]("n_tokens") ==
+          b.getAs[Long]("offset"))
+      case _ =>
+    }
+    assert(byOffset.last.getAs[Long]("offset") +
+      byOffset.last.getAs[Long]("n_tokens") == total)
+    assert(rows.forall(r =>
+      r.getAs[Long]("pack_id") == r.getAs[Long]("offset") / 2048L))
+    // membership is a pure function of doc_id, not partitioning: re-run
+    // with a different shuffle layout
+    val again = SparkEntry.queries("pack_sequences")(spark, sfDir)
+      .repartition(7).collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toSet ==
+      again.map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toSet)
+  }
+
+  test("profile_columns: key column is unique and null-free") {
+    val p = SparkEntry.queries("profile_columns")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_rows"))).toMap
+    val (nulls, dist, n) = p("o_orderkey")
+    assert(nulls == 0L && dist == n)
+    assert(p("o_orderstatus")._2 <= 3L)
+    assert(p.size == 6)
+  }
+}
