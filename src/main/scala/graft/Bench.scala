@@ -18,8 +18,11 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't charged to the first query
+    // warm-up actions so JVM/codegen startup AND parquet/Hadoop-FS init
+    // aren't charged to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
     // dev convenience: name args select a subset; the driver passes none
     val selected =
       if (args.isEmpty) SparkEntry.registry

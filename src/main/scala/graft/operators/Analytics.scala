@@ -277,6 +277,47 @@ object Analytics extends QueryGroup {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- Q48: fixed-depth EWMA smoothing ----------------------------------
+  // True EWMA is a recursion (each output feeds the next) — not a window
+  // function in either engine — so the scalable form truncates the tail:
+  // with α=1/2 the weight 4 steps back is 1/16, below most smoothing
+  // tolerances. A fixed-depth lag pyramid is one window pass, stays in
+  // whole-stage codegen, and (unlike the recursive form) parallelizes
+  // per key. Weights are exact binary fractions and the summation order
+  // is pinned left-to-right, so IEEE doubles match the oracle bit-wise;
+  // (ts, event_id) ordering makes ties deterministic (q44 convention).
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def l(i: Int) = lag(col("value"), i).over(w)
+    val num = col("value") * 8.0 +
+      coalesce(l(1) * 4.0, lit(0.0)) +
+      coalesce(l(2) * 2.0, lit(0.0)) +
+      coalesce(l(3) * 1.0, lit(0.0))
+    val den = lit(8.0) +
+      when(l(1).isNotNull, 4.0).otherwise(0.0) +
+      when(l(2).isNotNull, 2.0).otherwise(0.0) +
+      when(l(3).isNotNull, 1.0).otherwise(0.0)
+    T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (num / den).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q48Sql =
+    """SELECT event_id, user_id, value,
+      |  (((value * 8.0
+      |     + COALESCE(lag(value, 1) OVER w * 4.0, 0.0))
+      |     + COALESCE(lag(value, 2) OVER w * 2.0, 0.0))
+      |     + COALESCE(lag(value, 3) OVER w * 1.0, 0.0))
+      |  / ((8.0
+      |     + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 4.0 ELSE 0.0 END
+      |     + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 2.0 ELSE 0.0 END)
+      |     + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+      |  AS ewma
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
@@ -287,5 +328,6 @@ object Analytics extends QueryGroup {
     "q44_nav_windows" -> QueryDef(q44, Some(q44Sql)),
     "q45_gap_fill"    -> QueryDef(q45, Some(q45Sql)),
     "q46_histogram"   -> QueryDef(q46, Some(q46Sql)),
+    "q48_ewma"        -> QueryDef(q48, Some(q48Sql)),
   )
 }
