@@ -156,6 +156,41 @@ object TextStats extends QueryGroup {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  // ---- Rare-word (OOV-style) quality signal -----------------------------
+  // Per doc: how much of it is words NOBODY else uses (corpus document
+  // frequency 1) — high rare-word mass flags gibberish/OCR junk the way
+  // an out-of-vocabulary rate does, without shipping a vocabulary. Words
+  // are 48-bit-hashed before the df aggregation (8-byte shuffle keys, the
+  // Dedup.scala rule); df counts DISTINCT docs, the per-doc sum counts
+  // occurrences. Ratio = one IEEE division of exact longs → portable.
+  private def rareWords(s: SparkSession, d: String): DataFrame = {
+    val occ = words(T.documents(s, d)).select(col("doc_id"),
+      conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh"))
+    val df = occ.distinct().groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast(LongType)
+          .as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val rareWordsSql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |dfc AS (SELECT wh, COUNT(*) AS df
+      |        FROM (SELECT DISTINCT doc_id, wh FROM occ) GROUP BY wh)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+      |FROM occ JOIN dfc USING (wh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val winnowSql =
     """WITH wrd AS (
       |  SELECT doc_id, word, pos FROM (
@@ -253,6 +288,7 @@ object TextStats extends QueryGroup {
     "text_quality"       -> QueryDef(quality, Some(qualitySql)),
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
     "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
+    "text_rare_words"    -> QueryDef(rareWords, Some(rareWordsSql)),
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
