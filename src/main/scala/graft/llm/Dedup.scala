@@ -368,6 +368,9 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("sh"))
       .distinct()
+      // read twice below (kept probe side + rare build side): cache so the
+      // scan→shingle→hash→distinct chain runs once
+      .cache()
     val rare = dsh.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)
@@ -456,7 +459,15 @@ object Dedup extends QueryGroup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // the loop runs on the edge-induced subgraph ONLY: a doc with no
+    // near-dup edge keeps its own label forever, so iterating over the
+    // full corpus (the previous shape) pays per-round shuffles
+    // proportional to corpus size for rows that can never change. At
+    // 100 TB the active set is the near-dup fraction — orders of
+    // magnitude smaller than the corpus — and the inactive docs join the
+    // result with a single anti-join at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -468,10 +479,17 @@ object Dedup extends QueryGroup {
       val fromNbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster"))
-      // checkpoint each round: keeps the lineage flat, and the convergence
-      // count below then reads materialized data (one cheap action)
-      val next = labels.union(fromNbr)
+      // one round = neighbor-min, then pointer-jump (label := label's
+      // label): the jump contracts paths so convergence needs
+      // O(log diameter) rounds instead of O(diameter) — each round here
+      // is fixed job overhead on a tiny active set, so halving rounds
+      // matters more than halving rows
+      val propagated = labels.union(fromNbr)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("cluster"),
+          col("cluster").as("root")), Seq("cluster"))
+        .select(col("doc_id"), col("root").as("cluster"))
         .localCheckpoint()
       changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("prev")), Seq("doc_id"))
@@ -482,7 +500,10 @@ object Dedup extends QueryGroup {
     if (changed > 0) throw new IllegalStateException(
       s"dedup_clusters did not converge in $rounds rounds — component " +
         "diameter exceeds the cap; raise it or switch to pointer-doubling")
-    labels
+    System.err.println(s"[graft] dedup_clusters converged in $rounds rounds")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy(col("doc_id"))
   }
