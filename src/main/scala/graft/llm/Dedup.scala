@@ -285,7 +285,7 @@ object Dedup extends QueryGroup {
   // popular band value is otherwise quadratic at 100 TB, the same guard
   // as the minhash band join. 48-bit signatures come from one md5 prefix
   // per word (ANSI-safe longs).
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[llm] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val wh = words(T.documents(s, d)).select(col("doc_id"),
       conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("h48"))
     // one pass, no bit explode: 48 codegen'd popcount sums per doc; the
@@ -324,7 +324,9 @@ object Dedup extends QueryGroup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val simhashPairsSql =
+  /** CTE chain through `pairs` (banded simhash candidates) — shared with
+    * TextStats.editDistance, which re-ranks the same candidate set. */
+  private[llm] val simhashPairsCte =
     """WITH wrd AS (
       |  SELECT doc_id, word FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -347,10 +349,13 @@ object Dedup extends QueryGroup {
       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |            x.sig AS sig_a, y.sig AS sig_b
       |          FROM kept x JOIN kept y
-      |            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-      |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+
+  private val simhashPairsSql =
+    s"""$simhashPairsCte
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in

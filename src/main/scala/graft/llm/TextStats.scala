@@ -156,6 +156,42 @@ object TextStats extends QueryGroup {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  // ---- Edit-distance re-rank of simhash candidates ----------------------
+  // Levenshtein is quadratic per pair — never run it all-pairs. The
+  // blocked shape: the banded simhash join proposes a BOUNDED candidate
+  // set (hot-band cap), and the exact edit distance re-ranks only those,
+  // on an 80-char prefix so the per-pair cost is a constant. Both engines
+  // implement classic Levenshtein, so the metric is oracle-portable.
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val pre = T.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 80).as("pre"))
+    Dedup.simhashPairs(s, d)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("pre_a"), col("pre_b")).cast(LongType).as("lev80"),
+        (levenshtein(col("pre_a"), col("pre_b")).cast(DoubleType) /
+          greatest(length(col("pre_a")), length(col("pre_b")))
+            .cast(DoubleType)).as("lev_frac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val editDistanceSql =
+    s"""${Dedup.simhashPairsCte},
+       |spairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |  FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 5),
+       |pre AS (SELECT doc_id, substring(text, 1, 80) AS pre FROM documents)
+       |SELECT doc_a, doc_b, hamming,
+       |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS lev80,
+       |  CAST(levenshtein(a.pre, b.pre) AS DOUBLE) /
+       |    CAST(greatest(length(a.pre), length(b.pre)) AS DOUBLE) AS lev_frac
+       |FROM spairs
+       |JOIN pre a ON a.doc_id = doc_a
+       |JOIN pre b ON b.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- Rare-word (OOV-style) quality signal -----------------------------
   // Per doc: how much of it is words NOBODY else uses (corpus document
   // frequency 1) — high rare-word mass flags gibberish/OCR junk the way
@@ -289,6 +325,7 @@ object TextStats extends QueryGroup {
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
     "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
     "text_rare_words"    -> QueryDef(rareWords, Some(rareWordsSql)),
+    "text_edit_distance" -> QueryDef(editDistance, Some(editDistanceSql)),
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )

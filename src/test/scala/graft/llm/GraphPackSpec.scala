@@ -56,6 +56,17 @@ class GraphPackSpec extends SparkSuite {
       again.map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toSet)
   }
 
+  test("pack_sequences plan: doc window is bucket-partitioned, offsets broadcast") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-sized window must be keyed by bucket (parallel), never a
+    // global-order single partition; the 256-row offset table comes back
+    // as a broadcast
+    assert(plan.contains("windowspecdefinition(bucket"), plan.take(1500))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
   test("profile_columns: key column is unique and null-free") {
     val p = SparkEntry.queries("profile_columns")(spark, sfDir).collect()
       .map(r => r.getAs[String]("col_name") ->
