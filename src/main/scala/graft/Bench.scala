@@ -21,8 +21,13 @@ object Bench {
     // warm-up actions so JVM/codegen startup AND parquet/Hadoop-FS init
     // aren't charged to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet")
+    // guarded like the queries themselves: a warm-up failure must not
+    // kill the run before the summary line the driver parses
+    try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up read failed: ${e.getMessage}")
+    }
     // dev convenience: name args select a subset; the driver passes none
     val selected =
       if (args.isEmpty) SparkEntry.registry

@@ -94,8 +94,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("shingle_ngrams"),
       new ExpressionInfo(classOf[Shingles].getName, "shingle_ngrams"),
-      (exprs: Seq[Expression]) => Shingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        // n must be a non-null integral literal: eval() on a non-foldable
+        // expression throws an opaque internal error, and a Long literal
+        // would ClassCastException on a blind asInstanceOf[Int]
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Number => i.intValue()
+            case _ => throw new IllegalArgumentException(
+              "shingle_ngrams: n must be a non-null integer literal")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingle_ngrams: n must be a literal, not an expression")
+        }
+        Shingles(exprs(0), n)
+      }))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the
     // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.

@@ -357,6 +357,23 @@ object Dedup extends QueryGroup {
        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CTE chain through `inter` (hashed distinct shingles → stop-shingle
+    * cap → shared-shingle counts) — the SQL replay of [[jaccardPairs]],
+    * shared by every oracle that builds on the Jaccard pair graph
+    * (ngram pairs, clusters, PageRank, the ML cross-check). One copy: a
+    * df-cap or hashing change can never desync a subset of them. */
+  private[llm] val jaccardCte =
+    s"""$shingleCte,
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
+       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
+       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)""".stripMargin
+
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
   // pair count — the standard blocking guard at scale.
@@ -400,16 +417,7 @@ object Dedup extends QueryGroup {
       .limit(50)
 
   private val ngramJaccardSql =
-    s"""$shingleCte,
-       |dshh AS (SELECT DISTINCT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
-       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
-       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY doc_a, doc_b)
+    s"""$jaccardCte
        |SELECT doc_a, doc_b, n_common,
        |  CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) AS jaccard
        |FROM inter
@@ -514,16 +522,7 @@ object Dedup extends QueryGroup {
   }
 
   private val dedupClustersSql =
-    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |dshh AS (SELECT DISTINCT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
-       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
-       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY doc_a, doc_b),
+    s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes sa ON sa.doc_id = doc_a

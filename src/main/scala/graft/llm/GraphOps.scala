@@ -65,16 +65,7 @@ object GraphOps extends QueryGroup {
   }
 
   private val pagerankSql =
-    s"""${Dedup.shingleCte},
-       |dshh AS (SELECT DISTINCT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
-       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
-       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY doc_a, doc_b),
+    s"""${Dedup.jaccardCte},
        |pairs AS (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes sa ON sa.doc_id = doc_a
@@ -86,22 +77,25 @@ object GraphOps extends QueryGroup {
        |n AS (SELECT COUNT(*) AS nn FROM deg),
        |r0 AS (SELECT node, outdeg, CAST($Scale AS BIGINT) // nn AS rank FROM deg, n),
        |i1 AS (SELECT d.node, d.outdeg,
-       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
-       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |         CAST((CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100
+       |           AS BIGINT) AS rank
        |       FROM deg d CROSS JOIN n
        |       LEFT JOIN edges e ON e.dst = d.node
        |       LEFT JOIN r0 r ON r.node = e.src
        |       GROUP BY d.node, d.outdeg, nn),
        |i2 AS (SELECT d.node, d.outdeg,
-       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
-       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |         CAST((CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100
+       |           AS BIGINT) AS rank
        |       FROM deg d CROSS JOIN n
        |       LEFT JOIN edges e ON e.dst = d.node
        |       LEFT JOIN i1 r ON r.node = e.src
        |       GROUP BY d.node, d.outdeg, nn),
        |i3 AS (SELECT d.node,
-       |         (CAST($Scale AS BIGINT) // nn) * 15 // 100
-       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100 AS rank
+       |         CAST((CAST($Scale AS BIGINT) // nn) * 15 // 100
+       |           + COALESCE(SUM(r.rank // r.outdeg), 0) * 85 // 100
+       |           AS BIGINT) AS rank
        |       FROM deg d CROSS JOIN n
        |       LEFT JOIN edges e ON e.dst = d.node
        |       LEFT JOIN i2 r ON r.node = e.src

@@ -66,16 +66,7 @@ object MlLsh extends QueryGroup {
   }
 
   private val minhashLshVerifiedSql =
-    s"""${Dedup.shingleCte},
-       |dshh AS (SELECT DISTINCT doc_id,
-       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
-       |rare AS (SELECT sh FROM dshh GROUP BY sh HAVING COUNT(*) <= 50),
-       |kept AS (SELECT doc_id, dshh.sh FROM dshh JOIN rare ON dshh.sh = rare.sh),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY doc_a, doc_b)
+    s"""${Dedup.jaccardCte}
        |SELECT doc_a, doc_b,
        |  CAST(CAST(CAST(n_common AS DOUBLE) /
        |    CAST(sa.nsh + sb.nsh - n_common AS DOUBLE)

@@ -305,9 +305,9 @@ object Pipeline extends QueryGroup {
        |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM documents),
        |c AS (SELECT doc_id, n_tokens,
-       |  SUM(n_tokens) OVER (ORDER BY h
+       |  CAST(SUM(n_tokens) OVER (ORDER BY h
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-       |    AS "offset"
+       |    AS BIGINT) AS "offset"
        |  FROM t)
        |SELECT doc_id, n_tokens, "offset",
        |  "offset" // $packBudget AS pack_id
