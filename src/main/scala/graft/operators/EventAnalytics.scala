@@ -92,7 +92,43 @@ object EventAnalytics extends QueryGroup {
       |  UNION ALL SELECT 3, 'view>click>purchase', COUNT(*) FROM t3)
       |ORDER BY step""".stripMargin
 
+  // ---- q51_user_growth: DAU / new users / cumulative users per day ------
+  // The growth dashboard's base table. Cumulative distinct users is NOT a
+  // distinct-count per prefix (quadratic); it's the running sum of
+  // first-seen counts — one distinct, two aggs, one tiny window over the
+  // day axis (bounded by the calendar, not the data).
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val ud = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val newU = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dau.join(newU, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
+  private val q51Sql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY day),
+      |firsts AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+      |newu AS (SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY day)
+      |SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM dau LEFT JOIN newu USING (day)
+      |ORDER BY day""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),
-    "q50_funnel" -> QueryDef(q50, Some(q50Sql)))
+    "q50_funnel" -> QueryDef(q50, Some(q50Sql)),
+    "q51_user_growth" -> QueryDef(q51, Some(q51Sql)))
 }

@@ -15,6 +15,18 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(counts(0) > 0)
   }
 
+  test("user growth: cumulative count ends at total distinct users") {
+    val rows = SparkEntry.queries("q51_user_growth")(spark, sfDir)
+      .orderBy(col("day")).collect()
+    val total = graft.core.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == total)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == total)
+    // n_active never exceeds the cumulative registered population
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_active") <= r.getAs[Long]("cum_users")))
+  }
+
   test("retention week 0 equals each cohort's size; users count once per cell") {
     val ret = SparkEntry.queries("q49_retention")(spark, sfDir).collect()
     val week0 = ret.filter(_.getAs[Long]("weeks_since") == 0L)
