@@ -72,6 +72,22 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: shingle_ngrams equals a reference sliding window, any n") {
+    // reference model: plain Scala tokenize + sliding — independent of both
+    // the expression's byte-level loop and the HOF formulation it replaced
+    def ref(text: String, n: Int): Seq[String] =
+      text.split(" ").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+    val word = Gen.oneOf("a", "bb", "ccc", "δδ", "e-f", "", " ")
+    val docGen = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(docGen, Gen.chooseNum(1, 7)) { (doc, n) =>
+      val got = Seq(doc).toDF("t")
+        .select(graft.functions.Shingles.shingleNgrams(col("t"), n).as("s"))
+        .as[Seq[String]].head()
+      got == ref(doc, n)
+    })
+  }
+
   test("property: scaling trace replay is prefix-consistent (determinism)") {
     check(Prop.forAll(Gen.listOfN(10, Gen.chooseNum(0, 100))) { avgs =>
       val events = avgs.zipWithIndex.map { case (a, i) =>
