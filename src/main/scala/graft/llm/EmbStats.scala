@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** Embedding-column analytics: per-label centroid quality — vector count,
+  * centroid norm, and the distribution (mean/min/max) of each member's
+  * cosine to its label centroid. The embedding-drift / cluster-cohesion
+  * report a curation pipeline runs after every re-embedding.
+  *
+  * Determinism: float components are quantized to 1e-6 fixed-point with
+  * `floor(v·1e6 + 0.5)` — pure IEEE multiply/add/floor, bit-identical in
+  * both engines — and every sum (dot products, norms) then runs in exact
+  * BIGINT (≤ 6.4e13 per group, far under 2^53). A decimal cast would NOT
+  * work here: a float's shortest decimal repr regularly ends exactly at
+  * the cut digit, and Spark (HALF_UP on the repr) and DuckDB disagree on
+  * those ties — observed live as 1-in-~500 cosines off by one rounding
+  * unit. Cosines round through DECIMAL(10,4) at the edge (full-precision
+  * doubles — repr ties are measure-zero there), the repo's cosine rule.
+  *
+  * Scale shape: one explode (64 rows per vector), two hash aggregations
+  * keyed by (label, pos) then (label, vec_id), and a broadcast-sized
+  * centroid table (labels × dims) joined back — the same partial-agg
+  * pattern as IVF, no driver-side math.
+  */
+object EmbStats extends QueryGroup {
+
+  /** 1e-6 fixed-point quantizer: portable because it is IEEE arithmetic
+    * on identical doubles, not a decimal-cast rounding. */
+  private def q6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast(LongType)
+
+  private def centroidStats(s: SparkSession, d: String): DataFrame = {
+    val comp = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        q6(col("v0").cast(DoubleType)).as("qv"))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(q6(sum(col("qv")).cast(DoubleType) /
+        (count(lit(1)) * lit(1000000L)).cast(DoubleType)).as("qc"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(col("qc") * col("qc")).as("cq2"))
+    val perVec = comp.join(cent, Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("qv") * col("qc")).as("dotq"),
+        sum(col("qv") * col("qv")).as("vq2"))
+    perVec.join(cnorm, Seq("label"))
+      .select(col("label"), col("vec_id"), col("cq2"),
+        (col("dotq").cast(DoubleType) /
+          (sqrt(col("vq2").cast(DoubleType)) * sqrt(col("cq2").cast(DoubleType))))
+          .cast(DecimalType(10, 4)).as("cosd"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sqrt(max(col("cq2")).cast(DoubleType)) / lit(1000000.0))
+          .cast(DecimalType(10, 4)).cast(DoubleType).as("centroid_norm"),
+        (sum(col("cosd")).cast(DoubleType) / count(lit(1))).as("mean_cos"),
+        min(col("cosd")).cast(DoubleType).as("min_cos"),
+        max(col("cosd")).cast(DoubleType).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidStatsSql =
+    """WITH comp AS (
+      |  SELECT vec_id, label, pos,
+      |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM (
+      |    SELECT vec_id, label, unnest(embedding) AS v,
+      |      generate_subscripts(embedding, 1) AS pos
+      |    FROM embeddings)),
+      |cent AS (
+      |  SELECT label, pos,
+      |    CAST(floor(CAST(SUM(qv) AS DOUBLE) /
+      |      CAST(COUNT(*) * 1000000 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS qc
+      |  FROM comp GROUP BY label, pos),
+      |cnorm AS (
+      |  SELECT label, CAST(SUM(qc * qc) AS BIGINT) AS cq2
+      |  FROM cent GROUP BY label),
+      |pv AS (
+      |  SELECT comp.label, vec_id,
+      |    CAST(SUM(qv * qc) AS BIGINT) AS dotq,
+      |    CAST(SUM(qv * qv) AS BIGINT) AS vq2
+      |  FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+      |  GROUP BY comp.label, vec_id),
+      |cosd AS (
+      |  SELECT pv.label, vec_id, cq2,
+      |    CAST(CAST(dotq AS DOUBLE) /
+      |      (sqrt(CAST(vq2 AS DOUBLE)) * sqrt(CAST(cq2 AS DOUBLE)))
+      |      AS DECIMAL(10,4)) AS cosd
+      |  FROM pv JOIN cnorm ON pv.label = cnorm.label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(CAST(sqrt(CAST(MAX(cq2) AS DOUBLE)) / 1000000.0 AS DECIMAL(10,4))
+      |    AS DOUBLE) AS centroid_norm,
+      |  CAST(SUM(cosd) AS DOUBLE) / COUNT(*) AS mean_cos,
+      |  CAST(MIN(cosd) AS DOUBLE) AS min_cos,
+      |  CAST(MAX(cosd) AS DOUBLE) AS max_cos
+      |FROM cosd GROUP BY label ORDER BY label""".stripMargin
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "emb_centroid_stats" -> QueryDef(centroidStats, Some(centroidStatsSql)))
+}

@@ -67,6 +67,20 @@ class GraphPackSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
+  test("emb_centroid_stats: cosines bounded, every label present") {
+    val rows = SparkEntry.queries("emb_centroid_stats")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Double]("min_cos"),
+        r.getAs[Double]("mean_cos"), r.getAs[Double]("max_cos"))
+      assert(mn <= mean && mean <= mx)
+      assert(mn >= -1.0001 && mx <= 1.0001)
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+    }
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.core.Tables.embeddings(spark, sfDir).count())
+  }
+
   test("profile_columns: key column is unique and null-free") {
     val p = SparkEntry.queries("profile_columns")(spark, sfDir).collect()
       .map(r => r.getAs[String]("col_name") ->
