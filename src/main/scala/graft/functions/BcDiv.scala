@@ -109,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Shingles(exprs(0), n)
       }))
+    e.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (exprs: Seq[Expression]) => ZOrderKey(exprs(0), exprs(1))))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the
     // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.
