@@ -83,6 +83,30 @@ object Dedup extends QueryGroup {
       |  COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
 
+  // ---- dedup_canonical: survivor selection per duplicate group ----------
+  // The dedup endgame after grouping: each fingerprint group keeps its
+  // best member — longest text, ties to the smallest doc_id via the
+  // lexicographic struct-max idiom (q35), since arg-max under ties is
+  // unspecified in both engines. One hash aggregation; the winner column
+  // makes the result directly usable as a keep-list.
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        (-max(struct(col("n_chars").as("q"), (-col("doc_id")).as("negid")))
+          .getField("negid")).as("keep_doc"),
+        max(col("n_chars")).as("keep_chars"))
+      .orderBy(col("fp"))
+
+  private val dedupCanonicalSql =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |  COUNT(*) AS n_copies,
+      |  -((max({'q': n_chars, 'negid': -doc_id})).negid) AS keep_doc,
+      |  MAX(n_chars) AS keep_chars
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+
   // ---- Q30b: per-doc shingle stats ---------------------------------------
   // Shingles are hashed to 48-bit md5-prefix longs BEFORE the distinct
   // aggregation, so the countDistinct shuffle carries 8-byte keys instead
@@ -609,6 +633,7 @@ object Dedup extends QueryGroup {
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q30_fingerprint_dedup" -> QueryDef(q30, Some(q30Sql)),
+    "dedup_canonical" -> QueryDef(dedupCanonical, Some(dedupCanonicalSql)),
     "q30b_shingle_stats"    -> QueryDef(q30b, Some(q30bSql)),
     "q31_cosine_topk"       -> QueryDef(q31, Some(q31Sql)),
     "dedup_minhash_sig"     -> QueryDef(minhashSig, Some(minhashSigSql)),

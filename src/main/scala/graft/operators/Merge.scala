@@ -25,7 +25,12 @@ object Merge extends QueryGroup {
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op"): DataFrame = {
     val touched = changes.select(col(key)).distinct()
-    val untouched = base.join(broadcast(touched), Seq(key), "left_anti")
+    // no broadcast() hint: a hint would FORCE broadcasting even when a
+    // bulk backfill makes the change set huge. AQE sees the real size at
+    // runtime and picks the broadcast anti-join whenever it fits (the
+    // common CDC regime, asserted in MergeSpec), degrading to a shuffle
+    // join instead of an executor OOM otherwise.
+    val untouched = base.join(touched, Seq(key), "left_anti")
     val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
     untouched.withColumn("src", lit("base"))
       .unionByName(upserts.withColumn("src", lit("upsert")))
