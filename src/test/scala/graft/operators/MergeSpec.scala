@@ -19,6 +19,22 @@ class MergeSpec extends SparkSuite {
       (4L, "d", "upsert")))
   }
 
+  test("empty change set returns the base unchanged") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq.empty[(Long, String, String)].toDF("k", "v", "op")
+    val out = Merge.applyChanges(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1L, "a", "base"), (2L, "b", "base")))
+  }
+
+  test("delete of a missing key is a no-op; upsert same key twice keeps both change rows distinct keys only") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((9L, "x", "D"), (2L, "b", "I")).toDF("k", "v", "op")
+    val out = Merge.applyChanges(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "b")))
+  }
+
   test("base side is anti-joined via broadcast (no base shuffle)") {
     val df = SparkEntry.queries("q47_merge_upsert")(spark, sfDir)
     df.collect() // materialize so AQE settles the final plan
