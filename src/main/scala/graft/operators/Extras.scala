@@ -95,6 +95,33 @@ object Extras extends QueryGroup {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- Q53: forward as-of (next matching value at-or-after) -------------
+  // The direction='forward' counterpart of q38's backward as-of: each
+  // event picks up the NEXT purchase's value in its stream — the lookup
+  // shape behind label joins ("what did the user buy after seeing
+  // this?"). Same one-window plan, frame reversed; no self-join.
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    T.events(s, d)
+      .withColumn("next_purchase_value",
+        first(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q53Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |    AS next_purchase_value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- Q39: skewed fact⋈dim join via explicit salting -------------------
   // The hot-key guard from SURVEY §4.2: events concentrate on few user_ids
   // (the fixture's activity distribution is uneven), so a shuffle join on
@@ -157,6 +184,7 @@ object Extras extends QueryGroup {
     "q36_generator_outer" -> QueryDef(q36, Some(q36Sql)),
     "q37_json_source_bcdiv" -> QueryDef(q37, Some(q37Sql)),
     "q38_asof_join" -> QueryDef(q38, Some(q38Sql)),
+    "q53_asof_forward" -> QueryDef(q53, Some(q53Sql)),
     "q39_skew_salted_join" -> QueryDef(q39, Some(q39Sql)),
     "q41_asof_native" -> QueryDef(q41, Some(q41Sql)),
   )
