@@ -53,6 +53,23 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("shingle_ngrams runs inside whole-stage codegen (no fallback)") {
+    // the round's hot-loop claim: the custom Shingles expression must not
+    // force an interpreted Project — the scan→shingle→hash stage stays
+    // one codegen'd span
+    import org.apache.spark.sql.functions.{col, md5}
+    val df = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Shingles.shingleNgrams(col("text"), 5).as("shs"))
+      .select(col("doc_id"), md5(col("shs").cast("string")).as("h"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    // the project carrying shingle_ngrams sits inside a codegen'd stage
+    val projLine = p.linesIterator.find(_.contains("shingle_ngrams"))
+    assert(projLine.exists(_.contains("*(")), p)
+  }
+
   test("q01/q04: whole-stage codegen covers the agg pipeline") {
     // AQE hides the final plan until execution — run, then inspect
     Seq("q01_scan_agg", "q04_groupagg_tpch1").foreach { name =>
