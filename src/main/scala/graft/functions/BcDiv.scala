@@ -113,6 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => ZOrderKey(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
+      (exprs: Seq[Expression]) => TopKFreqAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the
     // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.

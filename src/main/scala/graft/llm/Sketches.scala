@@ -175,10 +175,37 @@ object Sketches extends QueryGroup {
       |  (SELECT c_custkey AS user_id FROM customer
       |   WHERE c_mktsegment = 'BUILDING') c USING (user_id)""".stripMargin
 
+  // ---- sketch_topk: space-saving heavy hitters over the word stream -----
+  // The custom TypedImperativeAggregate (graft.functions.TopKFreqAgg):
+  // fixed-memory partial-aggregable top-k — one shuffle of capacity-sized
+  // states instead of grouping the whole key space. Capacity (256) far
+  // exceeds the corpus vocabulary, so estimates are exact with zero error
+  // and the oracle is the plain exact top-10; the eviction/approximation
+  // path is exercised with crafted skew in TopKFreqSpec.
+  private def topkWords(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopKFreqAgg.topkFreq
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(topkFreq(col("w"), 10, 256).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.value").as("word"), col("e.est").as("cnt"),
+        col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  private val topkWordsSql =
+    """SELECT word, cnt, CAST(0 AS BIGINT) AS err FROM (
+      |  SELECT u AS word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+      |  WHERE u <> '' GROUP BY u)
+      |ORDER BY cnt DESC, word LIMIT 10""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sketch_cms" -> QueryDef(cms, Some(cmsSql)),
     "sketch_hll" -> QueryDef(hll, Some(hllSql)),
     "sketch_quantile" -> QueryDef(quantileSketch, Some(quantileSketchSql)),
     "sketch_bloom" -> QueryDef(bloom, Some(bloomSql)),
+    "sketch_topk" -> QueryDef(topkWords, Some(topkWordsSql)),
   )
 }
