@@ -29,8 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query cached intermediates (dedup pipelines) die with the query
-      finally spark.catalog.clearCache()
+      // per-query cached intermediates AND localCheckpoint blocks (dedup
+      // pipelines, pagerank) die with the query — clearCache() alone
+      // leaves checkpoint RDDs pinned (core/Release.scala)
+      finally graft.core.Release.storage(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

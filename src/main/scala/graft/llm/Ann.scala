@@ -34,13 +34,11 @@ object Ann extends QueryGroup {
 
   /** Bucket per vector from 4 seeded hyperplanes (16 buckets → ~30
     * candidates per probe at sf0.01). Same md5-derived ±1 construction as
-    * Dedup.lshBuckets (shared precomputed matrix + per-row decimal fold —
-    * shuffle-free), fewer planes for recall. */
+    * Dedup.lshBuckets (shared precomputed matrix + fused codegen'd
+    * projection — shuffle-free), fewer planes for recall. */
   private def buckets4(s: SparkSession, d: String): DataFrame =
     Dedup.lshInput(s, d)
-      .select(col("vec_id"), col("embedding"),
-        typedLit(Dedup.lshDirs).as("dirs"))
-      .select(col("vec_id"), expr(Dedup.lshBucketSql(4)).as("bucket"))
+      .select(col("vec_id"), Dedup.lshBucket(4).as("bucket"))
 
   /** ANN top-5 via LSH bucketing: probes 0..4, candidates = same bucket,
     * exact cosine re-rank inside the bucket. */

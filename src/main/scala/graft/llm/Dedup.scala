@@ -584,19 +584,13 @@ object Dedup extends QueryGroup {
     }
   }
 
-  /** Bucket from the first `nPlanes` rows of [[lshDirs]]: per-row fold of
-    * sign(Σ dec(v_i)·dir_pi) into bit p — expects an `embedding` array and
-    * a `dirs` literal column ([[lshDirs]]) in scope. */
-  private[llm] def lshBucketSql(nPlanes: Int): String =
-    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-       |  acc + IF(
-       |    aggregate(
-       |      zip_with(embedding,
-       |        slice(element_at(dirs, p + 1), 1, size(embedding)),
-       |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
-       |      CAST(0 AS DECIMAL(38,10)),
-       |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+  /** Bucket from the first `nPlanes` rows of [[lshDirs]]: bit p =
+    * sign(Σ dec(v_i)·dir_pi), computed by the fused codegen'd
+    * [[graft.functions.LshProject]] expression (the interpreted
+    * `aggregate(zip_with(...))` DECIMAL fold it replaced cost ~1.7 ms/row
+    * outside whole-stage codegen; values are bit-identical). */
+  private[llm] def lshBucket(nPlanes: Int): org.apache.spark.sql.Column =
+    graft.functions.LshProject.bucket(col("embedding"), lshDirs, nPlanes)
 
   /** Embeddings with the shared guards: empty vectors dropped (posexplode
     * did that; so does the oracle's unnest) and dims beyond the
@@ -610,8 +604,7 @@ object Dedup extends QueryGroup {
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     lshInput(s, d)
-      .select(col("vec_id"), col("embedding"), typedLit(lshDirs).as("dirs"))
-      .select(col("vec_id"), expr(lshBucketSql(8)).as("bucket"))
+      .select(col("vec_id"), lshBucket(8).as("bucket"))
       .orderBy(col("vec_id"))
 
   private val lshBucketsSql =

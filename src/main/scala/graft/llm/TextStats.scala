@@ -202,12 +202,25 @@ object TextStats extends QueryGroup {
   private def rareWords(s: SparkSession, d: String): DataFrame = {
     val occ = words(T.documents(s, d)).select(col("doc_id"),
       conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh"))
-    val df = occ.distinct().groupBy(col("wh")).agg(count(lit(1)).as("df"))
-    occ.join(df, Seq("wh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).cast(LongType)
-          .as("n_rare"))
+    // Pre-aggregate per (doc, word) FIRST: that shuffle key is never hot
+    // (a word repeats within one doc, not across the corpus on one key),
+    // and everything downstream runs on distinct pairs. The previous
+    // shape joined every raw occurrence against the full vocabulary on
+    // Zipf-skewed `wh` — a hot-key shuffle at 100x scale.
+    val pdw = occ.groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // read three times below (df, totals, rare-mass join)
+    // df=1 words appear in exactly ONE doc, so this join is 1:1 per key —
+    // skew-proof by construction — and the rare set is the small side:
+    // broadcast it so the pair rows never shuffle at all.
+    val rare = pdw.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).select(col("wh"))
+    val rareMass = pdw.join(broadcast(rare), Seq("wh"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_rare"))
+    pdw.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_words"))
+      .join(rareMass, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_rare"), lit(0L)).cast(LongType).as("n_rare"))
       .withColumn("rare_frac",
         col("n_rare").cast(DoubleType) / col("n_words").cast(DoubleType))
       .orderBy(col("doc_id"))
@@ -218,14 +231,17 @@ object TextStats extends QueryGroup {
       |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |        FROM documents) WHERE word <> ''),
-      |dfc AS (SELECT wh, COUNT(*) AS df
-      |        FROM (SELECT DISTINCT doc_id, wh FROM occ) GROUP BY wh)
-      |SELECT doc_id, COUNT(*) AS n_words,
-      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-      |  CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS rare_frac
-      |FROM occ JOIN dfc USING (wh)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |pdw AS (SELECT doc_id, wh, COUNT(*) AS cnt FROM occ GROUP BY doc_id, wh),
+      |rare AS (SELECT wh FROM pdw GROUP BY wh HAVING COUNT(*) = 1),
+      |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words
+      |        FROM pdw GROUP BY doc_id),
+      |rm AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_rare
+      |       FROM pdw JOIN rare USING (wh) GROUP BY doc_id)
+      |SELECT tot.doc_id, n_words,
+      |  COALESCE(n_rare, 0) AS n_rare,
+      |  CAST(COALESCE(n_rare, 0) AS DOUBLE) / CAST(n_words AS DOUBLE) AS rare_frac
+      |FROM tot LEFT JOIN rm USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   private val winnowSql =
     """WITH wrd AS (

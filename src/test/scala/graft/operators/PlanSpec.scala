@@ -70,6 +70,28 @@ class PlanSpec extends SparkSuite {
     assert(projLine.exists(_.contains("*(")), p)
   }
 
+  test("lsh_project runs inside whole-stage codegen (no fallback)") {
+    // the round-5 hot-loop claim: the fused LshProject expression must
+    // stay inside a codegen'd Project — the interpreted HOF fold it
+    // replaced cost ~1.7 ms/row
+    val df = SparkEntry.queries("ann_lsh_buckets")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("lsh_project"))
+    assert(projLine.exists(_.contains("*(")), p)
+  }
+
+  test("text_rare_words: rare set broadcasts; no sort-merge join on wh") {
+    val df = SparkEntry.queries("text_rare_words")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the Zipf-skewed word-hash key must never drive a shuffled join —
+    // only the per-doc left join may sort-merge
+    val smjLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.forall(!_.contains("wh")), p)
+  }
+
   test("q01/q04: whole-stage codegen covers the agg pipeline") {
     // AQE hides the final plan until execution — run, then inspect
     Seq("q01_scan_agg", "q04_groupagg_tpch1").foreach { name =>
