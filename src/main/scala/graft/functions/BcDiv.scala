@@ -116,9 +116,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
-      (exprs: Seq[Expression]) => TopKFreqAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        // same guard as shingle_ngrams above: eval() on a non-foldable or
+        // missing argument throws an opaque internal error otherwise
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          "topk_freq(value, k, capacity) takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval() match {
+            case i: java.lang.Number => i.intValue()
+            case _ => throw new IllegalArgumentException(
+              s"topk_freq: $what must be a non-null integer literal")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"topk_freq: $what must be a literal, not an expression")
+        }
+        TopKFreqAgg(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+      }))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the
     // dim-side-bloom / fact-side-prune shape (sketch_bloom) first-class.

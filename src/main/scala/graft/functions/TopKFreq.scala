@@ -19,10 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `capacity` counters; an unseen value evicts the minimum counter and
   * inherits its count as both estimate floor and error bound.
   *
-  * Guarantees (independent of stream or merge order): every value with
-  * true count > N/capacity is present, and every estimate ≥ the value's
-  * true count (estimate − error ≤ true ≤ estimate). Eviction ties break
-  * on the value string so identical inputs give identical buffers.
+  * Presence and bracketing guarantees hold for ANY stream or merge
+  * order: every value with true count > N/capacity is present, and every
+  * estimate ≥ the value's true count (estimate − error ≤ true ≤
+  * estimate). The exact buffer contents and estimates, however, are
+  * order-deterministic only in the no-eviction regime (distinct values ≤
+  * capacity — the registry query's regime): once eviction starts, which
+  * counter a merge evicts depends on the order partial buffers arrive,
+  * which Spark does not fix across runs. Eviction ties break on the
+  * value string so identical merge orders give identical buffers.
   */
 final class SpaceSaving(val capacity: Int) {
   val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty

@@ -404,7 +404,16 @@ object Dedup extends QueryGroup {
   /** All-pairs exact shingle-set Jaccard via a join on shared shingles —
     * join key is a 48-bit md5 prefix so the shuffle carries 8-byte longs
     * (same rows in both engines; 2^-48 collision odds mirrored in the
-    * oracle); stop-shingle cap bounds the pair count. */
+    * oracle); stop-shingle cap bounds the pair count.
+    *
+    * Storage note: the two `.cache()`s below live until
+    * [[graft.core.Release.storage]] runs — Bench/Verify call it after
+    * every query, and a caller composing several registry queries in one
+    * session should do the same, or cached copies accumulate (four
+    * registry queries route through here). Cross-query memoization was
+    * considered and rejected: per-query release would silently strip the
+    * memoized DataFrame's caching and every later reuse would recompute
+    * uncached, which is worse than honestly rebuilding. */
   private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // hash BEFORE distinct so the dedup shuffle already carries longs, and
     // cache the kept set — the plan reads it four times (a-side, b-side,

@@ -133,7 +133,8 @@ object Multimodal {
       |  CAST((ascii(substring(text,3,1))*256 + ascii(substring(text,4,1)))
       |       % 1080 + 1 AS BIGINT) AS height,
       |  CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames,
-      |  CAST(len(list_distinct(list_transform(string_split(text, ''),
-      |       c -> ascii(c)//16))) AS BIGINT) AS feat_nonzero
+      |  CAST(CASE WHEN length(text) = 0 THEN 0
+      |       ELSE len(list_distinct(list_transform(string_split(text, ''),
+      |            c -> ascii(c)//16))) END AS BIGINT) AS feat_nonzero
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -188,6 +188,15 @@ object Sketches extends QueryGroup {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .agg(topkFreq(col("w"), 10, 256).as("tk"))
+      // exactness precondition, asserted LOUDLY: the oracle is the plain
+      // exact top-10, which is only what the sketch returns while nothing
+      // was evicted (err = 0 everywhere). If a fixture/scale change ever
+      // grows the vocabulary past capacity, fail with this message
+      // instead of an inscrutable oracle hash mismatch.
+      .where(assert_true(forall(col("tk"), e => e.getField("err") === 0),
+        lit("sketch_topk: vocabulary exceeded sketch capacity 256 — " +
+          "estimates are now approximate and the exact-count oracle " +
+          "no longer applies")).isNull)
       .select(explode(col("tk")).as("e"))
       .select(col("e.value").as("word"), col("e.est").as("cnt"),
         col("e.err").as("err"))
