@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.functions.GraftFunctions.bc_div
@@ -84,20 +85,65 @@ object MetricPipeline {
     avgs.withColumn("decision", decision)
   }
 
-  /** R16/R17: stateful cooldown + clamp, keyed by cluster. Events inside a
+  /** The R16/R17 cooldown state machine as a Spark 4 `StatefulProcessor`:
+    * one `ValueState[ClusterState]` per cluster, every decision delegated
+    * to the pure [[Scaling.run]] — the processor is only state plumbing,
+    * which is what made the API swap from flatMapGroupsWithState a
+    * thin-wrapper change. */
+  final class ScalingProcessor(
+      rules: Seq[Rule], cons: Constraints, initialCapacity: Int)
+    extends StatefulProcessor[String, WindowAvg, Action] {
+
+    @transient private var st: ValueState[ClusterState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ClusterState]("clusterState",
+        Encoders.product[ClusterState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[WindowAvg],
+        timerValues: TimerValues): Iterator[Action] = {
+      val st0 = if (st.exists()) st.get()
+        else ClusterState(initialCapacity, Map.empty)
+      val (st1, actions) = Scaling.run(rules, cons, st0, rows.toSeq)
+      st.update(st1)
+      actions.iterator
+    }
+  }
+
+  /** R16/R17: stateful cooldown + clamp, keyed by cluster, on Spark 4's
+    * `transformWithState` (the arbitrary-state API that replaces
+    * [[decideLegacy]]'s flatMapGroupsWithState). Events inside a
     * micro-batch are applied in window-end order; state is the pure
-    * [[Scaling.ClusterState]] so semantics equal [[Scaling.run]]. */
+    * [[Scaling.ClusterState]] so semantics equal [[Scaling.run]].
+    *
+    * The operator requires the RocksDB state store provider — callers
+    * launching a query must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` ([[start]] does). */
   def decide(avgs: DataFrame,
       rules: Seq[Rule] = referenceRules,
       cons: Constraints = referenceConstraints,
       initialCapacity: Int = 1): Dataset[Action] = {
     val spark = avgs.sparkSession
     import spark.implicits._
-    val evs = avgs.select(col("clusterId"),
-        unix_timestamp(col("win_end")).as("windowEndSec"),
-        col("avg_value").as("avg"))
-      .as[WindowAvg]
-    evs.groupByKey(_.clusterId)
+    windowEvents(avgs)
+      .groupByKey(_.clusterId)
+      .transformWithState(
+        new ScalingProcessor(rules, cons, initialCapacity),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[decide]] on the legacy flatMapGroupsWithState API — kept while the
+    * old operator remains supported; `MetricPipelineSpec` holds both
+    * implementations to the same golden action sequences. */
+  def decideLegacy(avgs: DataFrame,
+      rules: Seq[Rule] = referenceRules,
+      cons: Constraints = referenceConstraints,
+      initialCapacity: Int = 1): Dataset[Action] = {
+    val spark = avgs.sparkSession
+    import spark.implicits._
+    windowEvents(avgs)
+      .groupByKey(_.clusterId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, events: Iterator[WindowAvg],
          state: GroupState[ClusterState]) => {
@@ -110,6 +156,25 @@ object MetricPipeline {
         })
   }
 
+  private def windowEvents(avgs: DataFrame): Dataset[WindowAvg] = {
+    val spark = avgs.sparkSession
+    import spark.implicits._
+    avgs.select(col("clusterId"),
+        unix_timestamp(col("win_end")).as("windowEndSec"),
+        col("avg_value").as("avg"))
+      .as[WindowAvg]
+  }
+
+  /** The RocksDB provider `transformWithState` requires; set on the
+    * session at query launch unless the caller already chose a
+    * RocksDB-backed provider. */
+  def ensureRocksDbStateStore(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    if (!spark.conf.getOption(key).exists(_.contains("RocksDB")))
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+
   /** Full streaming query: source → parse → window → decide → foreachBatch
     * sink, on the reference's 30 s processing-time trigger (R13).
     * `sink` receives each micro-batch of actions (R12's put-metric-data
@@ -118,6 +183,7 @@ object MetricPipeline {
       sink: (DataFrame, Long) => Unit,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")) = {
+    ensureRocksDbStateStore(payloads.sparkSession)
     val actions = decide(windowAvg(parseRmPayload(payloads, clusterId)))
     actions.toDF().writeStream
       .outputMode(OutputMode.Append)

@@ -65,12 +65,18 @@ class MetricPipelineSpec extends SparkSuite {
       50.0 -> "hold", 80.0 -> "scale-in"))
   }
 
-  test("R16/R17: streaming cooldown state machine emits the expected action sequence") {
+  /** Drives the scripted low-usage epochs through a cooldown
+    * implementation and returns the emitted action tuples — the shared
+    * golden harness for the transformWithState `decide` and the legacy
+    * flatMapGroupsWithState `decideLegacy`. */
+  private def cooldownGolden(
+      impl: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.Dataset[
+        graft.state.Scaling.Action],
+      sinkName: String): Seq[(String, Long, Int, Int)] = {
     val input = MemoryStream[MetricPoint](spark)
-    val actions = decide(
-      windowAvg(input.toDS(), window_ = "5 minutes", slide = "5 minutes"),
-      initialCapacity = 0)
-    val q = actions.toDF().writeStream.format("memory").queryName("act_out")
+    val actions = impl(
+      windowAvg(input.toDS(), window_ = "5 minutes", slide = "5 minutes"), 0)
+    val q = actions.toDF().writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Append).start()
     try {
       // epoch 1: low usage in windows [0,300) and [300,600) — the second
@@ -85,17 +91,31 @@ class MetricPipelineSpec extends SparkSuite {
       q.processAllAvailable()
       input.addData(MetricPoint(ts(5000), "j-1", "m", 50.0))
       q.processAllAvailable()
-      val acts = spark.table("act_out")
+      spark.table(sinkName)
         .orderBy("atSec").collect()
         .map(r => (r.getAs[String]("rule"), r.getAs[Long]("atSec"),
           r.getAs[Int]("from"), r.getAs[Int]("to"))).toSeq
-      assert(acts == Seq(
-        ("scale-out", 300L, 0, 5),   // window [0,300) fires
-        // window [300,600) suppressed by cooldown (600-300 < 300 is false…
-        // actually 600-300 == 300 → NOT in cooldown → fires)
-        ("scale-out", 600L, 5, 10),
-        ("scale-out", 1200L, 10, 15)))
     } finally q.stop()
+  }
+
+  private val cooldownExpected = Seq(
+    ("scale-out", 300L, 0, 5),   // window [0,300) fires
+    // window [300,600) suppressed by cooldown (600-300 < 300 is false…
+    // actually 600-300 == 300 → NOT in cooldown → fires)
+    ("scale-out", 600L, 5, 10),
+    ("scale-out", 1200L, 10, 15))
+
+  test("R16/R17: transformWithState cooldown emits the expected action sequence") {
+    ensureRocksDbStateStore(spark)
+    assert(cooldownGolden(
+      (avgs, cap0) => decide(avgs, initialCapacity = cap0),
+      "act_out_tws") == cooldownExpected)
+  }
+
+  test("R16/R17: legacy flatMapGroupsWithState agrees with the golden sequence") {
+    assert(cooldownGolden(
+      (avgs, cap0) => decideLegacy(avgs, initialCapacity = cap0),
+      "act_out_legacy") == cooldownExpected)
   }
 
   test("watermark drops late rows beyond the delay") {
