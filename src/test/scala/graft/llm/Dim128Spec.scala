@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, LongType}
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Wide-embedding stress: the LSH/IVF/centroid family is exercised at
+  * dim 128 — between the fixture's dim 64 and the 256-dim plane-matrix
+  * guard — so the guard's "supports dims ≤ 256" claim is tested by a
+  * dimension the standard fixtures never reach, and the guard itself is
+  * shown to fire (not silently truncate) past 256. */
+class Dim128Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim128Dir = {
+    val dir = graft.core.Fixtures.path("dim128")
+    // deterministic synthetic embeddings: value is pure index arithmetic,
+    // 10 labels, 200 vectors of dim 128
+    val rows = (0L until 200L).map { id =>
+      val emb = Array.tabulate(128) { i =>
+        (((id * 131 + i * 17 + 7) % 97) - 48).toFloat / 10.0f
+      }
+      (id, emb, (id % 10).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("lshInput admits dim-128 vectors without tripping the 256 guard") {
+    val n = Dedup.lshInput(spark, dim128Dir).count()
+    assert(n == 200L)
+  }
+
+  test("ann_lsh_buckets at dim 128: one bucket per vector, matches the HOF fold") {
+    val got = SparkEntry.queries("ann_lsh_buckets")(spark, dim128Dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    // independent recomputation through the interpreted HOF formulation
+    // the codegen'd LshProject replaced — full-dim cross-check
+    val hof = graft.core.Tables.embeddings(spark, dim128Dir)
+      .select(col("vec_id"), typedLit(Dedup.lshDirs).as("dirs"), col("embedding"))
+      .selectExpr("vec_id",
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + IF(
+          |    aggregate(
+          |      zip_with(embedding,
+          |        slice(element_at(dirs, p + 1), 1, size(embedding)),
+          |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
+          |      CAST(0 AS DECIMAL(38,10)),
+          |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS b""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hof)
+  }
+
+  test("ann_ivf_topk at dim 128: 5 probes x top-5, self excluded") {
+    val rows = SparkEntry.queries("ann_ivf_topk")(spark, dim128Dir).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+  }
+
+  test("emb_centroid_stats at dim 128: one row per label") {
+    val rows = SparkEntry.queries("emb_centroid_stats")(spark, dim128Dir).collect()
+    assert(rows.length == 10)
+  }
+
+  test("dim past the plane matrix fails loudly, never truncates") {
+    val wide = Seq((0L, Array.fill(300)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = graft.core.Fixtures.path("dim300")
+    wide.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Dedup.lshInput(spark, dir)
+        .select(Dedup.lshBucket(8).as("b")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("LSH plane matrix")), ex.toString)
+  }
+}
