@@ -16,7 +16,11 @@ object SparkEntry {
         // batched binary decode (stubbed codec); scalar projection with a
         // DuckDB replay of the stub arithmetic (ASCII payloads)
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d),
-          Some(Multimodal.decodedDigestSql)))
+          Some(Multimodal.decodedDigestSql)),
+        // REAL codec path: honest 24bpp-BMP parse of generated real BMP
+        // bytes; oracle re-parses the same bytes independently in SQL
+        "multimodal_bmp" -> QueryDef((s, d) => Multimodal.bmpDecode(s, d),
+          Some(Multimodal.bmpDecodeSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

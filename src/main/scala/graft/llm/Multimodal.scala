@@ -125,6 +125,158 @@ object Multimodal {
           .as("feat_nonzero"))
       .orderBy(col("doc_id"))
 
+  // ---- Real codec path: 24-bit BMP ---------------------------------------
+  // The one image format a pure JVM can parse honestly with zero native
+  // libraries: uncompressed 24bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  // bottom-up rows padded to 4 bytes). The fixture generator writes real
+  // BMP files as binary payloads; [[decodeBmp]] parses the actual bytes —
+  // width/height/pixels come from the HEADER, not from metadata — and the
+  // oracle re-parses the same bytes independently in SQL (hex-string
+  // little-endian field extraction). This makes the decode query honest
+  // end-to-end; [[decodeStub]] remains only for the fake/raw payloads.
+
+  final case class BmpRow(doc_id: Long, media: Array[Byte])
+  final case class BmpDecoded(
+      doc_id: Long, width: Long, height: Long, n_px: Long,
+      px_sum: Long, mean_px: Double)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Real 24bpp-BMP encoder (fixture generation only): bottom-up rows,
+    * zero padding to 4-byte row boundaries, 54-byte header. */
+  def encodeBmp24(width: Int, height: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp dims must be positive")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, width); put32(22, height)
+    out(26) = 1; out(28) = 24 // planes = 1, bpp = 24
+    put32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          out(rowOff + x * 3 + c) = (pixel(x, y, c) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real BMP parse: validates magic/bpp/compression, reads width/height
+    * and the pixel offset FROM THE HEADER, walks bottom-up rows skipping
+    * the 4-byte padding. Malformed payloads fail loudly. */
+  def decodeBmp(bytes: Array[Byte]): BmpDecoded = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (${bytes.length} bytes)")
+    val pxOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= pxOff + rowSize * height, "truncated pixel data")
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val rowOff = pxOff + y * rowSize
+      var i = 0
+      while (i < width * 3) { // walk pixels only; padding skipped
+        sum += bytes(rowOff + i) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    BmpDecoded(-1L, width, height, width.toLong * height, sum,
+      sum.toDouble / (width.toLong * height * 3).toDouble)
+  }
+
+  /** Deterministic BMP fixture: 200 real images, dims and pixels pure
+    * index arithmetic on doc_id, written once as a binary-column parquet
+    * both engines read byte-identically. Padding bytes are zero, which
+    * the oracle's whole-tail pixel sum relies on (the engine's parser
+    * skips padding structurally). */
+  object BmpFixture {
+    val path: String = graft.core.Fixtures.path("bmp_media.parquet")
+    def ensure(spark: SparkSession): String = synchronized {
+      if (!new java.io.File(path).exists()) {
+        import spark.implicits._
+        val rows = (0L until 200L).map { id =>
+          val w = (id % 16 + 1).toInt
+          val h = (id % 8 + 1).toInt
+          BmpRow(id, encodeBmp24(w, h,
+            (x, y, c) => ((id * 7 + y * 31 + x * 13 + c * 5) % 256).toInt))
+        }
+        rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
+  /** Registry query: real BMP payloads → partition-batched real decode.
+    * Every output column derives from bytes the parser actually read. */
+  def bmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = BmpFixture.ensure(spark)
+    spark.read.parquet(p).as[BmpRow]
+      .mapPartitions { rows =>
+        // a real codec library would initialize here, once per batch
+        rows.map(r => decodeBmp(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[bmpDecode]]: re-parses the BMP bytes in SQL —
+    * little-endian header fields from hex pairs, pixel sum over the
+    * post-header tail (zero padding makes tail-sum == pixel-sum). */
+  val bmpDecodeSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${BmpFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(18, 4)} AS width,
+       |    ${leField(22, 4)} AS height,
+       |    ${leField(10, 4)} AS px_off,
+       |    octet_length(media) AS nbytes
+       |  FROM raw)
+       |SELECT doc_id, width, height, width * height AS n_px,
+       |  CAST(list_sum(list_transform(range(px_off, nbytes),
+       |    i -> CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS INT)))
+       |    AS BIGINT) AS px_sum,
+       |  CAST(list_sum(list_transform(range(px_off, nbytes),
+       |    i -> CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS INT)))
+       |    AS DOUBLE) / CAST(width * height * 3 AS DOUBLE) AS mean_px
+       |FROM hdr ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
   val decodedDigestSql: String =
     """SELECT doc_id, 'fake/raw' AS format,

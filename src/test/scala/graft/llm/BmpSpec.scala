@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+import graft.llm.Multimodal._
+
+/** The real-codec multimodal path: a genuine 24bpp BMP encoder/parser
+  * pair — the spec proves the parser reads actual header/pixel bytes
+  * (not metadata), rejects malformed payloads, and that the registry
+  * query decodes the generated fixture end-to-end. */
+class BmpSpec extends SparkSuite {
+
+  test("encode/decode round-trip recovers dims and exact pixel sum") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (4, 4), (16, 8), (5, 7))) {
+      val px = (x: Int, y: Int, c: Int) => (x * 7 + y * 11 + c * 3) % 256
+      val bytes = encodeBmp24(w, h, px)
+      val d = decodeBmp(bytes)
+      assert(d.width == w && d.height == h && d.n_px == w.toLong * h)
+      val expected = (for {
+        y <- 0 until h; x <- 0 until w; c <- 0 until 3
+      } yield px(x, y, c).toLong).sum
+      assert(d.px_sum == expected, s"${w}x$h")
+      assert(d.mean_px == expected.toDouble / (w * h * 3))
+    }
+  }
+
+  test("parser reads the header, not assumptions: row padding skipped") {
+    // width 3 -> row stride 12 with 3 padding bytes; poison the padding
+    // and the pixel sum must NOT change
+    val bytes = encodeBmp24(3, 2, (_, _, _) => 10)
+    val poisoned = bytes.clone()
+    poisoned(54 + 9) = 0x7f.toByte // first row's padding region
+    poisoned(54 + 10) = 0x7f.toByte
+    poisoned(54 + 11) = 0x7f.toByte
+    assert(decodeBmp(poisoned).px_sum == decodeBmp(bytes).px_sum)
+  }
+
+  test("malformed payloads fail loudly") {
+    intercept[IllegalArgumentException](decodeBmp(Array[Byte](1, 2, 3)))
+    val bad = encodeBmp24(2, 2, (_, _, _) => 0)
+    bad(28) = 8 // 8bpp — unsupported variant must be rejected
+    intercept[IllegalArgumentException](decodeBmp(bad))
+    val truncated = encodeBmp24(4, 4, (_, _, _) => 1).take(60)
+    intercept[IllegalArgumentException](decodeBmp(truncated))
+  }
+
+  test("registry query decodes the generated BMP fixture") {
+    val rows = SparkEntry.queries("multimodal_bmp")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    // doc 0: 1x1 image, pixels (c*5 % 256) for c=0,1,2 -> sum 15
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == 1L && r0.getLong(2) == 1L)
+    assert(r0.getLong(4) == 15L)
+    assert(rows.forall(r => r.getLong(3) == r.getLong(1) * r.getLong(2)))
+  }
+}
