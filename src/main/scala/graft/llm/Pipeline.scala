@@ -313,6 +313,81 @@ object Pipeline extends QueryGroup {
        |  "offset" // $packBudget AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- decontaminate: benchmark n-gram overlap flags --------------------
+  // The eval-set decontamination step every training pipeline runs before
+  // a model sees the corpus: flag any document sharing an 8-gram with the
+  // held-out benchmark set. Here the "benchmark" is the doc_id % 5 == 0
+  // slice (a deterministic stand-in for a real eval suite); at 100 TB the
+  // benchmark shingle set is tiny relative to the corpus — it broadcasts,
+  // so corpus shingles never shuffle for the membership test. Shingles are
+  // 48-bit-hashed BEFORE the distinct (8-byte shuffle keys, the
+  // Dedup.scala rule); the contamination fraction divides exact longs.
+  private val benchMod = 5
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh8 = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.shingleNgrams(col("text"), 8)).as("sh"))
+      .select(col("doc_id"), h48(col("sh")).as("shh"))
+      .distinct()
+      .cache() // read three times (bench build, overlap probe, totals)
+    val bench = sh8.filter(col("doc_id") % benchMod === 0)
+      .select(col("shh")).distinct()
+    val corpus = sh8.filter(col("doc_id") % benchMod =!= 0)
+    val overlap = corpus.join(broadcast(bench), Seq("shh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    // docs too short for any 8-gram still appear: zero shingles, clean
+    T.documents(s, d).filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contam_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)))
+      .withColumn("is_clean", col("n_overlap") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH wrd AS (
+       |  SELECT doc_id, word, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) WHERE word <> ''),
+       |shg8 AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sh,
+       |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_in
+       |    FROM wrd) WHERE n_in = 8),
+       |sh8 AS (SELECT DISTINCT doc_id,
+       |          CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS shh
+       |        FROM shg8),
+       |bench AS (SELECT DISTINCT shh FROM sh8 WHERE doc_id % $benchMod = 0),
+       |corp AS (SELECT * FROM sh8 WHERE doc_id % $benchMod <> 0),
+       |ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+       |       FROM corp JOIN bench USING (shh) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles
+       |        FROM corp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(tot.n_shingles, 0) AS n_shingles,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CASE WHEN COALESCE(tot.n_shingles, 0) = 0 THEN 0.0
+       |       ELSE CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) /
+       |            CAST(tot.n_shingles AS DOUBLE) END AS contam_frac,
+       |  COALESCE(ov.n_overlap, 0) = 0 AS is_clean
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $benchMod <> 0) d
+       |LEFT JOIN tot USING (doc_id)
+       |LEFT JOIN ov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
@@ -321,5 +396,6 @@ object Pipeline extends QueryGroup {
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
+    "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
   )
 }

@@ -72,6 +72,23 @@ class PipelineSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("decontaminate: benchmark set broadcasts; flags are self-consistent") {
+    val df = run("decontaminate_ngram")
+    val rows = df.collect()
+    // no benchmark doc in the output; flags agree with the counts
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 5 != 0))
+    assert(rows.forall { r =>
+      val (nSh, nOv) = (r.getLong(1), r.getLong(2))
+      nOv <= nSh && (r.getBoolean(4) == (nOv == 0)) &&
+        r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
+    })
+    // the membership test must run as a broadcast join (the benchmark
+    // shingle set is the small side at any scale)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
