@@ -100,6 +100,53 @@ object EmbStats extends QueryGroup {
       |  CAST(MAX(cosd) AS DOUBLE) AS max_cos
       |FROM cosd GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- emb_quantize_int8: per-vector symmetric int8 quantization --------
+  // The storage/serving compression step for embedding tables: per-vector
+  // absmax scale, q_i = half-up(v_i * 127 / scale) in [-127, 127]. A
+  // shuffle-free narrow map (per-row array HOFs; at 100 TB this is an
+  // embarrassingly parallel rewrite pass), digested to scalar columns for
+  // the driver's hasher. Rounding is floor(x + 0.5) — half-toward-+inf,
+  // pure IEEE arithmetic on identical doubles in both engines — NOT
+  // round(), whose decimal-repr ties Spark and DuckDB settle differently
+  // (the q6 lesson above).
+  private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast(DoubleType))
+    T.embeddings(s, d)
+      .select(col("vec_id"), embD.as("emb"),
+        array_max(transform(embD, v => abs(v))).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("emb"), v =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(v * lit(127.0) / col("scale") + lit(0.5))
+              .cast(LongType))).as("q"))
+      .select(col("vec_id"), col("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(col("q"), x => abs(x) === 127)).cast(LongType)
+          .as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeInt8Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> abs(v))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(emb, v -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(floor(v * 127.0 / scale + 0.5) AS BIGINT) END) AS qa
+      |  FROM e)
+      |SELECT vec_id, scale,
+      |  CAST(list_min(qa) AS BIGINT) AS q_min,
+      |  CAST(list_max(qa) AS BIGINT) AS q_max,
+      |  CAST(list_sum(qa) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(qa, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
-    "emb_centroid_stats" -> QueryDef(centroidStats, Some(centroidStatsSql)))
+    "emb_centroid_stats" -> QueryDef(centroidStats, Some(centroidStatsSql)),
+    "emb_quantize_int8" -> QueryDef(quantizeInt8, Some(quantizeInt8Sql)))
 }

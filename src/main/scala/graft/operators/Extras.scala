@@ -180,11 +180,63 @@ object Extras extends QueryGroup {
       |  ON e.user_id = r.r_user AND CAST(e.ts AS TIMESTAMP) >= r.r_ts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---- q54: nearest-direction as-of lookup ------------------------------
+  // Completes the as-of family (backward q38/q41, forward q53): each event
+  // resolves to the purchase with the smallest |time delta| in its user's
+  // stream, ties to the earlier side. Two windows over ONE sort — the
+  // backward last() and forward first() share the same partition/order, so
+  // Spark plans a single per-user sort and no join at all; exact
+  // microsecond deltas keep the tie rule portable.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val order = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val back = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val purchase = when(col("event_type") === "purchase",
+      struct(unix_micros(col("ts")).as("pus"), col("value").as("pv")))
+    T.events(s, d)
+      .withColumn("prev", last(purchase, ignoreNulls = true).over(back))
+      .withColumn("next", first(purchase, ignoreNulls = true).over(fwd))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("nearest_purchase_value",
+        when(col("prev").isNull, col("next.pv"))
+          .when(col("next").isNull, col("prev.pv"))
+          .when(col("us") - col("prev.pus") <= col("next.pus") - col("us"),
+            col("prev.pv"))
+          .otherwise(col("next.pv")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("nearest_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q54Sql =
+    """WITH x AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN
+      |        struct_pack(pus := epoch_us(CAST(ts AS TIMESTAMP)), pv := value)
+      |      END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN
+      |        struct_pack(pus := epoch_us(CAST(ts AS TIMESTAMP)), pv := value)
+      |      END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+      |  FROM events)
+      |SELECT event_id, user_id, ts, event_type,
+      |  CASE WHEN prev IS NULL THEN next.pv
+      |       WHEN next IS NULL THEN prev.pv
+      |       WHEN us - prev.pus <= next.pus - us THEN prev.pv
+      |       ELSE next.pv END AS nearest_purchase_value
+      |FROM x ORDER BY event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q36_generator_outer" -> QueryDef(q36, Some(q36Sql)),
     "q37_json_source_bcdiv" -> QueryDef(q37, Some(q37Sql)),
     "q38_asof_join" -> QueryDef(q38, Some(q38Sql)),
     "q53_asof_forward" -> QueryDef(q53, Some(q53Sql)),
+    "q54_asof_nearest" -> QueryDef(q54, Some(q54Sql)),
     "q39_skew_salted_join" -> QueryDef(q39, Some(q39Sql)),
     "q41_asof_native" -> QueryDef(q41, Some(q41Sql)),
   )
