@@ -388,6 +388,85 @@ object Pipeline extends QueryGroup {
        |LEFT JOIN ov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- text_dedup_spans: span-level duplicate REMOVAL -------------------
+  // The rewrite counterpart of the text_boilerplate SIGNAL: any word
+  // position covered by a 5-gram appearing in >= 2 distinct docs is
+  // dropped, and the cleaned text is rebuilt in position order — the
+  // C4-style span dedup step, as a transform. Shingles are 48-bit-hashed
+  // before any shuffle (the Dedup.scala rule). The dup-shingle join is
+  // 1:1 per shingle occurrence (the dup side is distinct), so a
+  // boilerplate span shared by a million docs costs one row per
+  // occurrence — linear, never quadratic. Rebuild is a per-doc
+  // array_sort over (pos, word) structs: position is unique per doc, so
+  // the order — hence the rebuilt text — is total and oracle-portable.
+  private def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val wrd = Dedup.words(T.documents(s, d)).select("doc_id", "pos", "word")
+    val hsh = Dedup.shingles(T.documents(s, d))
+      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
+      .cache() // read twice: df computation + coverage join
+    val dup = hsh.select(col("doc_id"), col("shh")).distinct()
+      .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("shh"))
+    val cov = hsh.join(dup, Seq("shh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
+      .distinct()
+    val kept = wrd.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word"))).as("cleaned"))
+    val tot = wrd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    T.documents(s, d).select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        (coalesce(col("n_words"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSpansSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |shg AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos,
+      |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sh,
+      |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
+      |    FROM wrd) WHERE n_in = 5),
+      |hsh AS (SELECT doc_id, pos,
+      |          CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS shh
+      |        FROM shg),
+      |dup AS (SELECT shh FROM (SELECT DISTINCT doc_id, shh FROM hsh)
+      |        GROUP BY shh HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT h.doc_id, h.pos + o AS pos
+      |        FROM hsh h JOIN dup USING (shh)
+      |        CROSS JOIN (SELECT unnest(range(5)) AS o)),
+      |kept AS (SELECT w.doc_id, w.pos, w.word FROM wrd w
+      |         LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |          string_agg(word, ' ' ORDER BY pos) AS cleaned
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_words FROM wrd GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(tot.n_words, 0) AS n_words,
+      |  COALESCE(tot.n_words, 0) - COALESCE(agg.n_kept, 0) AS n_removed,
+      |  COALESCE(agg.cleaned, '') AS cleaned
+      |FROM documents d
+      |LEFT JOIN tot USING (doc_id)
+      |LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
@@ -397,5 +476,6 @@ object Pipeline extends QueryGroup {
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
+    "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
   )
 }

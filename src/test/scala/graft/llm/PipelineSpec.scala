@@ -89,6 +89,27 @@ class PipelineSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup spans: untouched docs round-trip; removal bounded by word count") {
+    val df = run("text_dedup_spans")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, rm) = (r.getLong(1), r.getLong(2))
+      rm >= 0 && rm <= n
+    })
+    // the fixture has exact/near duplicates, so some spans ARE removed
+    assert(rows.map(_.getLong(2)).sum > 0)
+    // a doc with nothing removed must rebuild to its own (normalized)
+    // word sequence — proves the position-ordered reconstruction
+    val orig = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).mkString(" "))
+      .toMap
+    rows.filter(_.getLong(2) == 0).foreach { r =>
+      assert(r.getString(3) == orig(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
