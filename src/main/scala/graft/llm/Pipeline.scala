@@ -467,6 +467,98 @@ object Pipeline extends QueryGroup {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- ingest_dedup_incremental: new batch vs corpus fingerprints -------
+  // The ingest-time twin of q30's batch dedup: an incoming batch (the
+  // doc_id % 4 == 0 slice as the deterministic stand-in) resolves each
+  // document's exact fingerprint against the already-ingested corpus,
+  // emitting the existing canonical id or a new-document flag. One
+  // aggregation over the corpus side plus a left join keyed on the
+  // 128-bit fingerprint — at 100 TB the corpus side is a pre-computed
+  // fingerprint table read once, and the join shuffles only 16-byte keys.
+  private def ingestDedup(s: SparkSession, d: String): DataFrame = {
+    val all = T.documents(s, d).select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val existing = all.filter(col("doc_id") % 4 =!= 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
+    all.filter(col("doc_id") % 4 === 0)
+      .join(existing, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ingestDedupSql =
+    """WITH f AS (SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |ex AS (SELECT fp, MIN(doc_id) AS dup_of FROM f
+      |       WHERE doc_id % 4 <> 0 GROUP BY fp)
+      |SELECT f.doc_id, f.fp, ex.dup_of, ex.dup_of IS NULL AS is_new
+      |FROM f LEFT JOIN ex USING (fp)
+      |WHERE f.doc_id % 4 = 0
+      |ORDER BY f.doc_id""".stripMargin
+
+  // ---- curate_verdict: the end-to-end keep/drop decision ----------------
+  // What the whole curation layer exists to produce: one row per corpus
+  // document with the keep flag and the reasons it failed — exact-dup
+  // canonicality (q30's fingerprint), benchmark contamination, length,
+  // and repetition composed into a single verdict. Each input is the
+  // already-proven pipeline; the composition is three doc_id equi-joins,
+  // which AQE plans as shuffle joins on the same key — no new scale
+  // surface beyond the components'.
+  private def curateVerdict(s: SparkSession, d: String): DataFrame = {
+    val rep = repetition(s, d).select(col("doc_id"), col("n_words"),
+      (col("n_uniq_words").cast(DoubleType) /
+        col("n_words").cast(DoubleType)).as("uniq_frac"))
+    val dec = decontaminate(s, d).select(col("doc_id"), col("is_clean"))
+    val canon = T.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"),
+        (col("doc_id") === col("first_doc")).as("is_canonical"))
+    dec.join(rep, Seq("doc_id")).join(canon, Seq("doc_id"))
+      .withColumn("keep",
+        col("is_clean") && col("is_canonical") &&
+          col("n_words") >= 5 && col("uniq_frac") >= 0.25)
+      .withColumn("reasons", concat_ws(",",
+        when(!col("is_clean"), lit("contaminated")),
+        when(!col("is_canonical"), lit("duplicate")),
+        when(col("n_words") < 5, lit("too_short")),
+        when(col("uniq_frac") < 0.25, lit("repetitive"))))
+      .select(col("doc_id"), col("n_words"), col("uniq_frac"),
+        col("keep"), col("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val curateVerdictSql =
+    s"""WITH rep AS (SELECT doc_id, n_words, n_uniq_words
+       |            FROM ($repetitionSql)),
+       |dec AS (SELECT doc_id, is_clean FROM ($decontaminateSql)),
+       |canon AS (SELECT doc_id,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY
+       |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+       |    AS is_canonical
+       |  FROM documents)
+       |SELECT dec.doc_id, rep.n_words,
+       |  CAST(rep.n_uniq_words AS DOUBLE) / CAST(rep.n_words AS DOUBLE)
+       |    AS uniq_frac,
+       |  dec.is_clean AND canon.is_canonical AND rep.n_words >= 5
+       |    AND CAST(rep.n_uniq_words AS DOUBLE) / CAST(rep.n_words AS DOUBLE)
+       |        >= 0.25 AS keep,
+       |  concat_ws(',',
+       |    CASE WHEN NOT dec.is_clean THEN 'contaminated' END,
+       |    CASE WHEN NOT canon.is_canonical THEN 'duplicate' END,
+       |    CASE WHEN rep.n_words < 5 THEN 'too_short' END,
+       |    CASE WHEN CAST(rep.n_uniq_words AS DOUBLE) /
+       |              CAST(rep.n_words AS DOUBLE) < 0.25
+       |         THEN 'repetitive' END) AS reasons
+       |FROM dec
+       |JOIN rep USING (doc_id)
+       |JOIN canon USING (doc_id)
+       |ORDER BY dec.doc_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
@@ -477,5 +569,7 @@ object Pipeline extends QueryGroup {
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
+    "curate_verdict" -> QueryDef(curateVerdict, Some(curateVerdictSql)),
+    "ingest_dedup_incremental" -> QueryDef(ingestDedup, Some(ingestDedupSql)),
   )
 }

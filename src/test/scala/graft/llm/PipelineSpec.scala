@@ -110,6 +110,31 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("curate verdict: keep iff reasons empty; every reason is a real failure") {
+    val rows = run("curate_verdict").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getBoolean(3)
+      val reasons = r.getString(4)
+      assert(keep == reasons.isEmpty, s"doc ${r.getLong(0)}: $keep / '$reasons'")
+      if (reasons.contains("too_short")) assert(r.getLong(1) < 5)
+      if (reasons.contains("repetitive")) assert(r.getDouble(2) < 0.25)
+    }
+    // 'duplicate' reasons must match the independently computed
+    // non-canonical set (may legitimately be empty at this sf)
+    val fps = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.replaceAll("\\s+", " ").toLowerCase)
+    val firstByFp = fps.groupBy(_._2).map { case (fp, ds) =>
+      fp -> ds.map(_._1).min
+    }
+    val expectDup = fps.collect {
+      case (id, fp) if id % 5 != 0 && firstByFp(fp) != id => id
+    }.toSet
+    assert(rows.filter(_.getString(4).contains("duplicate"))
+      .map(_.getLong(0)).toSet == expectDup)
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
