@@ -38,19 +38,27 @@ object Bench {
     // — clearCache() alone leaves localCheckpoint blocks pinned
     // (core/Release.scala), and 97 queries of accumulated blocks + GC
     // pressure inflated late-sequence queries up to 48x in round 4.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    def onePass(): Seq[(String, Double)] = selected.map { case (name, q) =>
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+    // a failed pass records None, NOT its time-to-crash — min() over a
+    // 1-second OOM and an 8-second success must report 8s, or a
+    // regression masquerades as a speedup in the gate artifact
+    def onePass(): Seq[(String, Option[Double])] = selected.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      finally graft.core.Release.storage(spark)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+        finally graft.core.Release.storage(spark)
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val passes = (1 to iters).map(_ => onePass())
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
-      name -> passes.map(_(i)._2).min
+      val times = passes.flatMap(_(i)._2)
+      // every pass failed: -1 is an unmistakable failure marker the JSON
+      // consumer can't mistake for a fast query
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

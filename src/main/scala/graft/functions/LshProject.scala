@@ -71,6 +71,10 @@ case class LshProject(child: Expression, dirs: Seq[Seq[Int]], nPlanes: Int)
     val sums = new Array[Long](nPlanes)
     var i = 0
     while (i < n) {
+      // a null element null-propagated every plane's decimal sum in the
+      // HOF fold this replaces — its `sum > 0` was null, so every IF took
+      // the 0 branch and the bucket was 0; replicate exactly
+      if (arr.isNullAt(i)) return 0L
       val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       val sc = LshProject.scale10(v)
       var p = 0
@@ -101,6 +105,7 @@ case class LshProject(child: Expression, dirs: Seq[Seq[Int]], nPlanes: Int)
       val sc = ctx.freshName("sc")
       val bkt = ctx.freshName("bkt")
       val get = getter.format(arr, i)
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $arr.numElements();
          |if ($n > $rowLen) {
@@ -108,7 +113,9 @@ case class LshProject(child: Expression, dirs: Seq[Seq[Int]], nPlanes: Int)
          |    " exceeds the $rowLen-dim LSH plane matrix");
          |}
          |long[] $sums = new long[$nPlanes];
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n && !$hasNull; $i++) {
+         |  if ($arr.isNullAt($i)) { $hasNull = true; break; }
          |  long $sc = graft.functions.LshProject.scale10($get);
          |  for (int $p = 0; $p < $nPlanes; $p++) {
          |    $sums[$p] = java.lang.Math.addExact($sums[$p],
@@ -116,8 +123,10 @@ case class LshProject(child: Expression, dirs: Seq[Seq[Int]], nPlanes: Int)
          |  }
          |}
          |long $bkt = 0L;
-         |for (int $p = 0; $p < $nPlanes; $p++) {
-         |  if ($sums[$p] > 0) $bkt |= (1L << $p);
+         |if (!$hasNull) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    if ($sums[$p] > 0) $bkt |= (1L << $p);
+         |  }
          |}
          |${ev.value} = $bkt;
        """.stripMargin
@@ -133,12 +142,22 @@ object LshProject {
     * Spark's exact cast path: shortest decimal representation of the
     * double (`Double.toString`), then HALF_UP at scale 10. Kept in a
     * static-forwardable method so generated code shares one definition
-    * with the interpreted path. `longValueExact` makes a vector whose
-    * magnitude cannot fit DECIMAL(20,10) fail loudly instead of wrapping. */
+    * with the interpreted path.
+    *
+    * Range carve-out vs the HOF fold: elements with |v| above ~0.92e9
+    * have a scale-10 unscaled value past Long.MAX — the decimal fold
+    * still computed those; this path fails loudly instead. Embeddings
+    * live in unit-ish ranges, so a value that size is corrupt input, and
+    * a clear error beats a silently different bucket. */
   def scale10(v: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
+    try new java.math.BigDecimal(java.lang.Double.toString(v))
       .setScale(10, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
+    catch {
+      case _: ArithmeticException => throw new IllegalStateException(
+        s"lsh_project: |element| = ${math.abs(v)} exceeds the ~9.2e8 " +
+          "magnitude limit of the exact scale-10 long representation")
+    }
 
   /** Column form over an `array<float>`/`array<double>` embedding. */
   def bucket(vec: Column, dirs: Seq[Seq[Int]], nPlanes: Int): Column =

@@ -112,6 +112,11 @@ object EmbStats extends QueryGroup {
   private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
     val embD = transform(col("embedding"), x => x.cast(DoubleType))
     T.embeddings(s, d)
+      // empty vectors excluded EXPLICITLY (mirrored in the oracle): the
+      // engines disagree on an empty fold (Spark aggregate seed 0 vs
+      // DuckDB list_sum NULL), so admitting them would be a silent
+      // parity landmine — same guard rationale as Dedup.lshInput
+      .where(size(col("embedding")) > 0)
       .select(col("vec_id"), embD.as("emb"),
         array_max(transform(embD, v => abs(v))).as("scale"))
       .select(col("vec_id"), col("scale"),
@@ -133,7 +138,7 @@ object EmbStats extends QueryGroup {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
       |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
       |      v -> abs(v))) AS scale
-      |  FROM embeddings),
+      |  FROM embeddings WHERE len(embedding) > 0),
       |q AS (
       |  SELECT vec_id, scale,
       |    list_transform(emb, v -> CASE WHEN scale = 0 THEN 0

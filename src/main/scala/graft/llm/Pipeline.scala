@@ -317,9 +317,11 @@ object Pipeline extends QueryGroup {
   // The eval-set decontamination step every training pipeline runs before
   // a model sees the corpus: flag any document sharing an 8-gram with the
   // held-out benchmark set. Here the "benchmark" is the doc_id % 5 == 0
-  // slice (a deterministic stand-in for a real eval suite); at 100 TB the
-  // benchmark shingle set is tiny relative to the corpus — it broadcasts,
-  // so corpus shingles never shuffle for the membership test. Shingles are
+  // slice (a deterministic stand-in for a real eval suite). No broadcast
+  // HINT on the membership join: a real benchmark (a few eval sets) is
+  // tiny and AQE broadcasts it on its own, but this slice stand-in grows
+  // WITH the corpus, and forcing it to the driver would OOM at scale —
+  // size-based planning picks the right join either way. Shingles are
   // 48-bit-hashed BEFORE the distinct (8-byte shuffle keys, the
   // Dedup.scala rule); the contamination fraction divides exact longs.
   private val benchMod = 5
@@ -333,7 +335,7 @@ object Pipeline extends QueryGroup {
     val bench = sh8.filter(col("doc_id") % benchMod === 0)
       .select(col("shh")).distinct()
     val corpus = sh8.filter(col("doc_id") % benchMod =!= 0)
-    val overlap = corpus.join(broadcast(bench), Seq("shh"))
+    val overlap = corpus.join(bench, Seq("shh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     val totals = corpus.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
@@ -400,7 +402,18 @@ object Pipeline extends QueryGroup {
   // array_sort over (pos, word) structs: position is unique per doc, so
   // the order — hence the rebuilt text — is total and oracle-portable.
   private def dedupSpans(s: SparkSession, d: String): DataFrame = {
-    val wrd = Dedup.words(T.documents(s, d)).select("doc_id", "pos", "word")
+    // POSITION SPACE: shingle positions are ordinals over the
+    // empty-token-FILTERED word sequence (that is what the Shingles
+    // expression emits), so the word relation here must use the same
+    // filtered ordinals — Dedup.words carries RAW split indices, which
+    // drift ahead of filtered ordinals on consecutive/leading spaces and
+    // would land coverage on the wrong words. The oracle mirrors with a
+    // row_number over the filtered rows.
+    val wrd = T.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= ""))
+          .as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
     val hsh = Dedup.shingles(T.documents(s, d))
       .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
       .cache() // read twice: df computation + coverage join
@@ -430,11 +443,15 @@ object Pipeline extends QueryGroup {
   }
 
   private val dedupSpansSql =
-    """WITH wrd AS (
+    """WITH wrd0 AS (
       |  SELECT doc_id, word, pos FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
       |           generate_subscripts(string_split(text, ' '), 1) AS pos
       |    FROM documents) WHERE word <> ''),
+      |wrd AS (
+      |  SELECT doc_id, word, CAST(row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos
+      |  FROM wrd0),
       |shg AS (
       |  SELECT doc_id, pos, sh FROM (
       |    SELECT doc_id, pos,

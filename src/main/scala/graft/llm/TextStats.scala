@@ -211,11 +211,15 @@ object TextStats extends QueryGroup {
       .agg(count(lit(1)).as("cnt"))
       .cache() // read three times below (df, totals, rare-mass join)
     // df=1 words appear in exactly ONE doc, so this join is 1:1 per key —
-    // skew-proof by construction — and the rare set is the small side:
-    // broadcast it so the pair rows never shuffle at all.
+    // skew-proof by construction: every wh key carries exactly one row on
+    // EACH side, so a shuffle join is perfectly balanced. No broadcast
+    // hint: hapax legomena are the LARGEST slice of a natural-language
+    // vocabulary (Zipf), so forcing the rare side to the driver would OOM
+    // at 100 TB; AQE still picks broadcast on its own when the set is
+    // genuinely small.
     val rare = pdw.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .filter(col("df") === 1).select(col("wh"))
-    val rareMass = pdw.join(broadcast(rare), Seq("wh"))
+    val rareMass = pdw.join(rare, Seq("wh"))
       .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_rare"))
     pdw.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_words"))
       .join(rareMass, Seq("doc_id"), "left")

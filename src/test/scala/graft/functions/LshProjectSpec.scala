@@ -59,6 +59,28 @@ class LshProjectSpec extends SparkSuite {
     assert(viaExpr(Seq.empty, 8) == 0L)
   }
 
+  test("a null element zeroes the bucket, matching the HOF's null propagation") {
+    val withNull = Seq(Tuple1(Seq[Option[Float]](Some(1.5f), None, Some(-2f))))
+      .toDF("embedding")
+    val viaE = withNull
+      .select(LshProject.bucket(col("embedding"), dirs, 8).as("b"))
+      .as[Long].head()
+    val viaH = withNull
+      .select(typedLit(dirs).as("dirs"), col("embedding"))
+      .selectExpr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + IF(
+          |    aggregate(
+          |      zip_with(embedding,
+          |        slice(element_at(dirs, p + 1), 1, size(embedding)),
+          |        (v, dr) -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)) * dr),
+          |      CAST(0 AS DECIMAL(38,10)),
+          |      (a, x) -> CAST(a + x AS DECIMAL(38,10))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS b""".stripMargin)
+      .as[Long].head()
+    assert(viaE == 0L && viaH == 0L)
+  }
+
   test("interpreted eval agrees with codegen") {
     val e = LshProject(
       org.apache.spark.sql.catalyst.expressions.Literal.create(

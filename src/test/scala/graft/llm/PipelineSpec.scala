@@ -83,8 +83,8 @@ class PipelineSpec extends SparkSuite {
       nOv <= nSh && (r.getBoolean(4) == (nOv == 0)) &&
         r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
     })
-    // the membership test must run as a broadcast join (the benchmark
-    // shingle set is the small side at any scale)
+    // size-based (not forced) broadcast: at fixture scale AQE must pick
+    // a broadcast for the small benchmark side on its own
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
@@ -108,6 +108,25 @@ class PipelineSpec extends SparkSuite {
     rows.filter(_.getLong(2) == 0).foreach { r =>
       assert(r.getString(3) == orig(r.getLong(0)), s"doc ${r.getLong(0)}")
     }
+  }
+
+  test("dedup spans: consecutive spaces do not desync coverage positions") {
+    // doc 2 carries a double space BEFORE the shared 5-gram: shingle
+    // ordinals are filtered-word ordinals, so coverage must remove
+    // exactly the five shared words — a raw-split position space would
+    // remove the wrong slice (the round-5 review finding)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t", "en", "u1"),
+      (2L, "z  p q r s t tail", "en", "u2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val dir = graft.core.Fixtures.path("multispace")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 5L, "")))
+    assert(out(2L) == ((7L, 5L, "z tail")))
   }
 
   test("curate verdict: keep iff reasons empty; every reason is a real failure") {
