@@ -164,6 +164,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q54: both as-of windows share one per-user sort; no join anywhere") {
+    val df = SparkEntry.queries("q54_asof_nearest")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"), p)
+    assert(finalSection.contains("Window"), p)
+    // backward last() and forward first() must reuse ONE hash exchange
+    // on user_id — a second exchange would mean the windows re-sorted
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
