@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Timer-driven session summaries on `transformWithState` — the last
+  * piece of the arbitrary-state matrix (ValueState: MetricPipeline;
+  * MapState: StreamTopK; this: event-time TIMERS). A session's summary
+  * must be emitted when the user goes quiet, which no input row can
+  * trigger — exactly what state-store timers exist for: each batch the
+  * processor extends a per-user timer to lastSeen + gap, and the summary
+  * emits from `handleExpiredTimer` when the WATERMARK (not wall clock)
+  * passes it, so replays produce identical output.
+  *
+  * Scale: one ValueState row + one timer per active user, expired state
+  * cleared on emission — state is bounded by concurrently-active users,
+  * never by history.
+  */
+object StreamSession {
+
+  final case class UserEvent(user: String, ts: Timestamp, value: Double)
+  final case class SessionSummary(
+      user: String, n_events: Long, sum_value: Double,
+      first_ts: Long, last_ts: Long)
+
+  /** (count, sum, firstMs, lastMs) carried across batches. */
+  final case class SessAcc(
+      n: Long, sum: Double, firstMs: Long, lastMs: Long)
+
+  final class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[String, UserEvent, SessionSummary] {
+
+    @transient private var acc: ValueState[SessAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessAcc]("sess",
+        Encoders.product[SessAcc], TTLConfig.NONE)
+
+    override def handleInputRows(user: String, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      var cur = if (acc.exists()) acc.get() else SessAcc(0L, 0.0, Long.MaxValue, 0L)
+      val prevDeadline = if (cur.n > 0) cur.lastMs + gapMs else -1L
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        cur = SessAcc(cur.n + 1, cur.sum + e.value,
+          math.min(cur.firstMs, ms), math.max(cur.lastMs, ms))
+      }
+      acc.update(cur)
+      // slide the session deadline: drop the old timer (timers are keyed
+      // by expiry time, not name) and arm one at lastSeen + gap
+      if (prevDeadline > 0) getHandle.deleteTimer(prevDeadline)
+      getHandle.registerTimer(cur.lastMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val cur = acc.get()
+      acc.clear() // session closed: state returns to zero for this user
+      Iterator.single(SessionSummary(
+        user, cur.n, cur.sum, cur.firstMs, cur.lastMs))
+    }
+  }
+
+  /** Session summaries with a `gap` quiet period, watermark-driven.
+    * `events` must already carry a watermark on `ts`; run with the
+    * RocksDB state store ([[MetricPipeline.ensureRocksDbStateStore]]). */
+  def sessionSummaries(events: Dataset[UserEvent], gapMs: Long): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
