@@ -27,7 +27,10 @@ object MlLsh extends QueryGroup {
     val tf = new HashingTF()
       .setInputCol("shs").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docsSh).filter(size(col("shs")) > 0)
+    // read three times (fit + both sides of the self-join): cache so the
+    // scan→shingle→collect_set→hashingTF chain runs once; released per
+    // query by Release.storage like every dedup-family cache
+    val feat = tf.transform(docsSh).filter(size(col("shs")) > 0).cache()
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
