@@ -62,7 +62,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (-1 markers) are EXCLUDED from the total — summing
+    // them in would make a hard failure LOWER the headline number
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // per-query detail first; named "per_query" so the driver's
     // first-"total"-match lands on the compact summary line below, never on
     // this (truncation-prone) one
@@ -77,7 +80,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
     val totalStr = num(total, 2)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"iters":$iters,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"iters":$iters,"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

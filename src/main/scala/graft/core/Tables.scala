@@ -17,6 +17,14 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** THE exact-dup fingerprint: md5 over whitespace-normalized, lowered
+    * text. One definition for every consumer (batch q30/canonical,
+    * streaming ingest dedup, incremental ingest, curation verdict) —
+    * oracle mirror is `md5(lower(trim(regexp_replace(text, '\s+', ' ',
+    * 'g'))))`; a drifting copy would silently desync dedup decisions. */
+  def textFingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

@@ -123,9 +123,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "topk_freq(value, k, capacity) takes exactly 3 arguments")
         def intLit(e: Expression, what: String): Int = e match {
           case l if l.foldable => l.eval() match {
-            case i: java.lang.Number => i.intValue()
-            case _ => throw new IllegalArgumentException(
-              s"topk_freq: $what must be a non-null integer literal")
+            // integral types only, with an Int-range check: a blind
+            // Number.intValue() would floor 2.7 and WRAP 5e9 silently —
+            // the opposite of the loud error this guard promises
+            case i: java.lang.Integer => i.intValue()
+            case i: java.lang.Short => i.intValue()
+            case i: java.lang.Byte => i.intValue()
+            case i: java.lang.Long
+              if i.longValue() == i.intValue().toLong => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"topk_freq: $what must be a non-null Int-range integer " +
+                s"literal, got $other")
           }
           case _ => throw new IllegalArgumentException(
             s"topk_freq: $what must be a literal, not an expression")

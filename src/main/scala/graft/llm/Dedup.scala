@@ -73,7 +73,7 @@ object Dedup extends QueryGroup {
   private def q30(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        graft.core.Tables.textFingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("fp"))
@@ -92,7 +92,7 @@ object Dedup extends QueryGroup {
   private def dedupCanonical(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        graft.core.Tables.textFingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"),
         (-max(struct(col("n_chars").as("q"), (-col("doc_id")).as("negid")))

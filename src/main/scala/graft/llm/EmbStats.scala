@@ -110,15 +110,18 @@ object EmbStats extends QueryGroup {
   // round(), whose decimal-repr ties Spark and DuckDB settle differently
   // (the q6 lesson above).
   private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
-    val embD = transform(col("embedding"), x => x.cast(DoubleType))
     T.embeddings(s, d)
-      // empty vectors excluded EXPLICITLY (mirrored in the oracle): the
-      // engines disagree on an empty fold (Spark aggregate seed 0 vs
-      // DuckDB list_sum NULL), so admitting them would be a silent
-      // parity landmine — same guard rationale as Dedup.lshInput
-      .where(size(col("embedding")) > 0)
-      .select(col("vec_id"), embD.as("emb"),
-        array_max(transform(embD, v => abs(v))).as("scale"))
+      // null elements dropped and empty (post-filter) vectors excluded,
+      // EXPLICITLY and in both engines: Spark's aggregate null-propagates
+      // where DuckDB's list_sum skips NULLs, and they disagree on an
+      // empty fold too (seed 0 vs NULL) — either would be a silent
+      // parity landmine. Same guard rationale as Dedup.lshInput.
+      .select(col("vec_id"),
+        filter(transform(col("embedding"), x => x.cast(DoubleType)),
+          v => v.isNotNull).as("emb"))
+      .where(size(col("emb")) > 0)
+      .select(col("vec_id"), col("emb"),
+        array_max(transform(col("emb"), v => abs(v))).as("scale"))
       .select(col("vec_id"), col("scale"),
         transform(col("emb"), v =>
           when(col("scale") === 0.0, lit(0L))
@@ -134,11 +137,14 @@ object EmbStats extends QueryGroup {
   }
 
   private val quantizeInt8Sql =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
-      |      v -> abs(v))) AS scale
-      |  FROM embeddings WHERE len(embedding) > 0),
+    """WITH e0 AS (
+      |  SELECT vec_id, list_filter(CAST(embedding AS DOUBLE[]),
+      |    v -> v IS NOT NULL) AS emb
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, emb,
+      |    list_max(list_transform(emb, v -> abs(v))) AS scale
+      |  FROM e0 WHERE len(emb) > 0),
       |q AS (
       |  SELECT vec_id, scale,
       |    list_transform(emb, v -> CASE WHEN scale = 0 THEN 0

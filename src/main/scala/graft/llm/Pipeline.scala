@@ -494,7 +494,7 @@ object Pipeline extends QueryGroup {
   // fingerprint table read once, and the join shuffles only 16-byte keys.
   private def ingestDedup(s: SparkSession, d: String): DataFrame = {
     val all = T.documents(s, d).select(col("doc_id"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      graft.core.Tables.textFingerprint(col("text")).as("fp"))
     val existing = all.filter(col("doc_id") % 4 =!= 0)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
     all.filter(col("doc_id") % 4 === 0)
@@ -524,18 +524,33 @@ object Pipeline extends QueryGroup {
   // which AQE plans as shuffle joins on the same key — no new scale
   // surface beyond the components'.
   private def curateVerdict(s: SparkSession, d: String): DataFrame = {
-    val rep = repetition(s, d).select(col("doc_id"), col("n_words"),
-      (col("n_uniq_words").cast(DoubleType) /
-        col("n_words").cast(DoubleType)).as("uniq_frac"))
+    // word stats over FILTERED tokens: repetition() counts the empty
+    // tokens consecutive spaces produce, which would let a
+    // whitespace-padded one-word doc evade too_short (review finding) —
+    // and would disagree with text_dedup_spans' n_words for the same doc
+    val rep = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_uniq_words"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_uniq_words").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("uniq_frac"))
     val dec = decontaminate(s, d).select(col("doc_id"), col("is_clean"))
     val canon = T.documents(s, d)
       .select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        graft.core.Tables.textFingerprint(col("text")).as("fp"))
       .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .select(col("doc_id"),
         (col("doc_id") === col("first_doc")).as("is_canonical"))
-    dec.join(rep, Seq("doc_id")).join(canon, Seq("doc_id"))
+    // left join: a doc of ONLY whitespace has no filtered words at all —
+    // it must still get a verdict (too_short), not vanish
+    dec.join(rep, Seq("doc_id"), "left").join(canon, Seq("doc_id"))
+      .select(col("doc_id"), col("is_clean"), col("is_canonical"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("uniq_frac"), lit(0.0)).as("uniq_frac"))
       .withColumn("keep",
         col("is_clean") && col("is_canonical") &&
           col("n_words") >= 5 && col("uniq_frac") >= 0.25)
@@ -543,38 +558,45 @@ object Pipeline extends QueryGroup {
         when(!col("is_clean"), lit("contaminated")),
         when(!col("is_canonical"), lit("duplicate")),
         when(col("n_words") < 5, lit("too_short")),
-        when(col("uniq_frac") < 0.25, lit("repetitive"))))
+        // gated on n_words > 0: an empty doc is too_short, not repetitive
+        when(col("n_words") > 0 && col("uniq_frac") < 0.25, lit("repetitive"))))
       .select(col("doc_id"), col("n_words"), col("uniq_frac"),
         col("keep"), col("reasons"))
       .orderBy(col("doc_id"))
   }
 
   private lazy val curateVerdictSql =
-    s"""WITH rep AS (SELECT doc_id, n_words, n_uniq_words
-       |            FROM ($repetitionSql)),
+    s"""WITH rep AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |         COUNT(DISTINCT word) AS n_uniq_words
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY doc_id),
        |dec AS (SELECT doc_id, is_clean FROM ($decontaminateSql)),
        |canon AS (SELECT doc_id,
        |    doc_id = MIN(doc_id) OVER (PARTITION BY
        |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
        |    AS is_canonical
-       |  FROM documents)
-       |SELECT dec.doc_id, rep.n_words,
-       |  CAST(rep.n_uniq_words AS DOUBLE) / CAST(rep.n_words AS DOUBLE)
-       |    AS uniq_frac,
-       |  dec.is_clean AND canon.is_canonical AND rep.n_words >= 5
-       |    AND CAST(rep.n_uniq_words AS DOUBLE) / CAST(rep.n_words AS DOUBLE)
-       |        >= 0.25 AS keep,
+       |  FROM documents),
+       |j AS (
+       |  SELECT dec.doc_id, dec.is_clean, canon.is_canonical,
+       |    COALESCE(rep.n_words, 0) AS n_words,
+       |    COALESCE(CAST(rep.n_uniq_words AS DOUBLE) /
+       |      CAST(rep.n_words AS DOUBLE), 0.0) AS uniq_frac
+       |  FROM dec
+       |  LEFT JOIN rep USING (doc_id)
+       |  JOIN canon USING (doc_id))
+       |SELECT doc_id, n_words, uniq_frac,
+       |  is_clean AND is_canonical AND n_words >= 5
+       |    AND uniq_frac >= 0.25 AS keep,
        |  concat_ws(',',
-       |    CASE WHEN NOT dec.is_clean THEN 'contaminated' END,
-       |    CASE WHEN NOT canon.is_canonical THEN 'duplicate' END,
-       |    CASE WHEN rep.n_words < 5 THEN 'too_short' END,
-       |    CASE WHEN CAST(rep.n_uniq_words AS DOUBLE) /
-       |              CAST(rep.n_words AS DOUBLE) < 0.25
+       |    CASE WHEN NOT is_clean THEN 'contaminated' END,
+       |    CASE WHEN NOT is_canonical THEN 'duplicate' END,
+       |    CASE WHEN n_words < 5 THEN 'too_short' END,
+       |    CASE WHEN n_words > 0 AND uniq_frac < 0.25
        |         THEN 'repetitive' END) AS reasons
-       |FROM dec
-       |JOIN rep USING (doc_id)
-       |JOIN canon USING (doc_id)
-       |ORDER BY dec.doc_id""".stripMargin
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),

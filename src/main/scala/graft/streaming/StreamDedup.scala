@@ -27,7 +27,7 @@ object StreamDedup {
     * whitespace, trim, lowercase, md5. */
   def fingerprinted(docs: DataFrame): DataFrame =
     docs.withColumn("fp",
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      graft.core.Tables.textFingerprint(col("text")))
 
   /** One surviving copy per fingerprint within the watermark horizon
     * (across batches the earlier batch wins; within a micro-batch the

@@ -41,8 +41,12 @@ object StreamSession {
 
     override def handleInputRows(user: String, rows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[SessionSummary] = {
-      var cur = if (acc.exists()) acc.get() else SessAcc(0L, 0.0, Long.MaxValue, 0L)
-      val prevDeadline = if (cur.n > 0) cur.lastMs + gapMs else -1L
+      val hadSession = acc.exists()
+      var cur = if (hadSession) acc.get() else SessAcc(0L, 0.0, Long.MaxValue, 0L)
+      // the old deadline exists iff a session was open — keying the guard
+      // on the VALUE (> 0) instead would orphan a timer for at/below-epoch
+      // event times, and the orphan would later fire against cleared state
+      val prevDeadline = if (hadSession) Some(cur.lastMs + gapMs) else None
       rows.foreach { e =>
         val ms = e.ts.getTime
         cur = SessAcc(cur.n + 1, cur.sum + e.value,
@@ -51,7 +55,7 @@ object StreamSession {
       acc.update(cur)
       // slide the session deadline: drop the old timer (timers are keyed
       // by expiry time, not name) and arm one at lastSeen + gap
-      if (prevDeadline > 0) getHandle.deleteTimer(prevDeadline)
+      prevDeadline.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(cur.lastMs + gapMs)
       Iterator.empty
     }
