@@ -31,6 +31,9 @@ object Ann extends QueryGroup {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
       .withColumn("nsq", dot(col("emb"), col("emb")))
+      // zero-norm (incl. empty) vectors have no cosine — excluded here
+      // and in both ANN oracles; ANSI would throw DIVIDE_BY_ZERO
+      .where(col("nsq") > 0)
 
   /** Bucket per vector from 4 seeded hyperplanes (16 buckets → ~30
     * candidates per probe at sf0.01). Same md5-derived ±1 construction as
@@ -153,7 +156,9 @@ object Ann extends QueryGroup {
       |    list_inner_product(CAST(embedding AS DOUBLE[]),
       |                       CAST(embedding AS DOUBLE[])) AS nsq,
       |    b.bucket
-      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id),
+      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0),
       |p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
@@ -180,7 +185,9 @@ object Ann extends QueryGroup {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
       |    list_inner_product(CAST(embedding AS DOUBLE[]),
       |                       CAST(embedding AS DOUBLE[])) AS nsq
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0),
       |c0 AS (SELECT CAST(vec_id AS INT) AS ck, emb AS cvec
       |       FROM n WHERE vec_id < 8),
       |a1 AS (

@@ -134,7 +134,10 @@ object Dedup extends QueryGroup {
   private def q31(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    // zero-norm (incl. empty) vectors have no cosine — excluded here and
+    // in the oracle; ANSI would otherwise throw DIVIDE_BY_ZERO on them
     val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
+      .where(col("nsq") > 0)
     val q = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
@@ -159,7 +162,9 @@ object Dedup extends QueryGroup {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
       |    list_inner_product(CAST(embedding AS DOUBLE[]),
       |                       CAST(embedding AS DOUBLE[])) AS nsq
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0),
       |p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
@@ -462,7 +467,9 @@ object Dedup extends QueryGroup {
   private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    // zero-norm guard — same rationale and oracle mirror as q31
     val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
+      .where(col("nsq") > 0)
     val a = n.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("label"),
@@ -481,7 +488,9 @@ object Dedup extends QueryGroup {
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
       |    list_inner_product(CAST(embedding AS DOUBLE[]),
       |                       CAST(embedding AS DOUBLE[])) AS nsq
-      |  FROM embeddings)
+      |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
       |  CAST(CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
       |    AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim

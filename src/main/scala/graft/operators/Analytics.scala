@@ -33,14 +33,21 @@ object Analytics extends QueryGroup {
       sum((col("k") * col("k")).cast(DecimalType(18, 0))).cast(DoubleType).as("sy2"),
       sum(vdec * col("k").cast(DecimalType(18, 0))).cast(DoubleType).as("sxy"))
     val n = col("n").cast(DoubleType)
+    // n=1 groups and zero-variance series are DEFINED (null), not a
+    // divide-by-zero crash — mirrored as CASE in the oracle (EdgeCaseSpec)
+    val dx = n * col("sx2") - col("sx") * col("sx")
+    val dy = n * col("sy2") - col("sy") * col("sy")
     agg.select(
       col("event_type"), col("n"),
       (col("sx") / n).as("mean"),
-      ((col("sx2") - col("sx") * col("sx") / n) / (n - 1)).as("var_samp"),
-      sqrt((col("sx2") - col("sx") * col("sx") / n) / (n - 1)).as("stddev_samp"),
-      ((n * col("sxy") - col("sx") * col("sy")) /
-        (sqrt(n * col("sx2") - col("sx") * col("sx")) *
-          sqrt(n * col("sy2") - col("sy") * col("sy")))).as("corr_vk"))
+      when(col("n") > 1,
+        (col("sx2") - col("sx") * col("sx") / n) / (n - 1)).as("var_samp"),
+      when(col("n") > 1,
+        sqrt((col("sx2") - col("sx") * col("sx") / n) / (n - 1)))
+        .as("stddev_samp"),
+      when(dx > 0 && dy > 0,
+        (n * col("sxy") - col("sx") * col("sy")) / (sqrt(dx) * sqrt(dy)))
+        .as("corr_vk"))
       .orderBy(col("event_type"))
   }
 
@@ -55,11 +62,18 @@ object Analytics extends QueryGroup {
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n,
       |  sx / CAST(n AS DOUBLE) AS mean,
-      |  (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_samp,
-      |  sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_samp,
-      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
-      |    (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx) *
-      |     sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_vk
+      |  CASE WHEN n > 1 THEN
+      |    (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+      |  END AS var_samp,
+      |  CASE WHEN n > 1 THEN
+      |    sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+      |  END AS stddev_samp,
+      |  CASE WHEN CAST(n AS DOUBLE) * sx2 - sx * sx > 0
+      |        AND CAST(n AS DOUBLE) * sy2 - sy * sy > 0 THEN
+      |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |      (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx) *
+      |       sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy))
+      |  END AS corr_vk
       |FROM a ORDER BY event_type""".stripMargin
 
   // ---- Q34: pivot (conditional aggregation reshaping) -------------------

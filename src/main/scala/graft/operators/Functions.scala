@@ -182,8 +182,12 @@ object Functions extends QueryGroup {
     T.embeddings(s, d).select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("dim"),
-      element_at(col("embedding"), 1).cast(DoubleType).as("first"),
-      element_at(sort_array(col("embedding")), 2).cast(DoubleType).as("second_smallest"),
+      // try_element_at: DuckDB list indexing yields NULL out of bounds,
+      // and ANSI element_at would THROW on an empty/1-element vector —
+      // try_ aligns the engines on degenerate rows (EdgeCaseSpec)
+      try_element_at(col("embedding"), lit(1)).cast(DoubleType).as("first"),
+      try_element_at(sort_array(col("embedding")), lit(2)).cast(DoubleType)
+        .as("second_smallest"),
       size(filter(col("embedding"), x => x > 0)).cast(LongType).as("npos"),
       aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
