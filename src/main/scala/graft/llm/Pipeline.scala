@@ -598,7 +598,45 @@ object Pipeline extends QueryGroup {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  // ---- chunk: fixed-width overlapping windows ---------------------------
+  // Context-window chunking — the step between curation and tokenization:
+  // every document becomes ceil-div(len, stride) chunks of up to
+  // `chunkSize` characters starting every `chunkStride` (so consecutive
+  // chunks overlap by chunkSize - chunkStride chars and no suffix is
+  // dropped). A pure narrow map + generator: sequence() builds the start
+  // offsets per row, explode fans out, substring slices — zero shuffles,
+  // embarrassingly parallel at 100 TB (the final orderBy is
+  // presentation-only for the oracle compare). Character-addressed (not
+  // word) so byte budgets for downstream tokenizers are predictable;
+  // empty/short docs still yield exactly one (possibly empty) chunk, so a
+  // count-per-doc downstream never loses rows.
+  private val chunkSize = 120
+  private val chunkStride = 90
+  private def chunkDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"CAST((greatest(length(text), 1) - 1) div $chunkStride AS BIGINT))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * chunkStride + 1).as("chunk_start"),
+        expr(s"substring(text, cast(chunk_id * $chunkStride + 1 as int), $chunkSize)")
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast(LongType))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val chunkDocsSql =
+    s"""SELECT doc_id, chunk_id, chunk_id * $chunkStride + 1 AS chunk_start,
+       |  substring(text, CAST(chunk_id * $chunkStride + 1 AS INT), $chunkSize) AS chunk_text,
+       |  CAST(length(substring(text, CAST(chunk_id * $chunkStride + 1 AS INT), $chunkSize)) AS BIGINT) AS chunk_len
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, (greatest(length(text), 1) - 1) // $chunkStride + 1)) AS chunk_id
+       |  FROM documents)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),

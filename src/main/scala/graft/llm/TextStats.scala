@@ -312,6 +312,68 @@ object TextStats extends QueryGroup {
       |  FROM tf JOIN dfq USING (word) CROSS JOIN n)
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---- Bigram collocations by lift (PMI-monotonic) -----------------------
+  // Which word pairs co-occur more than chance predicts — the phrase-mining
+  // primitive (new-term discovery, tokenizer-merge candidates). Scored by
+  // lift = p(ab) / (p(a)·p(b)); log(lift) IS pointwise mutual information,
+  // and log is monotonic, so ranking by the rational lift avoids the libm
+  // ln() whose last-ulp tail differs between engines. lift is a pinned
+  // left-to-right IEEE expression over exact BIGINT counts → bit-identical.
+  //
+  // Shape: two hash aggs (unigrams, 2-gram shingles via the codegen'd
+  // Shingles expression) + two joins keyed on single words. Both join
+  // inputs are POST-aggregation (one row per distinct word / bigram), so
+  // the join cardinality is vocabulary-bounded, not corpus-bounded — the
+  // raw token stream never shuffles twice. Global top-20 is a
+  // TakeOrderedAndProject (no single-partition window).
+  private def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val uni = words(docs).groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val big = docs
+      .select(explode(graft.functions.Shingles.shingleNgrams(col("text"), 2)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", split(col("sh"), " ").getItem(0))
+      .withColumn("w2", split(col("sh"), " ").getItem(1))
+    val nUni = uni.agg(sum(col("c")).cast(LongType).as("n_uni"))
+    val nBi = big.agg(sum(col("c_ab")).cast(LongType).as("n_bi"))
+    big.filter(col("c_ab") >= 3)
+      .join(uni.select(col("word").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast(DoubleType) * col("n_uni") * col("n_uni") /
+          (col("c_a").cast(DoubleType) * col("c_b") * col("n_bi"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val collocationsSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |big AS (
+      |  SELECT sh, COUNT(*) AS c_ab FROM (
+      |    SELECT doc_id,
+      |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS sh,
+      |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS n_in
+      |    FROM wrd) WHERE n_in = 2 GROUP BY sh),
+      |uni AS (SELECT word, COUNT(*) AS c FROM wrd GROUP BY word),
+      |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+      |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM big)
+      |SELECT split_part(sh, ' ', 1) AS w1, split_part(sh, ' ', 2) AS w2,
+      |  c_ab, a.c AS c_a, b.c AS c_b,
+      |  CAST(c_ab AS DOUBLE) * n_uni * n_uni /
+      |    (CAST(a.c AS DOUBLE) * b.c * n_bi) AS lift
+      |FROM big JOIN uni a ON a.word = split_part(sh, ' ', 1)
+      |         JOIN uni b ON b.word = split_part(sh, ' ', 2)
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE c_ab >= 3
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---- Multimodal: opaque binary column plumbing ------------------------
   // Text bytes stand in for image/audio payloads (the real decode is
   // stubbed — see graft.llm.Multimodal): byte length, hex/base64 prefix
@@ -347,6 +409,7 @@ object TextStats extends QueryGroup {
     "text_rare_words"    -> QueryDef(rareWords, Some(rareWordsSql)),
     "text_edit_distance" -> QueryDef(editDistance, Some(editDistanceSql)),
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
+    "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }

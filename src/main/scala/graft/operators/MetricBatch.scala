@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.{QueryDef, QueryGroup, Tables => T}
 
@@ -75,8 +76,69 @@ object MetricBatch extends QueryGroup {
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  // ---- Sliding z-score anomaly detection --------------------------------
+  // The reference's alarm is a FIXED threshold on a window average
+  // (config/instance-group-config.json:47-51); the natural next step a
+  // metrics user asks for is a SELF-CALIBRATING threshold: flag an
+  // observation whose z-score against the trailing 20 observations of its
+  // own series exceeds 2.5. One window pass per series — partitioned by
+  // event_type, so 100 TB of metrics parallelize across series; the frame
+  // is ROWS-bounded (constant state per row, never a growing range).
+  //
+  // Determinism: mean/variance come from exact DECIMAL power sums (the q33
+  // trick — sum(v) and sum(v*v) are exact, order-independent), and every
+  // IEEE step after the casts (divide, multiply, subtract, sqrt — sqrt is
+  // correctly-rounded by IEEE-754) is written in the same order in both
+  // engines, so z is bit-identical and the |z| > 2.5 cut can't flip.
+  private def anomaly(s: SparkSession, d: String): DataFrame = {
+    val v = dec(col("value"))
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val base = T.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"), v.as("v"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("v")).over(win).cast(DoubleType))
+      .withColumn("s2", sum(col("v") * col("v")).over(win).cast(DoubleType))
+      .filter(col("n") >= 10)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        greatest(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(0.0)))
+    base.filter(col("variance") > 0)
+      .withColumn("z",
+        (col("v").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        col("n"), col("mean"), col("z"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
+  private val anomalySql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |    CAST(value AS DECIMAL(12,4)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, ts, event_id, value, v,
+      |    COUNT(*) OVER win AS n,
+      |    CAST(SUM(v) OVER win AS DOUBLE) AS s1,
+      |    CAST(SUM(v*v) OVER win AS DOUBLE) AS s2
+      |  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, ts, event_id, value, n, s1/n AS mean,
+      |    (CAST(v AS DOUBLE) - s1/n) /
+      |      sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS z,
+      |    greatest(s2/n - (s1/n)*(s1/n), 0) AS variance
+      |  FROM w WHERE n >= 10)
+      |SELECT event_type, ts, event_id, value, n, mean, z
+      |FROM z WHERE variance > 0 AND abs(z) > 2.5
+      |ORDER BY event_type, ts, event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q29_metric_window" -> QueryDef(q29, Some(q29Sql)),
     "q29b_sliding_window" -> QueryDef(q29b, Some(q29bSql)),
+    "metric_anomaly" -> QueryDef(anomaly, Some(anomalySql)),
   )
 }
