@@ -642,8 +642,63 @@ object Dedup extends QueryGroup {
       |    AS BIGINT) AS bucket
       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- Sparse lexical cosine re-rank of simhash candidates --------------
+  // The bag-of-words counterpart of the dense embedding cosine: exact
+  // term-frequency cosine between the documents of each banded-simhash
+  // candidate pair (the same bounded set text_edit_distance re-ranks —
+  // never all-pairs). The dot product only touches SHARED words: the
+  // candidate list joins each side's (doc, word-hash, tf) table co-keyed
+  // on the 48-bit word hash, so per-pair cost is O(doc length), and the
+  // whole tf table shuffles once on doc_id. Determinism: dot and squared
+  // norms are exact BIGINT sums; sqrt is IEEE-correctly-rounded; the final
+  // cosine is one pinned multiply + divide → bit-identical both engines.
+  private def tfCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = words(T.documents(s, d))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh2"))
+      .groupBy(col("doc_id"), col("wh2")).agg(count(lit(1)).as("c"))
+    val nrm = tf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
+    val dots = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .join(tf.select(col("doc_id").as("doc_a"), col("wh2"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("wh2"), col("c").as("cb")),
+        Seq("doc_b", "wh2"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("ca") * col("cb")).cast(LongType).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nn").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nn").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        (col("dot").cast(DoubleType) / (col("na") * col("nb"))).as("cos_tf"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val tfCosineSql =
+    s"""$simhashPairsCte,
+       |spairs AS (SELECT doc_a, doc_b FROM pairs
+       |           WHERE bit_count(xor(sig_a, sig_b)) <= 5),
+       |tf AS (SELECT doc_id,
+       |         CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh2,
+       |         COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+       |             FROM documents)
+       |       WHERE word <> '' GROUP BY doc_id, wh2),
+       |nrm AS (SELECT doc_id, sqrt(CAST(SUM(c*c) AS DOUBLE)) AS nn
+       |        FROM tf GROUP BY doc_id),
+       |dots AS (SELECT p.doc_a, p.doc_b, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+       |         FROM spairs p JOIN tf a ON a.doc_id = p.doc_a
+       |                       JOIN tf b ON b.doc_id = p.doc_b AND b.wh2 = a.wh2
+       |         GROUP BY p.doc_a, p.doc_b)
+       |SELECT d.doc_a, d.doc_b, dot,
+       |  CAST(dot AS DOUBLE) / (na.nn * nb.nn) AS cos_tf
+       |FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+       |            JOIN nrm nb ON nb.doc_id = d.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q30_fingerprint_dedup" -> QueryDef(q30, Some(q30Sql)),
+    "dedup_tf_cosine"       -> QueryDef(tfCosine, Some(tfCosineSql)),
     "dedup_canonical" -> QueryDef(dedupCanonical, Some(dedupCanonicalSql)),
     "q30b_shingle_stats"    -> QueryDef(q30b, Some(q30bSql)),
     "q31_cosine_topk"       -> QueryDef(q31, Some(q31Sql)),

@@ -374,6 +374,53 @@ object TextStats extends QueryGroup {
       |WHERE c_ab >= 3
       |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---- Unigram-LM cross-entropy (perplexity-proxy quality filter) --------
+  // The CCNet-style quality signal: score each document by the average
+  // negative log-probability of its words under the corpus's own unigram
+  // model — gibberish and boilerplate-free junk score high, fluent text
+  // scores near the corpus entropy. h is in nats; perplexity = e^h (left
+  // to the caller — no second libm call in the compare path).
+  //
+  // Portability: ln() is libm and its last ulp is NOT contract across
+  // engines, so each word's logp is rounded through DECIMAL(18,6) once
+  // (the text_tfidf precedent); everything after is exact decimal
+  // arithmetic until one final pinned IEEE division. Words are 48-bit
+  // hashed before any shuffle. The tf ⋈ vocab join: the vocabulary table
+  // is distinct words (small vs the corpus — AQE broadcasts it); if it
+  // ever outgrows broadcast, the build side is unique per key, which is
+  // exactly the shape AQE's skew-split handles.
+  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    val tf = words(T.documents(s, d))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh"))
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    val voc = tf.groupBy(col("wh")).agg(sum(col("c")).cast(LongType).as("cw"))
+    val n = voc.agg(sum(col("cw")).cast(LongType).as("nt"))
+    val lp = voc.crossJoin(broadcast(n))
+      .select(col("wh"),
+        log(col("cw").cast(DoubleType) / col("nt")).cast(DecimalType(18, 6)).as("logp"))
+    tf.join(lp, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
+          sum(col("c")).cast(LongType)).as("h_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val perplexitySql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY doc_id, wh),
+      |voc AS (SELECT wh, CAST(SUM(c) AS BIGINT) AS cw FROM tf GROUP BY wh),
+      |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM voc),
+      |lp AS (SELECT wh, CAST(ln(CAST(cw AS DOUBLE) / nt) AS DECIMAL(18,6)) AS logp
+      |       FROM voc CROSS JOIN n)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h_nats
+      |FROM tf JOIN lp USING (wh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Multimodal: opaque binary column plumbing ------------------------
   // Text bytes stand in for image/audio payloads (the real decode is
   // stubbed — see graft.llm.Multimodal): byte length, hex/base64 prefix
@@ -410,6 +457,7 @@ object TextStats extends QueryGroup {
     "text_edit_distance" -> QueryDef(editDistance, Some(editDistanceSql)),
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
+    "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }
