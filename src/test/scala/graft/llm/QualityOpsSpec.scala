@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Semantic invariants for the round-5 quality/chunking operators —
+  * properties the oracle's hash compare can't express (it checks equality
+  * with DuckDB, not that the numbers MEAN what the operator claims). */
+class QualityOpsSpec extends SparkSuite {
+
+  test("chunk_documents: stride prefixes reconstruct every document exactly") {
+    // Lossless-coverage property: chunks start every `stride` chars, so
+    // concatenating the first `stride` chars of each chunk (all of the
+    // last) must rebuild the original text — no dropped or duplicated
+    // suffixes, for every doc including ones shorter than one chunk.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = SparkEntry.queries("chunk_documents")(spark, sfDir)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet)
+    val stride = 90
+    chunks.foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_.getLong(1)).map(_.getString(2))
+      val rebuilt = ordered.dropRight(1).map(_.take(stride)).mkString + ordered.last
+      assert(rebuilt == docs(id), s"doc $id: reconstruction mismatch")
+    }
+  }
+
+  test("chunk_documents: consecutive chunks overlap by size - stride") {
+    val rows = SparkEntry.queries("chunk_documents")(spark, sfDir)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .groupBy(_.getLong(0)).values
+    val (size, stride) = (120, 90)
+    rows.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1)).map(_.getString(2))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          // a's tail past the stride point is b's head (when a is full)
+          if (a.length == size)
+            assert(a.drop(stride) == b.take(size - stride))
+        case _ =>
+      }
+    }
+  }
+
+  test("text_collocations: a bigram can't outnumber either of its words") {
+    val rows = SparkEntry.queries("text_collocations")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cab, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cab <= math.min(ca, cb), r.toString)
+      assert(r.getDouble(5) > 0, r.toString)
+    }
+    // returned in lift-descending order
+    val lifts = rows.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("text_perplexity: cross-entropy sits between 0 and ln(corpus tokens)") {
+    // h = -(1/n)Σ ln p(w): each p(w) ≥ 1/N so every term ≤ ln N; and
+    // p(w) ≤ 1 keeps h non-negative (0 only for a single-word corpus).
+    val rows = SparkEntry.queries("text_perplexity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(1)).sum.toDouble
+    val bound = math.log(totalTokens) + 1e-6
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0 && h <= bound, s"h=$h outside [0, $bound]: $r")
+    }
+  }
+
+  test("text_perplexity: all-common-words doc scores lower than hapax doc") {
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.core.Fixtures.path("ppl")
+    Seq(
+      (1L, "the the the the", "en", "s", 15L),
+      (2L, "zzyzx qwfp vexq jumbl", "en", "s", 21L),
+      (3L, "the the qwfp the", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = SparkEntry.queries("text_perplexity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) < h(3L) && h(3L) < h(2L), h.toString)
+  }
+
+  test("dedup_tf_cosine: cosines are in (0, 1] and exact duplicates hit 1") {
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.core.Fixtures.path("tfcos")
+    // two exact duplicates + one near-dup + one unrelated doc; duplicated
+    // words keep the vectors non-trivial
+    val a = "alpha beta gamma delta epsilon zeta eta theta alpha beta"
+    Seq(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, a, "en", "s", a.length.toLong),
+      (3L, a.replace("theta", "iota"), "en", "s", a.length.toLong),
+      (4L, "one two three four five six seven eight nine ten", "en", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_tf_cosine")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c > 0 && c <= 1.0 + 1e-12, r.toString)
+    }
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.exists(r => math.abs(r.getDouble(3) - 1.0) < 1e-12), rows.mkString("\n"))
+  }
+
+  test("metric_anomaly: every flagged row exceeds the threshold with a full-enough window") {
+    val rows = SparkEntry.queries("metric_anomaly")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val n = r.getLong(4)
+      assert(n >= 10 && n <= 20, r.toString)
+      assert(math.abs(r.getDouble(6)) > 2.5, r.toString)
+    }
+  }
+}

@@ -178,6 +178,46 @@ class PlanSpec extends SparkSuite {
     assert(hashEx === 1, p)
   }
 
+  test("metric_anomaly: both trailing windows share one exchange + sort") {
+    // s1 and s2 are two Window nodes over the same (partition, order,
+    // frame) spec — a second Exchange or Sort between them would mean the
+    // series re-shuffled/re-sorted per statistic
+    val df = SparkEntry.queries("metric_anomaly")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, p)
+    assert(finalSection.linesIterator.count(l => l.contains("- Sort ") ||
+      l.trim.startsWith("Sort ")) <= 2, p)
+    assert(!finalSection.contains("Join"), p)
+  }
+
+  test("chunk_documents: narrow generator — no shuffle before the output sort") {
+    val df = SparkEntry.queries("chunk_documents")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the ONLY exchange is the presentation-order range partitioning;
+    // chunking itself is scan → generate → project
+    assert(!finalSection.contains("Exchange hashpartitioning"), p)
+    assert(finalSection.contains("Generate"), p)
+    assert(!finalSection.contains("Join"), p)
+  }
+
+  test("text_collocations: global top-20 is TakeOrderedAndProject; count joins broadcast") {
+    val df = SparkEntry.queries("text_collocations")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("TakeOrderedAndProject"), p)
+    // the two 1-row scalar count sides must never shuffle the bigram table
+    assert(finalSection.contains("BroadcastNestedLoopJoin") ||
+      finalSection.contains("BroadcastExchange"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
