@@ -53,6 +53,34 @@ object Pipeline extends QueryGroup {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- sample_split_by_source: leakage-safe grouped split ----------------
+  // The split a real training pipeline needs when documents within one
+  // source are correlated (same site, same book, same crawl host): hashing
+  // doc_id (sample_hash_split) puts near-identical siblings on BOTH sides
+  // of the train/test fence. Hashing the SOURCE key sends every document
+  // of a group to the same split — group-level leakage is structurally
+  // impossible. Same shuffle-free narrow map; the quota is over groups,
+  // not rows (documented: group-size skew moves the realized row
+  // fractions, which is inherent to grouped splitting, not a bug).
+  private def splitBySource(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (h48(concat(lit("gsplit:"), col("source"))) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid").otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  private val splitBySourceSql =
+    """SELECT doc_id, source, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |        CAST('0x'||substring(md5('gsplit:'||source),1,12)
+      |          AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- sample_stratified: deterministic k-per-stratum sample ------------
   // Training-mix curation: k docs per language, chosen by seeded hash
   // order so the sample is stable across runs. One shuffle on the stratum
@@ -638,6 +666,7 @@ object Pipeline extends QueryGroup {
   override val defs: Seq[(String, QueryDef)] = Seq(
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
+    "sample_split_by_source" -> QueryDef(splitBySource, Some(splitBySourceSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),

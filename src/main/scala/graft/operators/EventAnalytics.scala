@@ -127,7 +127,39 @@ object EventAnalytics extends QueryGroup {
       |FROM dau LEFT JOIN newu USING (day)
       |ORDER BY day""".stripMargin
 
+  // ---- events_dedup_window: telemetry burst suppression ------------------
+  // Client retries and double-fires produce bursts of the same
+  // (user, event_type) within seconds; a clickstream pipeline suppresses
+  // repeats closer than a debounce interval to its predecessor. One window
+  // pass per (user_id, event_type) — the same shuffle key the rest of the
+  // event family reuses; gap arithmetic is integer microseconds, exact in
+  // both engines. The first event of a series always survives (null gap).
+  private def eventsDedupWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("gap_us",
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .cast(LongType))
+      .withColumn("is_kept", col("gap_us").isNull || col("gap_us") > 5000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("gap_us"), col("is_kept"))
+      .orderBy(col("event_id"))
+  }
+
+  private val eventsDedupWindowSql =
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |    OVER (PARTITION BY user_id, event_type
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS gap_us,
+      |  COALESCE(epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |    OVER (PARTITION BY user_id, event_type
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) > 5000000, TRUE) AS is_kept
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "events_dedup_window" -> QueryDef(eventsDedupWindow, Some(eventsDedupWindowSql)),
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),
     "q50_funnel" -> QueryDef(q50, Some(q50Sql)),
     "q51_user_growth" -> QueryDef(q51, Some(q51Sql)))
