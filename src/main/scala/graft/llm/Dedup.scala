@@ -657,6 +657,10 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"),
         conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh2"))
       .groupBy(col("doc_id"), col("wh2")).agg(count(lit(1)).as("c"))
+      // read three times (both dot sides + norms): cache so the
+      // scan→hash→agg chain runs once; released per query by
+      // core.Release.storage like every cache in this family
+      .cache()
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
     val dots = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
