@@ -440,6 +440,50 @@ object Relational extends QueryGroup {
       |  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
       |ORDER BY c_custkey""".stripMargin
 
+  // q28c: correlated EXISTS / NOT EXISTS — a distinct planner path from
+  // q28a/b (RewritePredicateSubquery turns these into left-semi and
+  // left-anti joins on the correlation key, so the 100 TB shape is two
+  // key-partitioned joins, never a per-row subquery). SQL passthrough:
+  // one text, both engines.
+  private def q28c(s: SparkSession, d: String): DataFrame = {
+    val (vo, vl) = (s"graft_orders_${viewSuffix(d)}",
+      s"graft_lineitem_${viewSuffix(d)}")
+    T.orders(s, d).createOrReplaceTempView(vo)
+    T.lineitem(s, d).createOrReplaceTempView(vl)
+    s.sql(q28cSql.replaceAll("\\borders\\b", vo)
+      .replaceAll("\\blineitem\\b", vl))
+  }
+
+  private val q28cSql =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = o.o_orderkey
+      |                AND l2.l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q28d: LATERAL correlated top-k — the per-row subquery surface (each
+  // customer's two most expensive orders). Spark plans the lateral as a
+  // DomainJoin → rewritten window/limit per key; the declarative form
+  // keeps it a key-partitioned shape rather than a driver loop.
+  private def q28d(s: SparkSession, d: String): DataFrame = {
+    val (vc, vo) = (s"graft_customer_${viewSuffix(d)}",
+      s"graft_orders_${viewSuffix(d)}")
+    T.customer(s, d).createOrReplaceTempView(vc)
+    T.orders(s, d).createOrReplaceTempView(vo)
+    s.sql(q28dSql.replaceAll("\\bcustomer\\b", vc)
+      .replaceAll("\\borders\\b", vo))
+  }
+
+  private val q28dSql =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, t.o_orderkey""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q01_scan_agg"      -> QueryDef(q01, Some(q01Sql)),
     "q02_tsv_converter" -> QueryDef(q02, Some(q02Sql)),
@@ -465,5 +509,7 @@ object Relational extends QueryGroup {
     "q19b_dedup_exact"  -> QueryDef(q19b, Some(q19bSql)),
     "q28a_scalar_subquery" -> QueryDef(q28a, Some(q28aSql)),
     "q28b_in_subquery"  -> QueryDef(q28b, Some(q28bSql)),
+    "q28c_exists_subquery" -> QueryDef(q28c, Some(q28cSql)),
+    "q28d_lateral_topk" -> QueryDef(q28d, Some(q28dSql)),
   )
 }

@@ -218,6 +218,17 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("q28d: LATERAL top-k rewrites to two-phase WindowGroupLimit, no nested loop") {
+    val df = SparkEntry.queries("q28d_lateral_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("WindowGroupLimit"), p)
+    assert(finalSection.contains("Partial"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
