@@ -70,6 +70,8 @@ object GraftFunctions {
       "bc_div", exprs => BcDiv(exprs(0), exprs(1), exprs(2)), "built-in")
     r.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "deflate_ratio", exprs => DeflateRatio(exprs(0)), "built-in")
     r.createOrReplaceTempFunction("bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
@@ -113,6 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => ZOrderKey(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[Expression]) => DeflateRatio(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
