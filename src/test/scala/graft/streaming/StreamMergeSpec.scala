@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Change rows for the CDC spec — file-level so Spark can build an
+  * encoder without an outer-instance scope. */
+final case class MergeChange(k: Long, payload: String, op: String)
+
+/** The streaming CDC table: upserts land, deletes drop, later epochs win,
+  * and a replayed batch (crash between snapshot write and pointer flip)
+  * leaves the same table. */
+class StreamMergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Fresh fixture dir: checkpoints and pointers from a previous sbt run
+    * would replay stale offsets into a brand-new MemoryStream. */
+  private def freshDir(name: String): String = {
+    val dir = graft.core.Fixtures.path(name)
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (root.exists()) rm(root)
+    dir
+  }
+
+  test("epochs fold into the table in order; deletes drop; upserts replace") {
+    val dir = freshDir("streammerge")
+    val ckpt = freshDir("streammerge_ckpt")
+    val input = MemoryStream[MergeChange](spark)
+    val q = StreamMerge.start(input.toDF(), "k", dir, ckpt)
+    try {
+      input.addData(MergeChange(1, "a1", "I"), MergeChange(2, "b1", "I"),
+        MergeChange(3, "c1", "I"))
+      q.processAllAvailable()
+      assert(StreamMerge.snapshot(spark, dir, "k").keySet == Set(1L, 2L, 3L))
+
+      input.addData(MergeChange(2, "b2", "U"), MergeChange(3, "", "D"),
+        MergeChange(4, "d1", "I"))
+      q.processAllAvailable()
+      val snap = StreamMerge.currentTable(spark, dir).get
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"), snap.toString)
+    } finally q.stop()
+  }
+
+  test("replaying a batch with the same id is idempotent") {
+    val dir = freshDir("streammerge_replay")
+    val b0 = Seq(MergeChange(1, "a1", "I"), MergeChange(2, "b1", "I")).toDF()
+    StreamMerge.applyBatch(spark, dir, b0, "k", 0L)
+    val b1 = Seq(MergeChange(2, "b2", "U"), MergeChange(1, "", "D")).toDF()
+    StreamMerge.applyBatch(spark, dir, b1, "k", 1L)
+    val once = StreamMerge.currentTable(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the crash-replay: same changes, same batchId, applied again
+    StreamMerge.applyBatch(spark, dir, b1, "k", 1L)
+    val twice = StreamMerge.currentTable(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == Map(2L -> "b2") && twice == once, s"$once vs $twice")
+    assert(StreamMerge.latestVersion(dir).contains(1L))
+  }
+
+  test("delete of a never-seen key and an empty base are harmless") {
+    val dir = freshDir("streammerge_edge")
+    val b0 = Seq(MergeChange(99, "", "D")).toDF()
+    StreamMerge.applyBatch(spark, dir, b0, "k", 0L)
+    assert(StreamMerge.currentTable(spark, dir).get.isEmpty)
+    val b1 = Seq(MergeChange(1, "a", "I")).toDF()
+    StreamMerge.applyBatch(spark, dir, b1, "k", 1L)
+    assert(StreamMerge.snapshot(spark, dir, "k").keySet == Set(1L))
+  }
+}
