@@ -26,6 +26,13 @@ import graft.functions.DotProduct.dot
   */
 object Dedup extends QueryGroup {
 
+  /** 48-bit md5-prefix long of a string column — the repo's portable
+    * seeded hash (oracle mirror: `CAST('0x'||substring(md5(x),1,12) AS
+    * BIGINT)`). One definition for new call sites so a width/salt change
+    * can't desync a query from its oracle SQL. */
+  private[llm] def h48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
   /** (doc_id, pos, word) with 1-based positions (matches DuckDB
     * generate_subscripts), empty tokens dropped. */
   private[llm] def words(docs: DataFrame): DataFrame =
@@ -654,8 +661,7 @@ object Dedup extends QueryGroup {
   // cosine is one pinned multiply + divide → bit-identical both engines.
   private def tfCosine(s: SparkSession, d: String): DataFrame = {
     val tf = words(T.documents(s, d))
-      .select(col("doc_id"),
-        conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh2"))
+      .select(col("doc_id"), h48(col("word")).as("wh2"))
       .groupBy(col("doc_id"), col("wh2")).agg(count(lit(1)).as("c"))
       // read three times (both dot sides + norms): cache so the
       // scan→hash→agg chain runs once; released per query by

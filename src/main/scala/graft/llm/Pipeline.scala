@@ -638,8 +638,10 @@ object Pipeline extends QueryGroup {
   // word) so byte budgets for downstream tokenizers are predictable;
   // empty/short docs still yield exactly one (possibly empty) chunk, so a
   // count-per-doc downstream never loses rows.
-  private val chunkSize = 120
-  private val chunkStride = 90
+  // package-visible so QualityOpsSpec tests the REAL geometry — a spec
+  // with its own copy of these would silently drift on a retune
+  private[llm] val chunkSize = 120
+  private[llm] val chunkStride = 90
   private def chunkDocs(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), col("text"),

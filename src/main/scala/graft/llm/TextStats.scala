@@ -391,8 +391,7 @@ object TextStats extends QueryGroup {
   // exactly the shape AQE's skew-split handles.
   private def perplexity(s: SparkSession, d: String): DataFrame = {
     val tf = words(T.documents(s, d))
-      .select(col("doc_id"),
-        conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh"))
+      .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
     val voc = tf.groupBy(col("wh")).agg(sum(col("c")).cast(LongType).as("cw"))
     val n = voc.agg(sum(col("cw")).cast(LongType).as("nt"))

@@ -46,7 +46,13 @@ object StreamAnomaly {
         val n = vals.length
         if (n >= minObs) {
           val mean = vals.sum / n
-          val variance = math.max(vals.map(v => v * v).sum / n - mean * mean, 0.0)
+          // two-pass (shifted) variance, NOT E[x²]−mean²: the ring is in
+          // memory, and the textbook form catastrophically cancels for
+          // high-baseline series (|v|~1e12, stddev~1e3 → E[x²] ulp swamps
+          // the variance and every spike goes unflagged, silently)
+          val variance = vals.map { v =>
+            val dv = v - mean; dv * dv
+          }.sum / n
           if (variance > 0) {
             val z = (e.value - mean) / math.sqrt(variance)
             if (math.abs(z) > threshold)

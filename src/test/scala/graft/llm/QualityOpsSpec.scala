@@ -19,7 +19,7 @@ class QualityOpsSpec extends SparkSuite {
       .select("doc_id", "chunk_id", "chunk_text").collect()
       .groupBy(_.getLong(0))
     assert(chunks.keySet == docs.keySet)
-    val stride = 90
+    val stride = Pipeline.chunkStride
     chunks.foreach { case (id, rows) =>
       val ordered = rows.sortBy(_.getLong(1)).map(_.getString(2))
       val rebuilt = ordered.dropRight(1).map(_.take(stride)).mkString + ordered.last
@@ -31,7 +31,7 @@ class QualityOpsSpec extends SparkSuite {
     val rows = SparkEntry.queries("chunk_documents")(spark, sfDir)
       .select("doc_id", "chunk_id", "chunk_text").collect()
       .groupBy(_.getLong(0)).values
-    val (size, stride) = (120, 90)
+    val (size, stride) = (Pipeline.chunkSize, Pipeline.chunkStride)
     rows.foreach { rs =>
       val ordered = rs.sortBy(_.getLong(1)).map(_.getString(2))
       ordered.sliding(2).foreach {

@@ -62,6 +62,50 @@ class StreamMergeSpec extends SparkSuite {
     assert(StreamMerge.latestVersion(dir).contains(1L))
   }
 
+  test("multi-change-per-key batch: seqCol folds last-wins; without it, loud failure") {
+    val dir = freshDir("streammerge_multi")
+    // I then U then D for key 1, I then U for key 2 — one batch
+    val b = Seq(
+      (1L, "a1", "I", 10L), (1L, "a2", "U", 11L), (1L, "", "D", 12L),
+      (2L, "b1", "I", 10L), (2L, "b2", "U", 13L))
+      .toDF("k", "payload", "op", "seq")
+    StreamMerge.applyBatch(spark, dir, b, "k", 0L, seqCol = Some("seq"))
+    val snap = StreamMerge.currentTable(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(2L -> "b2"), snap.toString) // k=1 ended deleted
+
+    val dir2 = freshDir("streammerge_multi2")
+    val noSeq = Seq(MergeChange(1, "a1", "I"), MergeChange(1, "a2", "U")).toDF()
+    val e = intercept[IllegalStateException] {
+      StreamMerge.applyBatch(spark, dir2, noSeq, "k", 0L)
+    }
+    assert(e.getMessage.contains("seqCol"), e.getMessage)
+  }
+
+  test("checkpoint-lineage brand: a different checkpoint against the same dir fails loudly") {
+    val dir = freshDir("streammerge_brand")
+    val b0 = Seq(MergeChange(1, "a1", "I")).toDF()
+    StreamMerge.applyBatch(spark, dir, b0, "k", 0L, checkpoint = Some("/ckpt/one"))
+    // same lineage: fine, even on replay
+    StreamMerge.applyBatch(spark, dir, b0, "k", 0L, checkpoint = Some("/ckpt/one"))
+    val e = intercept[IllegalStateException] {
+      StreamMerge.applyBatch(spark, dir, b0, "k", 0L, checkpoint = Some("/ckpt/two"))
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
+  test("retention keeps at most the current and previous snapshots") {
+    val dir = freshDir("streammerge_retain")
+    (0L to 3L).foreach { i =>
+      StreamMerge.applyBatch(spark, dir,
+        Seq(MergeChange(i, s"p$i", "I")).toDF(), "k", i)
+    }
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(versions == Seq("v=2", "v=3"), versions.toString)
+    assert(StreamMerge.snapshot(spark, dir, "k").keySet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("delete of a never-seen key and an empty base are harmless") {
     val dir = freshDir("streammerge_edge")
     val b0 = Seq(MergeChange(99, "", "D")).toDF()
