@@ -22,11 +22,10 @@ import graft.core.{QueryDef, QueryGroup, Tables => T}
   */
 object Pipeline extends QueryGroup {
 
-  /** 48-bit md5-prefix long of a string column — the repo's portable
-    * seeded hash (oracle side: `CAST('0x'||substring(md5(x),1,12) AS
-    * BIGINT)`). */
-  private def h48(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+  /** The repo's portable 48-bit seeded hash — ONE definition, in
+    * [[Dedup.h48]]; a second copy here is exactly the drift the helper
+    * exists to prevent. */
+  private def h48(c: org.apache.spark.sql.Column) = Dedup.h48(c)
 
   // ---- sample_hash_split: deterministic 90/5/5 corpus split -------------
   // Split membership must be a pure function of the stable document id —

@@ -70,6 +70,15 @@ object StreamMerge {
   private def lastWins(changes: DataFrame, key: String,
       seqCol: Option[String]): DataFrame = seqCol match {
     case Some(sq) =>
+      // two changes for one key at the SAME sequence are exactly as
+      // ambiguous as no sequence at all — the struct arg-max would
+      // tie-break on payload bytes and could silently drop a delete
+      val tie = changes.groupBy(col(key), col(sq))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+      if (tie.nonEmpty) throw new IllegalStateException(
+        s"stream_merge: key ${tie.head.get(0)} carries ${tie.head.getLong(2)} " +
+          s"changes at the same $sq=${tie.head.get(1)} — the fold order is " +
+          "ambiguous; the CDC sequence must be unique per key within a batch")
       val others = changes.columns.filter(c => c != key).toSeq
       val packed: Column = struct((col(sq) +: others.filterNot(_ == sq)
         .map(col)): _*)
@@ -90,10 +99,14 @@ object StreamMerge {
   def applyBatch(spark: SparkSession, dir: String, changes: DataFrame,
       key: String, batchId: Long, seqCol: Option[String] = None,
       checkpoint: Option[String] = None): Unit = {
-    checkpoint.foreach { ck =>
+    // brand comparison is on a NORMALIZED path (scheme prefix and
+    // trailing slashes stripped) so equivalent spellings of the same
+    // checkpoint don't false-positive into a bricked stream
+    def norm(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
+    checkpoint.map(norm).foreach { ck =>
       val b = brandPath(dir)
       if (Files.exists(b)) {
-        val branded = Files.readString(b).trim
+        val branded = norm(Files.readString(b).trim)
         if (branded != ck) throw new IllegalStateException(
           s"stream_merge: output dir $dir belongs to checkpoint lineage " +
             s"'$branded' but this query runs from '$ck' — batchIds would " +
@@ -105,32 +118,39 @@ object StreamMerge {
     // merging it again would also read v=<batchId> while overwriting the
     // same path (Spark rejects self-overwrites). Committed = done.
     if (latestVersion(dir).exists(_ >= batchId)) return
-    if (changes.isEmpty) return // idle trigger: no snapshot churn
-    val prev = latestVersion(dir)
-    val base = currentTable(spark, dir)
-      .getOrElse(changes.drop("op").drop(seqCol.toSeq: _*).limit(0))
-    val merged = Merge
-      .applyChanges(base, lastWins(changes, key, seqCol).drop(seqCol.toSeq: _*),
-        key)
-      .drop("src")
-    merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
-    // pointer flip via temp-file + ATOMIC_MOVE: readers see either the
-    // old version or the new one, never a torn pointer
-    atomicWrite(pointerPath(dir), batchId.toString)
-    // retention: the previous snapshot stays (reader grace + the only
-    // version a crash-before-flip replay can read); everything older is
-    // unreachable and deleted — disk holds ≤ 2 table copies
-    val keep = Set(Some(batchId), prev).flatten.map(v => s"v=$v")
-    val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("v=") && !keep(f.getName))
-      .foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete()
+    // one materialization for the 3-4 passes below (emptiness probe,
+    // ambiguity checks, touched-keys distinct, the upsert union)
+    changes.persist()
+    try {
+      if (changes.isEmpty) return // idle trigger: no snapshot churn
+      val prev = latestVersion(dir)
+      val base = currentTable(spark, dir)
+        .getOrElse(changes.drop("op").drop(seqCol.toSeq: _*).limit(0))
+      val merged = Merge
+        .applyChanges(base, lastWins(changes, key, seqCol).drop(seqCol.toSeq: _*),
+          key)
+        .drop("src")
+      merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+      // pointer flip via temp-file + ATOMIC_MOVE: readers see either the
+      // old version or the new one, never a torn pointer
+      atomicWrite(pointerPath(dir), batchId.toString)
+      // retention: the previous snapshot stays (one-commit reader grace +
+      // the only version a crash-before-flip replay can read); everything
+      // older is unreachable and deleted — disk holds ≤ 2 table copies.
+      // Readers must re-resolve currentTable per query: a DataFrame held
+      // across commits points at a path the NEXT commit may delete.
+      val keep = Set(Some(batchId), prev).flatten.map(v => s"v=$v")
+      val root = new java.io.File(dir)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("v=") && !keep(f.getName))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete()
+          }
+          rm(f)
         }
-        rm(f)
-      }
+    } finally changes.unpersist()
   }
 
   /** The streaming query: a change stream with an `op` column → a

@@ -80,6 +80,16 @@ class StreamMergeSpec extends SparkSuite {
       StreamMerge.applyBatch(spark, dir2, noSeq, "k", 0L)
     }
     assert(e.getMessage.contains("seqCol"), e.getMessage)
+
+    // two changes at the SAME sequence are just as ambiguous: the arg-max
+    // would tie-break on payload bytes and could silently drop a delete
+    val dir3 = freshDir("streammerge_multi3")
+    val tied = Seq((1L, "x", "U", 100L), (1L, "", "D", 100L))
+      .toDF("k", "payload", "op", "seq")
+    val e2 = intercept[IllegalStateException] {
+      StreamMerge.applyBatch(spark, dir3, tied, "k", 0L, seqCol = Some("seq"))
+    }
+    assert(e2.getMessage.contains("same seq"), e2.getMessage)
   }
 
   test("checkpoint-lineage brand: a different checkpoint against the same dir fails loudly") {
