@@ -17,10 +17,12 @@ object SparkEntry {
         // DuckDB replay of the stub arithmetic (ASCII payloads)
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d),
           Some(Multimodal.decodedDigestSql)),
-        // REAL codec path: honest 24bpp-BMP parse of generated real BMP
-        // bytes; oracle re-parses the same bytes independently in SQL
+        // REAL codec paths: honest 24bpp-BMP / 8-bit-PCM-WAV parses of
+        // generated real bytes; oracle re-parses the same bytes in SQL
         "multimodal_bmp" -> QueryDef((s, d) => Multimodal.bmpDecode(s, d),
-          Some(Multimodal.bmpDecodeSql)))
+          Some(Multimodal.bmpDecodeSql)),
+        "multimodal_wav" -> QueryDef((s, d) => Multimodal.wavDecode(s, d),
+          Some(Multimodal.wavDecodeSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

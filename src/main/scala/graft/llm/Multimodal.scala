@@ -277,6 +277,145 @@ object Multimodal {
        |FROM hdr ORDER BY doc_id""".stripMargin
   }
 
+  // ---- WAV: the audio counterpart of the BMP path ------------------------
+  // Canonical 44-byte RIFF/PCM header + 8-bit unsigned mono/stereo
+  // samples. Same honesty contract as BMP: the fixture holds REAL WAV
+  // bytes, the parser reads format/channels/rate/length FROM THE HEADER,
+  // and the oracle re-parses the identical bytes in SQL. All outputs are
+  // integers (sample sums, peak, integer-division duration), so parity
+  // needs no float tolerance at all.
+
+  final case class WavRow(doc_id: Long, media: Array[Byte])
+  final case class WavDecoded(
+      doc_id: Long, channels: Long, sample_rate: Long, n_samples: Long,
+      amp_sum: Long, amp_peak: Long, duration_ms: Long)
+
+  /** Real 8-bit-PCM WAV encoder (fixture generation only). */
+  def encodeWav8(channels: Int, sampleRate: Int, nSamples: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(channels >= 1 && sampleRate > 0 && nSamples >= 0, "bad wav params")
+    val dataSize = nSamples * channels
+    val out = new Array[Byte](44 + dataSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (ch, i) => out(off + i) = ch.toByte }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1) // PCM
+    put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * channels) // byteRate (8-bit)
+    put16(32, channels); put16(34, 8) // blockAlign, bits
+    tag(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        out(44 + i * channels + c) = (sample(i, c) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Real WAV parse: validates RIFF/WAVE/fmt/PCM/8-bit, reads channels,
+    * rate and data length from the header. Malformed payloads fail
+    * loudly. duration_ms is integer (floor) so both engines agree. */
+  def decodeWav(bytes: Array[Byte]): WavDecoded = {
+    require(bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      s"not a WAV payload (${bytes.length} bytes)")
+    val fmt = le16(bytes, 20)
+    val bits = le16(bytes, 34)
+    require(fmt == 1 && bits == 8, s"unsupported WAV variant: fmt=$fmt bits=$bits")
+    val channels = le16(bytes, 22)
+    val rate = le32(bytes, 24)
+    val dataSize = le32(bytes, 40)
+    require(channels >= 1 && rate > 0, s"bad wav header ch=$channels rate=$rate")
+    require(bytes.length >= 44 + dataSize, "truncated sample data")
+    val nSamples = dataSize / channels
+    var sum = 0L
+    var peak = 0L
+    var i = 44
+    val end = 44 + dataSize
+    while (i < end) {
+      val v = bytes(i) & 0xff
+      sum += v
+      if (v > peak) peak = v
+      i += 1
+    }
+    WavDecoded(-1L, channels, rate, nSamples, sum, peak,
+      nSamples.toLong * 1000L / rate)
+  }
+
+  /** Deterministic WAV fixture: 200 real clips, params and samples pure
+    * index arithmetic on doc_id. */
+  object WavFixture {
+    val path: String = graft.core.Fixtures.path("wav_media.parquet")
+    def ensure(spark: SparkSession): String = synchronized {
+      if (!new java.io.File(path).exists()) {
+        import spark.implicits._
+        val rows = (0L until 200L).map { id =>
+          val ch = (id % 2 + 1).toInt
+          val rate = 8000 * (id % 3 + 1).toInt
+          val n = (id % 50 + 10).toInt
+          WavRow(id, encodeWav8(ch, rate, n,
+            (i, c) => ((id * 11 + i * 17 + c * 3) % 256).toInt))
+        }
+        rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
+  /** Registry query: real WAV payloads → partition-batched real decode. */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = WavFixture.ensure(spark)
+    spark.read.parquet(p).as[WavRow]
+      .mapPartitions { rows =>
+        rows.map(r => decodeWav(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[wavDecode]]: header fields from hex pairs, sample
+    * sum/peak over the 44-byte-offset tail. */
+  val wavDecodeSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${WavFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(22, 2)} AS channels,
+       |    ${leField(24, 4)} AS sample_rate,
+       |    ${leField(40, 4)} AS data_size
+       |  FROM raw),
+       |amp AS (
+       |  SELECT doc_id, channels, sample_rate,
+       |    data_size // channels AS n_samples,
+       |    list_transform(range(44, 44 + data_size),
+       |      i -> CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS INT)) AS vs
+       |  FROM hdr)
+       |SELECT doc_id, channels, sample_rate, n_samples,
+       |  CAST(list_sum(vs) AS BIGINT) AS amp_sum,
+       |  CAST(list_max(vs) AS BIGINT) AS amp_peak,
+       |  n_samples * 1000 // sample_rate AS duration_ms
+       |FROM amp ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
   val decodedDigestSql: String =
     """SELECT doc_id, 'fake/raw' AS format,

@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+import graft.llm.Multimodal._
+
+/** The audio twin of BmpSpec: a genuine RIFF/8-bit-PCM encoder/parser
+  * pair — header fields are read from actual bytes, malformed payloads
+  * fail loudly, and the registry query decodes the fixture end-to-end. */
+class WavSpec extends SparkSuite {
+
+  test("encode/decode round-trip recovers format and exact amplitude stats") {
+    for ((ch, rate, n) <- Seq((1, 8000, 1), (2, 16000, 25), (1, 24000, 50))) {
+      val s = (i: Int, c: Int) => (i * 19 + c * 7) % 256
+      val d = decodeWav(encodeWav8(ch, rate, n, s))
+      assert(d.channels == ch && d.sample_rate == rate && d.n_samples == n)
+      val flat = for { i <- 0 until n; c <- 0 until ch } yield s(i, c).toLong
+      assert(d.amp_sum == flat.sum && d.amp_peak == flat.max)
+      assert(d.duration_ms == n.toLong * 1000 / rate)
+    }
+  }
+
+  test("zero-length clip parses to silence, not a crash") {
+    val d = decodeWav(encodeWav8(1, 8000, 0, (_, _) => 0))
+    assert(d.n_samples == 0 && d.amp_sum == 0 && d.amp_peak == 0 &&
+      d.duration_ms == 0)
+  }
+
+  test("malformed payloads fail loudly") {
+    intercept[IllegalArgumentException](decodeWav(Array[Byte](1, 2, 3)))
+    val notPcm = encodeWav8(1, 8000, 4, (_, _) => 1)
+    notPcm(20) = 3 // IEEE-float format tag — unsupported variant
+    intercept[IllegalArgumentException](decodeWav(notPcm))
+    val truncated = encodeWav8(2, 8000, 30, (_, _) => 1).take(50)
+    intercept[IllegalArgumentException](decodeWav(truncated))
+  }
+
+  test("registry query decodes the generated WAV fixture") {
+    val rows = SparkEntry.queries("multimodal_wav")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    // doc 0: mono 8 kHz, 10 samples of (i*17 % 256)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == 1L && r0.getLong(2) == 8000L && r0.getLong(3) == 10L)
+    assert(r0.getLong(4) == (0 until 10).map(i => (i * 17) % 256).sum.toLong)
+    // duration is floor(n*1000/rate) for every row
+    assert(rows.forall(r => r.getLong(6) == r.getLong(3) * 1000 / r.getLong(2)))
+  }
+}
