@@ -105,6 +105,33 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: BMP encode/decode round-trips any dims and pixel function") {
+    import graft.llm.Multimodal
+    check(Prop.forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 12),
+      Gen.chooseNum(0, 255)) { (w, h, seed) =>
+      val px = (x: Int, y: Int, c: Int) => (seed + x * 7 + y * 11 + c) % 256
+      val d = Multimodal.decodeBmp(Multimodal.encodeBmp24(w, h, px))
+      val expected = (for {
+        y <- 0 until h; x <- 0 until w; c <- 0 until 3
+      } yield px(x, y, c).toLong).sum
+      d.width == w && d.height == h && d.px_sum == expected
+    })
+  }
+
+  test("property: WAV encode/decode round-trips any format and samples") {
+    import graft.llm.Multimodal
+    check(Prop.forAll(Gen.chooseNum(1, 2), Gen.chooseNum(1, 48000),
+      Gen.chooseNum(0, 200), Gen.chooseNum(0, 255)) { (ch, rate, n, seed) =>
+      val s = (i: Int, c: Int) => (seed + i * 13 + c * 5) % 256
+      val d = Multimodal.decodeWav(Multimodal.encodeWav8(ch, rate, n, s))
+      val flat = for { i <- 0 until n; c <- 0 until ch } yield s(i, c).toLong
+      d.channels == ch && d.sample_rate == rate && d.n_samples == n &&
+        d.amp_sum == flat.sum &&
+        d.amp_peak == (if (flat.isEmpty) 0L else flat.max) &&
+        d.duration_ms == n.toLong * 1000 / rate
+    })
+  }
+
   test("property: scaling trace replay is prefix-consistent (determinism)") {
     check(Prop.forAll(Gen.listOfN(10, Gen.chooseNum(0, 100))) { avgs =>
       val events = avgs.zipWithIndex.map { case (a, i) =>
