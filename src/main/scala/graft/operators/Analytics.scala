@@ -35,8 +35,6 @@ object Analytics extends QueryGroup {
     val n = col("n").cast(DoubleType)
     // n=1 groups and zero-variance series are DEFINED (null), not a
     // divide-by-zero crash — mirrored as CASE in the oracle (EdgeCaseSpec)
-    val dx = n * col("sx2") - col("sx") * col("sx")
-    val dy = n * col("sy2") - col("sy") * col("sy")
     agg.select(
       col("event_type"), col("n"),
       (col("sx") / n).as("mean"),
@@ -45,9 +43,8 @@ object Analytics extends QueryGroup {
       when(col("n") > 1,
         sqrt((col("sx2") - col("sx") * col("sx") / n) / (n - 1)))
         .as("stddev_samp"),
-      when(dx > 0 && dy > 0,
-        (n * col("sxy") - col("sx") * col("sy")) / (sqrt(dx) * sqrt(dy)))
-        .as("corr_vk"))
+      Stats.pearson(n, col("sx"), col("sx2"), col("sy"), col("sy2"),
+        col("sxy")).as("corr_vk"))
       .orderBy(col("event_type"))
   }
 

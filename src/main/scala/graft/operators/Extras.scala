@@ -27,7 +27,10 @@ object Extras extends QueryGroup {
   private val q36Sql =
     """SELECT doc_id, u.word AS word, u.wlen AS wlen FROM (
       |  SELECT doc_id, unnest(
-      |    CASE WHEN len(l) = 0
+      |    -- l IS NULL (null text) must ALSO emit the one null row:
+      |    -- Spark's inline_outer(null) does, while unnest(NULL) would
+      |    -- emit zero rows and silently desync on a null-text document
+      |    CASE WHEN l IS NULL OR len(l) = 0
       |         THEN [{'word': CAST(NULL AS VARCHAR), 'wlen': CAST(NULL AS BIGINT)}]
       |         ELSE list_transform(l, w -> {'word': w, 'wlen': CAST(length(w) AS BIGINT)})
       |    END) AS u

@@ -234,18 +234,22 @@ object Functions extends QueryGroup {
       |  FROM e) ORDER BY event_id, key""".stripMargin
 
   // ---- Q26: JSON path extraction (R8 semantics) -------------------------
+  // 'k BIGINT' + TRY_CAST, not 'k INT' + CAST: a k past 2³¹ would
+  // overflow to null on the Spark side only, and a non-numeric k would
+  // null on Spark but ERROR the oracle — both latent divergences while
+  // the fixture keeps k in 0..16, both closed by widening and TRY_CAST
   private def q26(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
       .select(
         get_json_object(col("props"), "$.k").as("kstr"),
-        expr("from_json(props, 'k INT').k").cast(LongType).as("kint"))
+        expr("from_json(props, 'k BIGINT').k").as("kint"))
       .groupBy(col("kstr"), col("kint"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("kint"))
 
   private val q26Sql =
     """SELECT json_extract_string(props, '$.k') AS kstr,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kint,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kint,
       |  COUNT(*) AS n
       |FROM events GROUP BY kstr, kint ORDER BY kint""".stripMargin
 

@@ -16,16 +16,31 @@ object Salting {
 
   /** Salt the (large, skewed) fact side: adds `__salt`.
     *
-    * The salt is a DETERMINISTIC hash of the whole row, not rand(): a
-    * random salt is re-evaluated on task retry, so a re-run map task can
-    * emit a row under a different (key, salt) than the one a reducer
-    * already consumed — duplicating or dropping rows exactly in the
-    * distributed setting salting targets. Row-content hashing spreads a
-    * hot key just as well (its rows differ in their other columns) and is
-    * stable under recomputation. */
-  def saltFact(fact: DataFrame, n: Int): DataFrame =
-    fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toSeq: _*), lit(n)))
+    * The salt is a DETERMINISTIC hash of the row's hashable columns, not
+    * rand(): a random salt is re-evaluated on task retry, so a re-run map
+    * task can emit a row under a different (key, salt) than the one a
+    * reducer already consumed — duplicating or dropping rows exactly in
+    * the distributed setting salting targets. Row-content hashing spreads
+    * a hot key just as well (its rows differ in their other columns) and
+    * is stable under recomputation. Map-typed columns are excluded —
+    * `hash()` rejects them (map equality is order-ambiguous) and the
+    * remaining columns carry the spread. Known limit: rows identical in
+    * EVERY hashable column share a salt; content-determinism makes that
+    * unavoidable, and it only bites when a hot key's rows are also
+    * byte-identical duplicates (dedup upstream in that case). */
+  def saltFact(fact: DataFrame, n: Int): DataFrame = {
+    val hashable = fact.schema.fields.filter { f =>
+      def ok(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.map(_.dataType).forall(ok)
+        case a: org.apache.spark.sql.types.ArrayType => ok(a.elementType)
+        case _ => true
+      }
+      ok(f.dataType)
+    }.map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "saltFact: no hashable columns to derive a salt from")
+    fact.withColumn("__salt", pmod(hash(hashable: _*), lit(n)))
+  }
 
   /** Replicate the (small) dim side across all salt values: adds `__salt`. */
   def replicateDim(dim: DataFrame, n: Int): DataFrame =
