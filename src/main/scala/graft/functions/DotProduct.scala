@@ -18,10 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * SURVEY.md §7.3 for the one hot loop the built-ins can't fuse.
   *
   * Semantics match the HOF form bit-for-bit: left-to-right IEEE summation
-  * from a 0.0 seed (the oracle-parity requirement of SURVEY.md §2B Q31).
+  * from a 0.0 seed (the oracle-parity requirement of SURVEY.md §2B Q31),
+  * INCLUDING null propagation — a null element anywhere in the overlapped
+  * range nulls the whole product, exactly like the HOF fold (reading the
+  * slot as 0.0 instead would silently compute a wrong norm and let a
+  * corrupt vector win a top-k).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -44,6 +50,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -59,9 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

@@ -79,11 +79,17 @@ object Ann extends QueryGroup {
         .withColumn("c_nsq", dot(col("cvec"), col("cvec")))
 
     def assign(cdf: DataFrame): DataFrame =
-      // argmax via ordered-struct max: no window sort, one hash aggregate
+      // argmax via ordered-struct max: no window sort, one hash aggregate.
+      // c_nsq > 0 guard: initial centroids are nonzero by construction,
+      // but a Lloyd UPDATE whose members cancel exactly yields a zero
+      // centroid — unguarded, 0/0 = NaN sorts HIGHEST in Spark's struct
+      // ordering and the dead centroid would win every argmax (DuckDB's
+      // NULL quietly ranks last; the null here matches it)
       n.crossJoin(broadcast(cdf))
         .withColumn("c_cos",
-          dot(col("emb"), col("cvec")) /
-            (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+          when(col("c_nsq") > 0,
+            dot(col("emb"), col("cvec")) /
+              (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
         .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
@@ -135,11 +141,12 @@ object Ann extends QueryGroup {
     * unlike most ANN implementations it is oracle-expressible end-to-end:
     * the same 4-plane bucketing + in-bucket exact re-rank in DuckDB. */
   private val lshTopkSql =
-    """WITH x AS (
+    s"""WITH x AS (
       |  SELECT vec_id,
       |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
       |    generate_subscripts(embedding, 1) AS pos
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
       |proj AS (
       |  SELECT vec_id, p,
       |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
@@ -153,12 +160,10 @@ object Ann extends QueryGroup {
       |  FROM proj GROUP BY vec_id),
       |n AS (
       |  SELECT e.vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      |    list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                       CAST(embedding AS DOUBLE[])) AS nsq,
+      |    ${Dedup.guardedNsq} AS nsq,
       |    b.bucket
       |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0),
+      |  WHERE ${Dedup.guardedNsq} > 0),
       |p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
@@ -177,17 +182,16 @@ object Ann extends QueryGroup {
     * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
     * the previous centroid, then probe the final inverted lists. */
   private val ivfTopkSql =
-    """WITH x AS (
+    s"""WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS pos
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
       |n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      |    list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |    ${Dedup.guardedNsq} AS nsq
       |  FROM embeddings
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0),
+      |  WHERE ${Dedup.guardedNsq} > 0),
       |c0 AS (SELECT CAST(vec_id AS INT) AS ck, emb AS cvec
       |       FROM n WHERE vec_id < 8),
       |a1 AS (

@@ -59,6 +59,17 @@ object Dedup extends QueryGroup {
       .withColumn("pos", col("pos0") + 1)
       .select(col("doc_id"), col("pos"), col("sh"))
 
+  /** Null-safe squared-norm SQL for embedding oracles: the CASE defers
+    * `list_inner_product` (which hard-errors on NULL list elements) until
+    * the null-element check has passed — DuckDB evaluates CASE branches
+    * with selection vectors, so the ELSE runs only on clean rows. Mirrors
+    * the engine side, where the null-propagating dot_product makes
+    * `nsq > 0` drop the same vectors. */
+  private[llm] val guardedNsq: String =
+    """CASE WHEN len(list_filter(embedding, v -> v IS NULL)) > 0 THEN NULL
+      |         ELSE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                 CAST(embedding AS DOUBLE[])) END""".stripMargin
+
   /** Shared SQL CTE prefix producing the same words/shingles relations. */
   private[llm] val shingleCte =
     """WITH wrd AS (
@@ -122,7 +133,7 @@ object Dedup extends QueryGroup {
   private def q30b(s: SparkSession, d: String): DataFrame =
     shingles(T.documents(s, d))
       .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("shh"))
+        h48(col("sh")).as("shh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("shh")).as("n_distinct"))
@@ -165,13 +176,11 @@ object Dedup extends QueryGroup {
   }
 
   private val q31Sql =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      |    list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |    $guardedNsq AS nsq
       |  FROM embeddings
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0),
+      |  WHERE $guardedNsq > 0),
       |p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
@@ -191,7 +200,7 @@ object Dedup extends QueryGroup {
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
       .withColumn("h1",
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType))
+        h48(col("sh")))
       .withColumn("h2",
         conv(substring(md5(col("sh")), 17, 12), 16, 10).cast(LongType))
     // all 8 minima in ONE aggregation pass over the shingle rows (no x8
@@ -323,7 +332,7 @@ object Dedup extends QueryGroup {
   // per word (ANSI-safe longs).
   private[llm] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val wh = words(T.documents(s, d)).select(col("doc_id"),
-      conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("h48"))
+      h48(col("word")).as("h48"))
     // one pass, no bit explode: 48 codegen'd popcount sums per doc; the
     // ±1 vote sum is 2·Σbit − n, so bit j of the signature is set iff
     // 2·s_j > n — identical values to the exploded formulation (which
@@ -426,14 +435,17 @@ object Dedup extends QueryGroup {
     * considered and rejected: per-query release would silently strip the
     * memoized DataFrame's caching and every later reuse would recompute
     * uncached, which is worse than honestly rebuilding. */
-  private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // hash BEFORE distinct so the dedup shuffle already carries longs, and
-    // cache the kept set — the plan reads it four times (a-side, b-side,
-    // and both size joins); without the cache the whole scan+explode chain
-    // re-executes per read
+  /** The stop-shingle-capped (doc_id, 48-bit shingle hash) set — THE
+    * definition of "the document's shingle set" for every Jaccard
+    * consumer (exact pairs, clustering, and the ML LSH featurization:
+    * measuring ML similarity on UNCAPPED sets while grading against
+    * capped exact Jaccard would break the membership bound whenever
+    * boilerplate shingles past the cap dilute the ML-side distance).
+    * Cached — read up to four times per consumer. */
+  private[llm] def cappedShingleSet(s: SparkSession, d: String): DataFrame = {
+    // hash BEFORE distinct so the dedup shuffle already carries longs
     val dsh = shingles(T.documents(s, d))
-      .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("sh"))
+      .select(col("doc_id"), h48(col("sh")).as("sh"))
       .distinct()
       // read twice below (kept probe side + rare build side): cache so the
       // scan→shingle→hash→distinct chain runs once
@@ -442,7 +454,11 @@ object Dedup extends QueryGroup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)
       .select("sh")
-    val kept = dsh.join(rare, Seq("sh")).cache()
+    dsh.join(rare, Seq("sh")).cache()
+  }
+
+  private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val kept = cappedShingleSet(s, d)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = kept.select(col("doc_id").as("doc_a"), col("sh"))
     val b = kept.select(col("doc_id").as("doc_b"), col("sh"))
@@ -491,13 +507,11 @@ object Dedup extends QueryGroup {
   }
 
   private val embCosinePairsSql =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-      |    list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                       CAST(embedding AS DOUBLE[])) AS nsq
+      |    $guardedNsq AS nsq
       |  FROM embeddings
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0)
+      |  WHERE $guardedNsq > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
       |  CAST(CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
       |    AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim
@@ -618,12 +632,16 @@ object Dedup extends QueryGroup {
     graft.functions.LshProject.bucket(col("embedding"), lshDirs, nPlanes)
 
   /** Embeddings with the shared guards: empty vectors dropped (posexplode
-    * did that; so does the oracle's unnest) and dims beyond the
-    * precomputed plane matrix REJECTED loudly — silently slicing them off
-    * would zero every projection and collapse all buckets. */
+    * did that; so does the oracle's unnest), vectors carrying a NULL
+    * element dropped (LshProject zero-short-circuits on them while the
+    * oracle's SUM would SKIP the null term — a silent per-row divergence;
+    * a corrupt vector has no meaningful bucket anyway), and dims beyond
+    * the precomputed plane matrix REJECTED loudly — silently slicing them
+    * off would zero every projection and collapse all buckets. */
   private[llm] def lshInput(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .where(size(col("embedding")) > 0)
+      .where(!exists(col("embedding"), _.isNull))
       .where(assert_true(size(col("embedding")) <= 256,
         lit("embedding dim exceeds the 256-dim LSH plane matrix")).isNull)
 
@@ -637,7 +655,10 @@ object Dedup extends QueryGroup {
       |  SELECT vec_id,
       |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
       |    generate_subscripts(embedding, 1) AS pos
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  -- mirror of lshInput's null-element drop (SUM would skip the
+      |  -- null term; the engine's projection short-circuits instead)
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
       |proj AS (
       |  SELECT vec_id, p,
       |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)

@@ -50,9 +50,14 @@ object EmbStats extends QueryGroup {
         sum(col("qv") * col("qv")).as("vq2"))
     perVec.join(cnorm, Seq("label"))
       .select(col("label"), col("vec_id"), col("cq2"),
-        (col("dotq").cast(DoubleType) /
-          (sqrt(col("vq2").cast(DoubleType)) * sqrt(col("cq2").cast(DoubleType))))
-          .cast(DecimalType(10, 4)).as("cosd"))
+        // zero-norm guard (the family-wide degenerate contract): a vector
+        // quantizing to all-zero, or a label whose members cancel to a
+        // zero centroid, gets a DEFINED null cosine — not an ANSI
+        // divide-by-zero (Spark) vs silent NULL (DuckDB) split
+        when(col("vq2") > 0 && col("cq2") > 0,
+          (col("dotq").cast(DoubleType) /
+            (sqrt(col("vq2").cast(DoubleType)) * sqrt(col("cq2").cast(DoubleType))))
+            .cast(DecimalType(10, 4))).as("cosd"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         (sqrt(max(col("cq2")).cast(DoubleType)) / lit(1000000.0))
@@ -88,9 +93,10 @@ object EmbStats extends QueryGroup {
       |  GROUP BY comp.label, vec_id),
       |cosd AS (
       |  SELECT pv.label, vec_id, cq2,
-      |    CAST(CAST(dotq AS DOUBLE) /
-      |      (sqrt(CAST(vq2 AS DOUBLE)) * sqrt(CAST(cq2 AS DOUBLE)))
-      |      AS DECIMAL(10,4)) AS cosd
+      |    CASE WHEN vq2 > 0 AND cq2 > 0 THEN
+      |      CAST(CAST(dotq AS DOUBLE) /
+      |        (sqrt(CAST(vq2 AS DOUBLE)) * sqrt(CAST(cq2 AS DOUBLE)))
+      |        AS DECIMAL(10,4)) END AS cosd
       |  FROM pv JOIN cnorm ON pv.label = cnorm.label)
       |SELECT label, COUNT(*) AS n_vecs,
       |  CAST(CAST(sqrt(CAST(MAX(cq2) AS DOUBLE)) / 1000000.0 AS DECIMAL(10,4))

@@ -19,11 +19,19 @@ import graft.core.{QueryDef, QueryGroup, Tables => T}
 object MlLsh extends QueryGroup {
 
   /** Raw ML candidate pairs at `maxJaccardDist` (dist = 1 − Jaccard over
-    * the hashed feature sets). Kept for spec-level recall checks. */
+    * the hashed feature sets). Kept for spec-level recall checks.
+    *
+    * Featurized from the CAPPED shingle set (Dedup.cappedShingleSet),
+    * not the raw shingles: the verified query's membership argument
+    * needs the ML-side Jaccard to estimate the SAME capped quantity the
+    * exact side computes — on uncapped sets, boilerplate shingles past
+    * the df-cap dilute the ML distance and a capped-Jaccard ≥ 0.8 pair
+    * could sit beyond the join threshold and silently drop. */
   def minhashLshPairs(s: SparkSession, d: String,
       maxJaccardDist: Double = 0.7): DataFrame = {
-    val docsSh = Dedup.shingles(T.documents(s, d))
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+    val docsSh = Dedup.cappedShingleSet(s, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh").cast("string")).as("shs"))
     val tf = new HashingTF()
       .setInputCol("shs").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
@@ -49,12 +57,13 @@ object MlLsh extends QueryGroup {
     * coefficient RNG — is not DuckDB-replayable).
     *
     * Row set = exact capped-shingle Jaccard pairs ≥ 0.8 that the ML join
-    * also surfaces. By the banding bound a true ≥0.8 pair misses all 8
-    * tables with probability ≤ 0.2^8 ≈ 2.6e-6, so on the fixed test data
-    * the intersection deterministically equals the exact set, and the
-    * oracle replays exactly that; a broken ML pipeline drops rows or
+    * also surfaces. Both sides now measure the SAME capped sets, so the
+    * banding bound applies directly: a true ≥0.8 pair misses all 8
+    * tables with probability ≤ 0.2^8 ≈ 2.6e-6, the intersection
+    * deterministically equals the exact set on the fixed test data, and
+    * the oracle replays exactly that; a broken ML pipeline drops rows or
     * flips `ml_dist_ok` (|ML sim − exact capped Jaccard| ≤ 0.1 — slack
-    * covers the stop-shingle df-cap and 2^18 feature-hash collisions). */
+    * covers 2^18 feature-hash collisions). */
   def minhashLshVerified(s: SparkSession, d: String): DataFrame = {
     val ml = minhashLshPairs(s, d, maxJaccardDist = 0.4)
     val exact = Dedup.jaccardPairs(s, d).filter(col("jaccard") >= 0.8)

@@ -152,8 +152,13 @@ object Pipeline extends QueryGroup {
   // keeps even collisions bit-equal).
   private def repetition(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
+    // EMPTY tokens are dropped (the words() rule): counting them inflated
+    // n_words on whitespace-heavy docs, let '' become top_word, and built
+    // bigrams like 'x ' — the signal disagreed with every other token
+    // count in the repo for the same document
     val wc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .select(col("doc_id"), h48(col("w")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
     val wordAgg = wc.groupBy(col("doc_id")).agg(
@@ -161,7 +166,8 @@ object Pipeline extends QueryGroup {
       count(lit(1)).as("n_uniq_words"),
       max(col("c")).as("top_word_n"))
     val bc = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
       // sequence(1, 0) would DESCEND, not empty out — guard 1-word docs
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ws) >= 2
@@ -173,9 +179,15 @@ object Pipeline extends QueryGroup {
     val biAgg = bc.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_uniq_bigrams"),
       max(col("c")).as("top_bigram_n"))
-    wordAgg.join(biAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
-        col("top_word_n"),
+    // every doc keeps a row (all-whitespace → zeros), so count-per-doc
+    // consumers never lose rows
+    docs.select(col("doc_id"))
+      .join(wordAgg, Seq("doc_id"), "left")
+      .join(biAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_uniq_words"), lit(0L)).as("n_uniq_words"),
+        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
         coalesce(col("n_uniq_bigrams"), lit(0L)).as("n_uniq_bigrams"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
       .orderBy(col("doc_id"))
@@ -185,7 +197,7 @@ object Pipeline extends QueryGroup {
     """WITH w AS (
       |  SELECT doc_id, CAST('0x'||substring(md5(u),1,12) AS BIGINT) AS wh
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
-      |        FROM documents)),
+      |        FROM documents) WHERE u <> ''),
       |wc AS (SELECT doc_id, wh, count(*) AS c FROM w GROUP BY 1, 2),
       |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
       |         COUNT(*) AS n_uniq_words, MAX(c) AS top_word_n
@@ -195,16 +207,20 @@ object Pipeline extends QueryGroup {
       |  FROM (SELECT doc_id,
       |          unnest(list_transform(range(1, len(ws)),
       |            i -> ws[i] || ' ' || ws[i+1])) AS bg
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM (SELECT doc_id,
+      |                list_filter(string_split(text, ' '), x -> x <> '') AS ws
       |              FROM documents))),
       |bc AS (SELECT doc_id, bh, count(*) AS c FROM b GROUP BY 1, 2),
       |ba AS (SELECT doc_id, COUNT(*) AS n_uniq_bigrams, MAX(c) AS top_bigram_n
       |       FROM bc GROUP BY 1)
-      |SELECT wa.doc_id, n_words, n_uniq_words, top_word_n,
+      |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+      |  COALESCE(n_uniq_words, 0) AS n_uniq_words,
+      |  COALESCE(top_word_n, 0) AS top_word_n,
       |  COALESCE(n_uniq_bigrams, 0) AS n_uniq_bigrams,
       |  COALESCE(top_bigram_n, 0) AS top_bigram_n
-      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
-      |ORDER BY wa.doc_id""".stripMargin
+      |FROM documents d LEFT JOIN wa ON d.doc_id = wa.doc_id
+      |LEFT JOIN ba ON d.doc_id = ba.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---- text_boilerplate: C4-style duplicated-span signals ----------------
   // Per doc: how much of it is made of 5-gram spans that also appear in
@@ -251,6 +267,10 @@ object Pipeline extends QueryGroup {
     val path: String = graft.core.Fixtures.path("contacts.jsonl")
     def ensure(): String = synchronized {
       val p = Paths.get(path)
+      // write-once like BmpFixture/WavFixture: an unconditional rewrite
+      // per invocation wastes I/O in the bench loop and a concurrent
+      // oracle read could observe a half-written file
+      if (Files.exists(p)) return path
       Files.createDirectories(p.getParent)
       val lines = (0 until 400).map { i =>
         val note = (i % 4: @unchecked) match {

@@ -224,7 +224,7 @@ object Sketches extends QueryGroup {
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .select(col("lang"), col("source"),
-        conv(substring(md5(col("w")), 1, 12), 16, 10).cast(LongType).as("wh"))
+        Dedup.h48(col("w")).as("wh"))
       .rollup(col("lang"), col("source"))
       .agg(countDistinct(col("wh")).as("exact_words"),
         approx_count_distinct(col("wh"), 0.02).as("approx"))

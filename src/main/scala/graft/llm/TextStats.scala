@@ -147,7 +147,7 @@ object TextStats extends QueryGroup {
   private def winnow(s: SparkSession, d: String): DataFrame = {
     val dsh = shingles(T.documents(s, d))
       .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast(LongType).as("h"))
+        Dedup.h48(col("sh")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
     dsh.withColumn("rn", row_number().over(w).cast(LongType))
@@ -201,7 +201,7 @@ object TextStats extends QueryGroup {
   // occurrences. Ratio = one IEEE division of exact longs → portable.
   private def rareWords(s: SparkSession, d: String): DataFrame = {
     val occ = words(T.documents(s, d)).select(col("doc_id"),
-      conv(substring(md5(col("word")), 1, 12), 16, 10).cast(LongType).as("wh"))
+      Dedup.h48(col("word")).as("wh"))
     // Pre-aggregate per (doc, word) FIRST: that shuffle key is never hot
     // (a word repeats within one doc, not across the corpus on one key),
     // and everything downstream runs on distinct pairs. The previous
