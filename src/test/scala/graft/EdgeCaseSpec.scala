@@ -65,7 +65,9 @@ class EdgeCaseSpec extends SparkSuite {
         Row(0L, Seq(0.1f, 0.2f), 0),
         Row(1L, Seq.empty[Float], 1),                 // EMPTY vector
         Row(2L, Seq(0.3f, -0.4f), 0),
-        Row(3L, Seq(1.0f, 1.0f), 1))), embSchema))
+        Row(3L, Seq(1.0f, 1.0f), 1),
+        Row(4L, Seq(0.5f, null), 0),                  // NULL element
+        Row(5L, Seq(0.0f, 0.0f), 1))), embSchema))    // ZERO-norm vector
     dir
   }
 
