@@ -36,7 +36,14 @@ object Tables {
     * reader rejects. Read nanos as long (legacy conf), then convert to a
     * micros TimestampType via integer division — the fixture's timestamps
     * are µs-aligned (verified: all ns%1000==0), so this is lossless and
-    * matches DuckDB's TIMESTAMP_NS→TIMESTAMP semantics. */
+    * matches DuckDB's TIMESTAMP_NS→TIMESTAMP semantics.
+    *
+    * SIDE EFFECT, deliberate: the conf stays set on the session — it must
+    * hold at SCAN time (lazy evaluation), so restoring it after this call
+    * would break the returned DataFrame. Any later read of a DIFFERENT
+    * nanos-timestamp parquet in the same session will also see LongType
+    * instead of the reader error; no other fixture table has nanos
+    * columns, so inside this engine the blast radius is zero. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts",

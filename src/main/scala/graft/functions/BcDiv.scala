@@ -84,6 +84,23 @@ object GraftFunctions {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or conf
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Int literal extraction with loud failures — integral types only,
+    * Int-range checked: a blind Number.intValue() would floor 2.7 and
+    * WRAP 5e9 silently, the opposite of the loud error this promises. */
+  private def intLit(fn: String, e: Expression, what: String): Int = e match {
+    case l if l.foldable => l.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case i: java.lang.Short => i.intValue()
+      case i: java.lang.Byte => i.intValue()
+      case i: java.lang.Long
+        if i.longValue() == i.intValue().toLong => i.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a non-null Int-range integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a literal, not an expression")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("bc_div"),
@@ -97,19 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_ngrams"),
       new ExpressionInfo(classOf[Shingles].getName, "shingle_ngrams"),
       (exprs: Seq[Expression]) => {
-        // n must be a non-null integral literal: eval() on a non-foldable
-        // expression throws an opaque internal error, and a Long literal
-        // would ClassCastException on a blind asInstanceOf[Int]
-        val n = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Number => i.intValue()
-            case _ => throw new IllegalArgumentException(
-              "shingle_ngrams: n must be a non-null integer literal")
-          }
-          case _ => throw new IllegalArgumentException(
-            "shingle_ngrams: n must be a literal, not an expression")
-        }
-        Shingles(exprs(0), n)
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          "shingle_ngrams(text, n) takes exactly 2 arguments")
+        Shingles(exprs(0), intLit("shingle_ngrams", exprs(1), "n"))
       }))
     e.injectFunction((
       FunctionIdentifier("zorder_key"),
@@ -123,28 +130,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
       (exprs: Seq[Expression]) => {
-        // same guard as shingle_ngrams above: eval() on a non-foldable or
-        // missing argument throws an opaque internal error otherwise
         if (exprs.length != 3) throw new IllegalArgumentException(
           "topk_freq(value, k, capacity) takes exactly 3 arguments")
-        def intLit(e: Expression, what: String): Int = e match {
-          case l if l.foldable => l.eval() match {
-            // integral types only, with an Int-range check: a blind
-            // Number.intValue() would floor 2.7 and WRAP 5e9 silently —
-            // the opposite of the loud error this guard promises
-            case i: java.lang.Integer => i.intValue()
-            case i: java.lang.Short => i.intValue()
-            case i: java.lang.Byte => i.intValue()
-            case i: java.lang.Long
-              if i.longValue() == i.intValue().toLong => i.intValue()
-            case other => throw new IllegalArgumentException(
-              s"topk_freq: $what must be a non-null Int-range integer " +
-                s"literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            s"topk_freq: $what must be a literal, not an expression")
-        }
-        TopKFreqAgg(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+        TopKFreqAgg(exprs(0), intLit("topk_freq", exprs(1), "k"),
+          intLit("topk_freq", exprs(2), "capacity"))
       }))
     // Spark ships these bloom expressions for its internal runtime join
     // filters but does not SQL-register them; exposing them makes the

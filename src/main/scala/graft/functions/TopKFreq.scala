@@ -102,9 +102,14 @@ case class TopKFreqAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(b.capacity)
     out.writeInt(b.counters.size)
-    // sorted serialization: byte-stable across identical buffers
+    // sorted serialization: byte-stable across identical buffers.
+    // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws past 64 KB
+    // of modified-UTF-8, and the aggregate's type check accepts any
+    // string column (a document-sized value would crash the shuffle)
     b.counters.toSeq.sortBy(_._1).foreach { case (v, (c, e)) =>
-      out.writeUTF(v); out.writeLong(c); out.writeLong(e)
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(vb.length); out.write(vb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
   }
@@ -114,7 +119,9 @@ case class TopKFreqAgg(
     val b = new SpaceSaving(in.readInt())
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val v = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      val v = new String(vb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       b.counters(v) = (c, e)
     }
     b

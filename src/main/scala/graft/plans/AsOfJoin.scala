@@ -313,6 +313,18 @@ object AsOfJoin {
     GraftBridge.withExtraStrategy(left.sparkSession, AsOfJoinStrategy)
     val lp = GraftBridge.analyzed(left)
     val rp = GraftBridge.analyzed(right)
+    // self-join guard: the custom node does no attribute deduplication
+    // (stock Spark's Join gets it from the analyzer's DeduplicateRelations,
+    // which doesn't know this plan) — shared expression IDs would bind
+    // right-side columns to LEFT ordinals and silently return the probe
+    // row's own values. Loud beats wrong: re-alias one side first.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    if (shared.nonEmpty) throw new IllegalArgumentException(
+      "asofJoin: both sides share attribute IDs (" +
+        shared.toSeq.map(_.name).mkString(", ") +
+        ") — a self-join must re-create one side's columns first, e.g. " +
+        "df.select(df.columns.map(c => col(c).as(c)): _*).toDF(df.columns: _*)" +
+        " or rebuild it from the source")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))

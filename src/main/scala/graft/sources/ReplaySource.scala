@@ -51,14 +51,26 @@ object ReplaySource {
     * containing `\"ts\":` cannot shadow the real field. */
   private val tsRe = """(?<!\\)"ts"\s*:\s*(\d+)""".r
 
+  /** Format contract, asserted not assumed: `payload` must be the LAST
+    * key on the line (the replay-fixture writer's layout) — the extractor
+    * takes everything after its colon, so a trailing key would be
+    * swallowed into the payload and silently nulled by the downstream
+    * from_json. A general JSON producer needs a real parser here; the
+    * loud check keeps the modeling shortcut honest. */
   private[sources] def parseLine(line: String): (Long, String) = {
     val ts = tsRe.findFirstMatchIn(line)
       .getOrElse(throw new IllegalArgumentException(
         s"replay line missing numeric ts: ${line.take(80)}"))
       .group(1).toLong
     val pKey = line.indexOf("\"payload\"")
+    require(pKey >= 0, s"replay line missing payload: ${line.take(80)}")
     val pColon = line.indexOf(':', pKey)
     val raw = line.substring(pColon + 1).trim.stripSuffix("}").trim
+    // the swallowed-trailing-key failure mode: a well-formed payload is
+    // either a quoted string or a JSON object, both ending at the line's
+    // closing brace — a raw tail like `..."}, "other": 1` is neither
+    require(!raw.matches(""".*",\s*"[^"]+"\s*:.*"""),
+      s"replay line has keys after payload (payload must be last): ${line.take(80)}")
     val unquoted = raw.stripPrefix("\"").stripSuffix("\"")
       .replace("\\\"", "\"").replace("\\\\", "\\")
     (ts, unquoted)

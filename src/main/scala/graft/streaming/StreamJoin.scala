@@ -19,13 +19,22 @@ import org.apache.spark.sql.functions.expr
 object StreamJoin {
 
   /** `left ⋈ right ON key AND rightTs ∈ [leftTs, leftTs + within]`.
-    * Columns are disambiguated with `l_`/`r_` prefixes in the output. */
+    * Columns are disambiguated with `l_`/`r_` prefixes in the output.
+    *
+    * `lateness` is the allowed event-time disorder (the watermark delay)
+    * and is a SEPARATE knob from the match interval: rows arriving later
+    * than the watermark are dropped even when they satisfy the interval
+    * predicate, so a right stream with cross-stream skew beyond `within`
+    * needs a larger lateness or matches silently vanish (left-outer
+    * would emit null-padded rows for them). Defaults to `within` — the
+    * in-order-arrival assumption — for callers without skew. */
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,
-      joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark(leftTs, within).alias("l")
-    val r = right.withWatermark(rightTs, within).alias("r")
+      joinType: String = "inner", lateness: Option[String] = None): DataFrame = {
+    val wm = lateness.getOrElse(within)
+    val l = left.withWatermark(leftTs, wm).alias("l")
+    val r = right.withWatermark(rightTs, wm).alias("r")
     l.join(r,
       expr(s"""l.$key = r.$key AND
                |r.$rightTs >= l.$leftTs AND

@@ -99,14 +99,23 @@ object StreamMerge {
   def applyBatch(spark: SparkSession, dir: String, changes: DataFrame,
       key: String, batchId: Long, seqCol: Option[String] = None,
       checkpoint: Option[String] = None): Unit = {
-    // brand comparison is on a NORMALIZED path (scheme prefix and
-    // trailing slashes stripped) so equivalent spellings of the same
-    // checkpoint don't false-positive into a bricked stream
+    // The brand is the checkpoint's QUERY ID (the uuid Spark writes to
+    // <checkpoint>/metadata, stable across restarts of one lineage but
+    // regenerated when a checkpoint is wiped) — branding on the PATH
+    // alone would pass after a wipe-and-recreate at the same path, and
+    // the restarted batchIds would then short-circuit on the committed
+    // version and silently drop every batch. Path (normalized: scheme
+    // prefix and trailing slashes stripped, so equivalent spellings
+    // can't false-positive) is the fallback when metadata is unreadable.
     def norm(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
-    checkpoint.map(norm).foreach { ck =>
+    def lineageId(ck: String): String = {
+      val meta = Paths.get(norm(ck), "metadata")
+      if (Files.exists(meta)) Files.readString(meta).trim else norm(ck)
+    }
+    checkpoint.map(lineageId).foreach { ck =>
       val b = brandPath(dir)
       if (Files.exists(b)) {
-        val branded = norm(Files.readString(b).trim)
+        val branded = Files.readString(b).trim
         if (branded != ck) throw new IllegalStateException(
           s"stream_merge: output dir $dir belongs to checkpoint lineage " +
             s"'$branded' but this query runs from '$ck' — batchIds would " +

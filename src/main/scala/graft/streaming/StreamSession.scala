@@ -47,8 +47,18 @@ object StreamSession {
       // on the VALUE (> 0) instead would orphan a timer for at/below-epoch
       // event times, and the orphan would later fire against cleared state
       val prevDeadline = if (hadSession) Some(cur.lastMs + gapMs) else None
-      rows.foreach { e =>
+      // events are folded in TIME order with an explicit gap check: an
+      // event more than `gap` past the open session CLOSES it and starts
+      // a new one — without this, two bursts landing in one micro-batch
+      // merged into a single session while the same bursts split across
+      // batches produced two, i.e. output depended on arrival batching
+      val out = Seq.newBuilder[SessionSummary]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val ms = e.ts.getTime
+        if (cur.n > 0 && ms > cur.lastMs + gapMs) {
+          out += SessionSummary(user, cur.n, cur.sum, cur.firstMs, cur.lastMs)
+          cur = SessAcc(0L, 0.0, Long.MaxValue, 0L)
+        }
         cur = SessAcc(cur.n + 1, cur.sum + e.value,
           math.min(cur.firstMs, ms), math.max(cur.lastMs, ms))
       }
@@ -57,7 +67,7 @@ object StreamSession {
       // by expiry time, not name) and arm one at lastSeen + gap
       prevDeadline.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(cur.lastMs + gapMs)
-      Iterator.empty
+      out.result().iterator
     }
 
     override def handleExpiredTimer(user: String, timerValues: TimerValues,

@@ -23,14 +23,23 @@ class DotProductSpec extends SparkSuite {
     assert(df.filter(col("fused") =!= col("hof")).count() == 0)
   }
 
-  test("null array propagates null; mismatched lengths use the shorter") {
+  test("null array, null element, and mismatched lengths all propagate null") {
+    // matches the HOF form exactly: zip_with null-pads a shorter array
+    // and a null element nulls the fold — truncating instead would hand
+    // a corrupt vector a plausible partial score
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 5.0))),
-      (None, Some(Seq(1.0)))
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 5.0))), // length mismatch
+      (None, Some(Seq(1.0))),                           // null array
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))        // clean
     ).toDF("a", "b").withColumn("d", dot(col("a"), col("b")))
     val out = df.select("d").collect().map(r => Option(r.get(0)))
-    assert(out(0).contains(11.0))
+    assert(out(0).isEmpty)
     assert(out(1).isEmpty)
+    assert(out(2).contains(11.0))
+    val withNullElem = spark.sql(
+      "SELECT dot_product(array(1.0d, cast(null as double)), array(1.0d, 1.0d)) AS v")
+      .collect().head
+    assert(withNullElem.isNullAt(0))
   }
 
   test("SQL registration: dot_product available via extensions") {

@@ -71,4 +71,28 @@ class StreamSessionSpec extends SparkSuite {
         ("u1", 1L, 7.0, 600000L, 600000L)), u1)
     } finally q.stop()
   }
+
+  test("two bursts in ONE micro-batch split into two sessions") {
+    // the arrival-batching independence property: the same events must
+    // produce the same sessions whether they land in one batch or many —
+    // without the in-batch gap check, these merged into one session
+    val input = MemoryStream[UserEvent](spark)
+    val q = startQuery(input, "sess_out3")
+    try {
+      input.addData(
+        UserEvent("u1", ts(10), 1.0), UserEvent("u1", ts(20), 2.0),
+        UserEvent("u1", ts(500), 4.0)) // > 60s after the first burst
+      q.processAllAvailable()
+      // the first burst closes IMMEDIATELY (a later event proves the gap)
+      assert(rows("sess_out3").contains(("u1", 2L, 3.0, 10000L, 20000L)),
+        rows("sess_out3"))
+      // the second session needs the watermark: close it via another user
+      input.addData(UserEvent("u9", ts(900), 0.0))
+      q.processAllAvailable()
+      val u1 = rows("sess_out3").filter(_._1 == "u1")
+      assert(u1.toSet == Set(
+        ("u1", 2L, 3.0, 10000L, 20000L),
+        ("u1", 1L, 4.0, 500000L, 500000L)), u1)
+    } finally q.stop()
+  }
 }
