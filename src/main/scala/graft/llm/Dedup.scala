@@ -422,19 +422,6 @@ object Dedup extends QueryGroup {
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
   // pair count — the standard blocking guard at scale.
-  /** All-pairs exact shingle-set Jaccard via a join on shared shingles —
-    * join key is a 48-bit md5 prefix so the shuffle carries 8-byte longs
-    * (same rows in both engines; 2^-48 collision odds mirrored in the
-    * oracle); stop-shingle cap bounds the pair count.
-    *
-    * Storage note: the two `.cache()`s below live until
-    * [[graft.core.Release.storage]] runs — Bench/Verify call it after
-    * every query, and a caller composing several registry queries in one
-    * session should do the same, or cached copies accumulate (four
-    * registry queries route through here). Cross-query memoization was
-    * considered and rejected: per-query release would silently strip the
-    * memoized DataFrame's caching and every later reuse would recompute
-    * uncached, which is worse than honestly rebuilding. */
   /** The stop-shingle-capped (doc_id, 48-bit shingle hash) set — THE
     * definition of "the document's shingle set" for every Jaccard
     * consumer (exact pairs, clustering, and the ML LSH featurization:
@@ -457,6 +444,19 @@ object Dedup extends QueryGroup {
     dsh.join(rare, Seq("sh")).cache()
   }
 
+  /** All-pairs exact shingle-set Jaccard via a join on shared shingles —
+    * join key is a 48-bit md5 prefix so the shuffle carries 8-byte longs
+    * (same rows in both engines; 2^-48 collision odds mirrored in the
+    * oracle); stop-shingle cap bounds the pair count.
+    *
+    * Storage note: the two `.cache()`s inside [[cappedShingleSet]] live
+    * until [[graft.core.Release.storage]] runs — Bench/Verify call it
+    * after every query, and a caller composing several registry queries
+    * in one session should do the same, or cached copies accumulate
+    * (four registry queries route through here). Cross-query memoization
+    * was considered and rejected: per-query release would silently strip
+    * the memoized DataFrame's caching and every later reuse would
+    * recompute uncached, which is worse than honestly rebuilding. */
   private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val kept = cappedShingleSet(s, d)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))

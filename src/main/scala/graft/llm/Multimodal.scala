@@ -410,8 +410,8 @@ object Multimodal {
        |      i -> CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS INT)) AS vs
        |  FROM hdr)
        |SELECT doc_id, channels, sample_rate, n_samples,
-       |  CAST(list_sum(vs) AS BIGINT) AS amp_sum,
-       |  CAST(list_max(vs) AS BIGINT) AS amp_peak,
+       |  CAST(COALESCE(list_sum(vs), 0) AS BIGINT) AS amp_sum,
+       |  CAST(COALESCE(list_max(vs), 0) AS BIGINT) AS amp_peak,
        |  n_samples * 1000 // sample_rate AS duration_ms
        |FROM amp ORDER BY doc_id""".stripMargin
   }

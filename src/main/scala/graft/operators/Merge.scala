@@ -26,14 +26,19 @@ object Merge extends QueryGroup {
     * no-seqCol path): two surviving upserts for one key would silently
     * break key uniqueness in the output, and which should win is
     * unknowable without a sequence. Pre-fold with a last-wins reduction
-    * (StreamMerge does) when the source can emit several. */
+    * (StreamMerge does) when the source can emit several, and pass
+    * `preFolded = true` to skip the eager duplicate-key pass — the check
+    * is a full extra scan of the changes lineage, pure waste when the
+    * caller has already reduced to one change per key. */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
-      opCol: String = "op"): DataFrame = {
-    val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"merge: change set carries ${dup.head.getLong(1)} changes for key " +
-        s"${dup.head.get(0)} — fold to one change per key first")
+      opCol: String = "op", preFolded: Boolean = false): DataFrame = {
+    if (!preFolded) {
+      val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"merge: change set carries ${dup.head.getLong(1)} changes for key " +
+          s"${dup.head.get(0)} — fold to one change per key first")
+    }
     val touched = changes.select(col(key)).distinct()
     // no broadcast() hint: a hint would FORCE broadcasting even when a
     // bulk backfill makes the change set huge. AQE sees the real size at

@@ -69,7 +69,7 @@ object ReplaySource {
     // the swallowed-trailing-key failure mode: a well-formed payload is
     // either a quoted string or a JSON object, both ending at the line's
     // closing brace — a raw tail like `..."}, "other": 1` is neither
-    require(!raw.matches(""".*",\s*"[^"]+"\s*:.*"""),
+    require(!raw.matches(""".*(?<!\\)",\s*"[^"]+"\s*:.*"""),
       s"replay line has keys after payload (payload must be last): ${line.take(80)}")
     val unquoted = raw.stripPrefix("\"").stripSuffix("\"")
       .replace("\\\"", "\"").replace("\\\\", "\\")

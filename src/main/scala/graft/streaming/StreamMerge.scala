@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, struct}
@@ -114,14 +114,23 @@ object StreamMerge {
     }
     checkpoint.map(lineageId).foreach { ck =>
       val b = brandPath(dir)
-      if (Files.exists(b)) {
+      def assertBranded(): Unit = {
         val branded = Files.readString(b).trim
         if (branded != ck) throw new IllegalStateException(
           s"stream_merge: output dir $dir belongs to checkpoint lineage " +
             s"'$branded' but this query runs from '$ck' — batchIds would " +
             "collide with the committed versions and silently drop data; " +
             "wipe the output dir together with its checkpoint")
-      } else atomicWrite(b, ck)
+      }
+      if (Files.exists(b)) assertBranded()
+      else {
+        // CREATE_NEW claims the brand atomically: two queries racing their
+        // FIRST commit against the same empty dir cannot both install it —
+        // the loser lands in FileAlreadyExistsException and compares.
+        Files.createDirectories(b.getParent)
+        try Files.writeString(b, ck, StandardOpenOption.CREATE_NEW)
+        catch { case _: FileAlreadyExistsException => assertBranded() }
+      }
     }
     // replay AFTER the pointer flip: the batch is already in the table —
     // merging it again would also read v=<batchId> while overwriting the
@@ -135,9 +144,11 @@ object StreamMerge {
       val prev = latestVersion(dir)
       val base = currentTable(spark, dir)
         .getOrElse(changes.drop("op").drop(seqCol.toSeq: _*).limit(0))
+      // lastWins already guarantees one change per key → preFolded skips
+      // the merge's duplicate-key pass (a second full scan of changes)
       val merged = Merge
         .applyChanges(base, lastWins(changes, key, seqCol).drop(seqCol.toSeq: _*),
-          key)
+          key, preFolded = true)
         .drop("src")
       merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
       // pointer flip via temp-file + ATOMIC_MOVE: readers see either the
