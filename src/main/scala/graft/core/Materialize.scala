@@ -1,0 +1,63 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Mode-aware lineage cut for iterative operators.
+  *
+  * The CC/PageRank loops (Dedup.dedupClusters, GraphOps.pageRank) must
+  * materialize their per-round state: without a cut, round N's plan
+  * nests all N-1 previous rounds and the optimizer re-analyzes an
+  * exponentially growing tree. `localCheckpoint()` is the cheap cut, but
+  * it stores blocks ON THE EXECUTORS — under executor loss or
+  * decommission (an autoscaling cluster's steady state: task nodes are
+  * REMOVED on scale-in, the exact environment the reference's scaling
+  * rules produce) the lineage is already truncated, the blocks are gone,
+  * and the query dies mid-loop.
+  *
+  * [[cut]] therefore picks by deployment mode:
+  *   - `spark.graft.checkpointDir` set → reliable `checkpoint()` into
+  *     that directory (object store / HDFS in cluster mode). Survives
+  *     any executor loss; costs one distributed write per cut.
+  *   - unset (local / single-JVM runs, Bench/Verify) → `localCheckpoint`
+  *     fast path: executor loss and JVM loss are the same event there,
+  *     so durability buys nothing.
+  *
+  * The checkpoint dir is installed on the SparkContext on first use
+  * (`setCheckpointDir` appends a per-context UUID subdir, so concurrent
+  * sessions sharing a base path don't collide). Reliable checkpoint
+  * files live until the context stops; set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let the
+  * ContextCleaner delete them when the RDD is GC'd.
+  */
+object Materialize {
+
+  /** Conf key naming the reliable checkpoint base directory. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** Eagerly materialize `df` and truncate its lineage, reliably when
+    * [[ConfKey]] is configured, locally otherwise. */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // install only when the context's dir doesn't already live under
+        // the configured base: setCheckpointDir mints a fresh UUID subdir
+        // every call, so unconditional installs would scatter files —
+        // but a conf change to a NEW base must win over a stale install
+        def norm(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
+        if (!sc.getCheckpointDir.map(norm).exists(_.startsWith(norm(dir))))
+          sc.setCheckpointDir(dir)
+        // persist around the checkpoint: the reliable write runs as a
+        // SECOND job after the eager count, and without a cache that job
+        // recomputes the whole upstream pipeline (for the CC loop that is
+        // the shingle self-join — twice). The cache is dropped as soon as
+        // the checkpoint files exist; the returned frame reads those.
+        val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try pinned.checkpoint()
+        finally pinned.unpersist(blocking = false)
+      case _ => df.localCheckpoint()
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
-import graft.core.{QueryDef, QueryGroup, Tables => T}
+import graft.core.{Materialize, QueryDef, QueryGroup, Tables => T}
 import graft.functions.DotProduct.dot
 
 /** LLM-data-pipeline deduplication + similarity operators (SURVEY.md §2B
@@ -530,11 +530,11 @@ object Dedup extends QueryGroup {
       .select(col("doc_a"), col("doc_b"))
     val docs = T.documents(s, d).select(col("doc_id"))
     // materialize the pair pipeline ONCE (eager, lineage truncated) — it is
-    // re-read every round and must not re-execute the shingle self-join
-    val edges = pairs
+    // re-read every round and must not re-execute the shingle self-join;
+    // Materialize.cut is the reliable checkpoint in cluster mode
+    val edges = Materialize.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     // the loop runs on the edge-induced subgraph ONLY: a doc with no
     // near-dup edge keeps its own label forever, so iterating over the
     // full corpus (the previous shape) pays per-round shuffles
@@ -542,9 +542,8 @@ object Dedup extends QueryGroup {
     // 100 TB the active set is the near-dup fraction — orders of
     // magnitude smaller than the corpus — and the inactive docs join the
     // result with a single anti-join at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
+    var labels = Materialize.cut(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")))
     var changed = 1L
     var rounds = 0
     // min-label propagation needs up to DIAMETER rounds (it is not
@@ -562,11 +561,10 @@ object Dedup extends QueryGroup {
       // matters more than halving rows
       val propagated = labels.union(fromNbr)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-      val next = propagated
+      val next = Materialize.cut(propagated
         .join(propagated.select(col("doc_id").as("cluster"),
           col("cluster").as("root")), Seq("cluster"))
-        .select(col("doc_id"), col("root").as("cluster"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("root").as("cluster")))
       changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("prev")), Seq("doc_id"))
         .filter(col("cluster") =!= col("prev"))

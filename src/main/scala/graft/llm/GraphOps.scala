@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.core.{QueryDef, QueryGroup}
+import graft.core.{Materialize, QueryDef, QueryGroup}
 
 /** Graph analytics over the near-duplicate similarity graph (the corpus
   * graph the dedup family already builds): PageRank as the second
@@ -31,11 +31,11 @@ object GraphOps extends QueryGroup {
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.jaccardPairs(s, d).filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    // read 3× (outdeg + every iteration); materialize the pair pipeline
+    // once — reliably checkpointed in cluster mode (Materialize.cut)
+    val edges = Materialize.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      // read 3× (outdeg + every iteration); materialize the pair pipeline once
-      .localCheckpoint()
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = outdeg.select(col("src").as("node"), col("outdeg"))
     val nNodes = nodes.count() // one scalar, like the IVF centroid collect

@@ -1,0 +1,56 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** The fault-tolerance contract of the iterative operators: with
+  * `spark.graft.checkpointDir` configured, every lineage cut goes through
+  * a reliable `checkpoint()` into that directory (survives executor
+  * decommission — the autoscaling steady state), and the results are
+  * bit-identical to the local fast path. */
+class MaterializeSpec extends SparkSuite {
+
+  private def rddFiles(base: Path): Seq[Path] = {
+    if (!Files.exists(base)) return Nil
+    val out = Seq.newBuilder[Path]
+    Files.walk(base).forEach(p => if (p.getFileName.toString.startsWith("part-")) out += p)
+    out.result()
+  }
+
+  test("cut uses the reliable checkpoint when the dir conf is set") {
+    val tmp = Files.createTempDirectory("graft-ckpt-")
+    val sess = spark.newSession()
+    sess.conf.set(Materialize.ConfKey, tmp.toString)
+    val df = sess.range(1000).select(col("id"), (col("id") * 2).as("v"))
+    val cut = Materialize.cut(df)
+    // populated: the reliable writer laid partition files under the dir
+    assert(rddFiles(tmp).nonEmpty, s"no checkpoint part files under $tmp")
+    // lineage truncated: the cut frame reads materialized rows, not the
+    // original range — no Range leaf survives in the optimized plan
+    val plan = cut.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Range "), s"lineage not truncated:\n$plan")
+    assert(cut.count() === 1000)
+    // the persist guard released its cache once the files existed
+    assert(sess.sparkContext.getPersistentRDDs.isEmpty,
+      "cut left the checkpoint-guard cache pinned")
+  }
+
+  test("dedup_clusters and graph_pagerank run reliably-checkpointed, same rows") {
+    val tmp = Files.createTempDirectory("graft-ckpt-loop-")
+    val sess = spark.newSession()
+    sess.conf.set(Materialize.ConfKey, tmp.toString)
+    Seq("dedup_clusters", "graph_pagerank").foreach { name =>
+      val before = rddFiles(tmp).size
+      val reliable = SparkEntry.queries(name)(sess, sfDir).collect()
+      assert(rddFiles(tmp).size > before,
+        s"$name cut no lineage through the reliable dir")
+      val local = SparkEntry.queries(name)(spark, sfDir).collect()
+      assert(reliable.toSeq === local.toSeq, s"$name diverged between modes")
+      Release.storage(sess)
+      Release.storage(spark)
+    }
+  }
+}
