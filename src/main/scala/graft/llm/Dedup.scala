@@ -611,10 +611,16 @@ object Dedup extends QueryGroup {
   // that constant per row and shuffled the blow-up; this is a shuffle-free
   // narrow map until the final presentation sort, and at 100 TB it scans
   // embeddings exactly once with no intermediate explosion.
+  /** Widest embedding the precomputed plane matrix supports — covers the
+    * realistic model range (768/1024/1536/4096); the matrix is 8×4096
+    * ints (128 KB), one lazy driver-side computation, shipped to
+    * executors once as a codegen reference object. */
+  private[llm] val MaxEmbeddingDim = 4096
+
   private[llm] lazy val lshDirs: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(8) { p =>
-      Seq.tabulate(256) { pos0 => // supports dims ≤ 256; sliced to size(vec)
+      Seq.tabulate(MaxEmbeddingDim) { pos0 => // sliced to size(vec) per row
         val h = md.digest(s"$p:${pos0 + 1}".getBytes("UTF-8"))
         if ((h(0) & 0x80) != 0) 1 else -1 // first hex char ∈ [89a-f]
       }
@@ -640,8 +646,8 @@ object Dedup extends QueryGroup {
     T.embeddings(s, d)
       .where(size(col("embedding")) > 0)
       .where(!exists(col("embedding"), _.isNull))
-      .where(assert_true(size(col("embedding")) <= 256,
-        lit("embedding dim exceeds the 256-dim LSH plane matrix")).isNull)
+      .where(assert_true(size(col("embedding")) <= MaxEmbeddingDim,
+        lit(s"embedding dim exceeds the $MaxEmbeddingDim-dim LSH plane matrix")).isNull)
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     lshInput(s, d)

@@ -1,24 +1,25 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{FloatType, LongType}
 
 import graft.{SparkEntry, SparkSuite}
 
 /** Wide-embedding stress: the LSH/IVF/centroid family is exercised at
-  * dim 128 — between the fixture's dim 64 and the 256-dim plane-matrix
-  * guard — so the guard's "supports dims ≤ 256" claim is tested by a
-  * dimension the standard fixtures never reach, and the guard itself is
-  * shown to fire (not silently truncate) past 256. */
-class Dim128Spec extends SparkSuite {
+  * dim 1024 — a realistic model width, far beyond the fixture's dim 64 —
+  * so the plane-matrix guard's "supports dims ≤ 4096" claim is tested by
+  * a dimension the standard fixtures never reach, and the guard itself
+  * is shown to fire (not silently truncate) past 4096. */
+class WideDimSpec extends SparkSuite {
   import spark.implicits._
 
-  private val dim128Dir = {
-    val dir = graft.core.Fixtures.path("dim128")
+  private val Dim = 1024
+
+  private val wideDir = {
+    val dir = graft.core.Fixtures.path(s"dim$Dim")
     // deterministic synthetic embeddings: value is pure index arithmetic,
-    // 10 labels, 200 vectors of dim 128
+    // 10 labels, 200 vectors of dim 1024
     val rows = (0L until 200L).map { id =>
-      val emb = Array.tabulate(128) { i =>
+      val emb = Array.tabulate(Dim) { i =>
         (((id * 131 + i * 17 + 7) % 97) - 48).toFloat / 10.0f
       }
       (id, emb, (id % 10).toInt)
@@ -29,18 +30,18 @@ class Dim128Spec extends SparkSuite {
     dir
   }
 
-  test("lshInput admits dim-128 vectors without tripping the 256 guard") {
-    val n = Dedup.lshInput(spark, dim128Dir).count()
+  test("lshInput admits dim-1024 vectors without tripping the 4096 guard") {
+    val n = Dedup.lshInput(spark, wideDir).count()
     assert(n == 200L)
   }
 
-  test("ann_lsh_buckets at dim 128: one bucket per vector, matches the HOF fold") {
-    val got = SparkEntry.queries("ann_lsh_buckets")(spark, dim128Dir)
+  test("ann_lsh_buckets at dim 1024: one bucket per vector, matches the HOF fold") {
+    val got = SparkEntry.queries("ann_lsh_buckets")(spark, wideDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200)
     // independent recomputation through the interpreted HOF formulation
     // the codegen'd LshProject replaced — full-dim cross-check
-    val hof = graft.core.Tables.embeddings(spark, dim128Dir)
+    val hof = graft.core.Tables.embeddings(spark, wideDir)
       .select(col("vec_id"), typedLit(Dedup.lshDirs).as("dirs"), col("embedding"))
       .selectExpr("vec_id",
         """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
@@ -56,22 +57,22 @@ class Dim128Spec extends SparkSuite {
     assert(got == hof)
   }
 
-  test("ann_ivf_topk at dim 128: 5 probes x top-5, self excluded") {
-    val rows = SparkEntry.queries("ann_ivf_topk")(spark, dim128Dir).collect()
+  test("ann_ivf_topk at dim 1024: 5 probes x top-5, self excluded") {
+    val rows = SparkEntry.queries("ann_ivf_topk")(spark, wideDir).collect()
     assert(rows.length == 25)
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
   }
 
-  test("emb_centroid_stats at dim 128: one row per label") {
-    val rows = SparkEntry.queries("emb_centroid_stats")(spark, dim128Dir).collect()
+  test("emb_centroid_stats at dim 1024: one row per label") {
+    val rows = SparkEntry.queries("emb_centroid_stats")(spark, wideDir).collect()
     assert(rows.length == 10)
   }
 
   test("dim past the plane matrix fails loudly, never truncates") {
-    val wide = Seq((0L, Array.fill(300)(1.0f), 0))
+    val wide = Seq((0L, Array.fill(Dedup.MaxEmbeddingDim + 100)(1.0f), 0))
       .toDF("vec_id", "embedding", "label")
-    val dir = graft.core.Fixtures.path("dim300")
+    val dir = graft.core.Fixtures.path("dimOver")
     wide.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val ex = intercept[Exception] {
       Dedup.lshInput(spark, dir)
