@@ -81,38 +81,105 @@ object MetricBatch extends QueryGroup {
   // (config/instance-group-config.json:47-51); the natural next step a
   // metrics user asks for is a SELF-CALIBRATING threshold: flag an
   // observation whose z-score against the trailing 20 observations of its
-  // own series exceeds 2.5. One window pass per series — partitioned by
-  // event_type, so 100 TB of metrics parallelize across series; the frame
-  // is ROWS-bounded (constant state per row, never a growing range).
+  // own series exceeds 2.5. The frame is ROWS-bounded (constant state per
+  // row, never a growing range).
   //
   // Determinism: mean/variance come from exact DECIMAL power sums (the q33
   // trick — sum(v) and sum(v*v) are exact, order-independent), and every
   // IEEE step after the casts (divide, multiply, subtract, sqrt — sqrt is
   // correctly-rounded by IEEE-754) is written in the same order in both
   // engines, so z is bit-identical and the |z| > 2.5 cut can't flip.
-  private def anomaly(s: SparkSession, d: String): DataFrame = {
-    val v = dec(col("value"))
-    val win = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-20, -1)
-    val base = T.events(s, d)
-      .select(col("event_type"), col("ts"), col("event_id"), col("value"), v.as("v"))
-      .withColumn("n", count(lit(1)).over(win))
-      .withColumn("s1", sum(col("v")).over(win).cast(DoubleType))
-      .withColumn("s2", sum(col("v") * col("v")).over(win).cast(DoubleType))
-      .filter(col("n") >= 10)
+
+  /** z-score/filter/projection tail shared by [[anomalyGlobal]] and
+    * [[anomalyRangeSplit]] — input carries (event_type, ts, event_id,
+    * value, v, n, s1, s2). */
+  private def zTail(base: DataFrame): DataFrame =
+    base.filter(col("n") >= 10)
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance",
         greatest(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
           lit(0.0)))
-    base.filter(col("variance") > 0)
+      .filter(col("variance") > 0)
       .withColumn("z",
         (col("v").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"),
         col("n"), col("mean"), col("z"))
       .orderBy(col("event_type"), col("ts"), col("event_id"))
+
+  /** The textbook single-window form: one partition per series. Kept as
+    * the semantic reference (RangeSplitSpec diffs the split path against
+    * it); its parallelism ceiling — a 3-series/100 TB stream uses 3
+    * tasks — is why the registry runs [[anomalyRangeSplit]] instead. */
+  private[operators] def anomalyGlobal(events: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    zTail(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        dec(col("value")).as("v"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("v")).over(win).cast(DoubleType))
+      .withColumn("s2", sum(col("v") * col("v")).over(win).cast(DoubleType)))
   }
+
+  /** (series, segment) range-split of the same computation, so
+    * parallelism scales with data volume instead of series count.
+    *
+    * Shape: a two-phase distributed prefix sum (the pack_sequences move)
+    * assigns every row its exact global index `g` within its series —
+    * position within a (series, time-bucket) partition from one bucketed
+    * window, plus the bucket's cumulative offset from a metadata-scale
+    * summary (series × buckets rows, AQE-broadcast) — then rows are
+    * grouped into fixed `segRows`-row segments, the last 20 rows of each
+    * segment are DUPLICATED into the next as frame context, and the
+    * trailing-20 window runs per (series, segment). Every segment except
+    * a series' last holds exactly `segRows` core rows ≥ 21, so the 20
+    * context rows always cover a core row's global frame: the window
+    * sees precisely the rows `g-20 … g-1`, and the exact-decimal power
+    * sums make the per-segment results bit-identical to the global form.
+    * Tasks scale as Σ ceil(series_rows / segRows), not |series|. */
+  private[operators] def anomalyRangeSplit(events: DataFrame,
+      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
+    require(segRows >= 21,
+      s"anomaly range-split: segRows=$segRows cannot cover the 20-row frame")
+    val rows = events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        dec(col("value")).as("v"))
+      .withColumn("bkt", expr(s"unix_millis(ts) div ${bucketMs}L"))
+    // phase 1: position within (series, bucket) — parallel by bucket
+    val wB = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts"), col("event_id"))
+    val posed = rows.withColumn("pos", row_number().over(wB))
+    // phase 2: bucket offsets from the metadata-scale summary; the window
+    // here runs per series but over series×buckets ROWS, not the data
+    val offs = rows.groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("bkt"), col("off"))
+    val g = posed.join(offs, Seq("event_type", "bkt"))
+      .withColumn("g", col("off") + col("pos"))
+      .withColumn("seg", expr(s"(g - 1) div ${segRows}L"))
+      .drop("bkt", "pos", "off")
+    val core = g.withColumn("ctx", lit(false))
+    // frame-overlap duplication: a segment's last 20 rows also feed the
+    // NEXT segment's window partition (context-only — filtered before zTail)
+    val ctx = g.filter(col("g") - col("seg") * segRows > segRows - 20)
+      .withColumn("seg", col("seg") + 1)
+      .withColumn("ctx", lit(true))
+    val wS = Window.partitionBy(col("event_type"), col("seg"))
+      .orderBy(col("g")).rowsBetween(-20, -1)
+    zTail(core.unionByName(ctx)
+      .withColumn("n", count(lit(1)).over(wS))
+      .withColumn("s1", sum(col("v")).over(wS).cast(DoubleType))
+      .withColumn("s2", sum(col("v") * col("v")).over(wS).cast(DoubleType))
+      .filter(!col("ctx")))
+  }
+
+  private def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyRangeSplit(T.events(s, d))
 
   private val anomalySql =
     """WITH e AS (
