@@ -64,14 +64,21 @@ object Ann extends QueryGroup {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** IVF ANN: coarse quantizer = deterministic k-means (k=8, init = vecs
-    * 0..7, 2 Lloyd iterations). Each iteration is a distributed narrow
-    * aggregation; only the k×dim centroid table (tiny) touches the driver
-    * and is re-broadcast — the classic scalable Lloyd loop. Probes scan
-    * only their nearest centroid's inverted list (nprobe=1); measured
-    * recall@5 vs q31 is ~0.88 on the structureless fixture embeddings. */
-  private def ivfTopk(s: SparkSession, d: String): DataFrame = {
+  /** IVF ANN: coarse quantizer = deterministic k-means (init = the `k`
+    * lowest vec_ids, `iters` Lloyd rounds). Each iteration is a
+    * distributed narrow aggregation; only the k×dim centroid table
+    * (tiny) touches the driver and is re-broadcast — the classic
+    * scalable Lloyd loop. Probes scan the `nprobe` nearest centroids'
+    * inverted lists. The registry query pins k=8/iters=2/nprobe=1 for
+    * oracle stability (measured recall@5 vs q31 is ~0.88 on the
+    * structureless fixture embeddings); real index builds call this
+    * directly with model-sized parameters — `AnnRecallSpec` grades
+    * k=32/nprobe=2 on the dim-1024 fixture. */
+  private[llm] def ivf(s: SparkSession, d: String, k: Int, iters: Int,
+      nprobe: Int): DataFrame = {
     import s.implicits._
+    require(k >= 1 && iters >= 0 && nprobe >= 1 && nprobe <= k,
+      s"ivf: need k >= 1, iters >= 0, 1 <= nprobe <= k; got k=$k iters=$iters nprobe=$nprobe")
     val n = normed(s, d).cache()
 
     def centDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
@@ -94,11 +101,14 @@ object Ann extends QueryGroup {
         .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
         .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
 
+    // init = the k lowest vec_ids; ck keeps their vec_id ORDER (index),
+    // which for dense 0..k-1 ids equals the vec_id itself — the numbering
+    // the oracle replays
     var cents: Seq[(Int, Seq[Double])] =
-      n.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-        .select(col("vec_id").cast("int"), col("emb")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    (1 to 2).foreach { _ =>
+      n.orderBy(col("vec_id")).limit(k)
+        .select(col("emb")).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    (1 to iters).foreach { _ =>
       val assigned = assign(centDf(cents))
       val updated = assigned.join(n, Seq("vec_id"))
         .select(col("ck"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -119,12 +129,26 @@ object Ann extends QueryGroup {
 
     val cdf = centDf(cents)
     val lists = n.join(assign(cdf), Seq("vec_id"))
-    val probes = lists.filter(col("vec_id") < 5)
+    // probe cells: the nprobe nearest centroids per probe (cosine, ties
+    // to the lower ck — the same rule as assign); at nprobe=1 this IS the
+    // probe's own cell. The (probe × nprobe) fan-out stays
+    // constant-size, so the broadcast below remains provably tiny.
+    val probes = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"), col("ck"))
+        col("nsq").as("q_nsq"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("ck"))
+    val probeCells = probes.crossJoin(broadcast(cdf))
+      .withColumn("c_cos",
+        when(col("c_nsq") > 0,
+          dot(col("q_emb"), col("cvec")) /
+            (sqrt(col("q_nsq")) * sqrt(col("c_nsq")))))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("ck"))
+    lists.join(broadcast(probeCells), Seq("ck"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
@@ -135,6 +159,10 @@ object Ann extends QueryGroup {
         col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** Registry surface: the oracle-pinned parameterization. */
+  private def ivfTopk(s: SparkSession, d: String): DataFrame =
+    ivf(s, d, k = 8, iters = 2, nprobe = 1)
 
   /** The full LSH pipeline is deterministic (seeded md5 planes,
     * exact-decimal projections, cosine rounded through DECIMAL(10,4)), so

@@ -33,6 +33,26 @@ class AnnRecallSpec extends SparkSuite {
     assert(hits >= 1, s"no rank-1 LSH hit in ${rank1.toSeq}")
   }
 
+  test("parameterized IVF at dim 1024: k=32/nprobe=2 recall >= nprobe=1") {
+    val wdir = WideEmb.dir(spark)
+    val truthW = SparkEntry.queries("q31_cosine_topk")(spark, wdir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recall(nprobe: Int): Double = {
+      val got = Ann.ivf(spark, wdir, k = 32, iters = 2, nprobe = nprobe)
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val rs = truthW.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 recall $r1")
+    assert(r2 > 0.0, "nprobe=2 found no true neighbors at all")
+  }
+
   test("HLL approx distinct within 10% of exact per language") {
     Ann.hllDistinctRaw(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_words").toDouble

@@ -12,23 +12,7 @@ import graft.{SparkEntry, SparkSuite}
 class WideDimSpec extends SparkSuite {
   import spark.implicits._
 
-  private val Dim = 1024
-
-  private val wideDir = {
-    val dir = graft.core.Fixtures.path(s"dim$Dim")
-    // deterministic synthetic embeddings: value is pure index arithmetic,
-    // 10 labels, 200 vectors of dim 1024
-    val rows = (0L until 200L).map { id =>
-      val emb = Array.tabulate(Dim) { i =>
-        (((id * 131 + i * 17 + 7) % 97) - 48).toFloat / 10.0f
-      }
-      (id, emb, (id % 10).toInt)
-    }
-    rows.toDF("vec_id", "embedding", "label")
-      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    dir
-  }
+  private lazy val wideDir = WideEmb.dir(spark)
 
   test("lshInput admits dim-1024 vectors without tripping the 4096 guard") {
     val n = Dedup.lshInput(spark, wideDir).count()
