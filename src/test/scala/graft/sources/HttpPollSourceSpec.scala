@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** The poll source with an injectable transport: the live `http` path is
+  * exercised offline against an in-process stub serving the YARN RM
+  * `/ws/v1/cluster/metrics` JSON shape, and the default `replay` path
+  * replays a recorded capture with identical downstream semantics. */
+class HttpPollSourceSpec extends SparkSuite {
+
+  /** In-process RM stand-in: each GET serves the cluster-metrics document
+    * with a fresh availableVirtualCores so successive polls are
+    * distinguishable. */
+  private def withRmStub(f: (String, AtomicInteger) => Unit): Unit = {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ws/v1/cluster/metrics", exchange => {
+      val n = hits.incrementAndGet()
+      val body =
+        s"""{"clusterMetrics": {"appsRunning": 1, "availableVirtualCores": $n, "totalVirtualCores": 16}}"""
+          .getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/ws/v1/cluster/metrics", hits)
+    finally server.stop(0)
+  }
+
+  test("HttpTransport fetches the RM document and stamps the poll time") {
+    withRmStub { (url, _) =>
+      val t = new HttpTransport(url, clock = () => 1700000123L)
+      val Some((ts, payload)) = t.poll(): @unchecked
+      assert(ts == 1700000123L)
+      assert(payload.contains("\"availableVirtualCores\": 1"))
+      val Some((_, p2)) = t.poll(): @unchecked
+      assert(p2.contains("\"availableVirtualCores\": 2"))
+    }
+  }
+
+  test("HttpTransport fails loudly on a non-200 endpoint") {
+    withRmStub { (url, _) =>
+      val dead = new HttpTransport(url.replace("/metrics", "/nope"))
+      val ex = intercept[IllegalStateException](dead.poll())
+      assert(ex.getMessage.contains("HTTP 404"))
+    }
+  }
+
+  test("streams live polls end-to-end: one observation per trigger") {
+    withRmStub { (url, _) =>
+      val stream = spark.readStream.format("graft.sources.HttpPollSource")
+        .option("transport", "http").option("url", url).load()
+      assert(stream.schema.fieldNames.toSeq == Seq("ts", "payload"))
+      val q = stream.writeStream.format("memory").queryName("http_out")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("http_out").count() < 5 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      } finally q.stop()
+      val rows = spark.table("http_out")
+        .select(get_json_object(col("payload"),
+          "$.clusterMetrics.availableVirtualCores").cast("int").as("avail"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows.size >= 5, s"only ${rows.size} polls landed")
+      // one poll per trigger, appended in order: the stub's counter values
+      assert(rows == (1 to rows.size), rows.mkString(","))
+    }
+  }
+
+  test("replay transport is the default and drains the capture exactly once") {
+    val f = Files.createTempFile("graft_poll_replay", ".jsonl")
+    val lines = (0 until 7).map { i =>
+      s"""{"ts": ${1700000000L + i * 30}, "payload": "{\\"clusterMetrics\\": {\\"availableVirtualCores\\": $i, \\"totalVirtualCores\\": 16}}"}"""
+    }
+    Files.writeString(f, lines.mkString("\n"))
+    val q = spark.readStream.format("graft.sources.HttpPollSource")
+      .option("path", f.toString).load()
+      .writeStream.format("memory").queryName("poll_replay_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("poll_replay_out").count() < 7 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(spark.table("poll_replay_out").count() == 7)
+    val firstTs = spark.table("poll_replay_out").agg(min(col("ts")))
+      .collect()(0).getTimestamp(0).getTime / 1000
+    assert(firstTs == 1700000000L)
+  }
+}
