@@ -177,10 +177,11 @@ object MetricPipeline {
 
   /** Full streaming query: source → parse → window → decide → foreachBatch
     * sink, on the reference's 30 s processing-time trigger (R13).
-    * `sink` receives each micro-batch of actions (R12's put-metric-data
-    * becomes a pluggable batch writer; tests collect to memory). */
+    * `sink` receives each micro-batch of actions; the default renders the
+    * EMR resize payload as JSON lines via [[CloudWatchSink.resizePublisher]]
+    * (tests pass a collector instead). */
   def start(payloads: DataFrame, clusterId: String,
-      sink: (DataFrame, Long) => Unit,
+      sink: (DataFrame, Long) => Unit = CloudWatchSink.resizePublisher(),
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")) = {
     ensureRocksDbStateStore(payloads.sparkSession)
@@ -192,4 +193,18 @@ object MetricPipeline {
       .foreachBatch(sink)
       .start()
   }
+
+  /** The reference's publication surface as its own streaming query:
+    * every parsed observation rendered as a `put-metric-data` JSON line
+    * (R12) — the streaming twin of `MetricTickMain`'s one-shot tick. */
+  def startPublish(payloads: DataFrame, clusterId: String,
+      checkpointDir: String,
+      endpoint: CloudWatchSink.Endpoint = CloudWatchSink.Stdout,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")) =
+    parseRmPayload(payloads, clusterId).toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(CloudWatchSink.metricPublisher(endpoint = endpoint))
+      .start()
 }
