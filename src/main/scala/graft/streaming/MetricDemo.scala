@@ -17,6 +17,27 @@ import org.apache.spark.sql.types._
   * load trace (100%→low→recover) and prints the resulting actions.
   */
 object MetricDemo {
+
+  /** The README demo story (/root/reference/README.md:174-188) at the
+    * reference's 30 s cadence, t0 aligned to the 30 s window grid: the
+    * submitted job pins the cores (12.5% ≤ 25 → scale-out, repeated
+    * fires separated by the 300 s cooldown with suppressed windows in
+    * between), then the load drains (93.75% > 75 → scale-in). The trace
+    * starts AT submission — an idle prefix would fire the scale-in rule
+    * immediately (100% free > 75), which is correct rule behavior but
+    * not the README's narrative. `AutoscaleReplaySpec` replays exactly
+    * this trace with a mid-stream crash/restart. */
+  val demoT0: Long = 1700000010L // multiple of 30: ticks sit on the grid
+
+  def demoTrace: Seq[String] = (0 until 90).map { i =>
+    val (avail, total) = i match {
+      case j if j < 50 => (2, 16)    // busy: 12.5% → scale-out territory
+      case _           => (15, 16)   // drained: 93.75% → scale-in
+    }
+    val ts = demoT0 + i * 30
+    s"""{"ts": $ts, "payload": "{\\"clusterMetrics\\": {\\"availableVirtualCores\\": $avail, \\"totalVirtualCores\\": $total}}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -32,20 +53,7 @@ object MetricDemo {
     val srcDir = base.resolve("payloads"); Files.createDirectories(srcDir)
     val ckpt = base.resolve("ckpt").toString
 
-    // Simulated trace at the reference's 30 s cadence: idle cluster (all
-    // cores free), then a heavy job pins the cores (available% ≤ 25 →
-    // scale-out), then load drains (> 75 → scale-in).
-    val t0 = 1700000000L
-    val trace = (0 until 60).map { i =>
-      val (avail, total) = i match {
-        case j if j < 10 => (16, 16)   // idle: 100%
-        case j if j < 40 => (2, 16)    // busy: 12.5% → scale-out territory
-        case _           => (15, 16)   // drained: 93.75% → scale-in
-      }
-      val ts = t0 + i * 30
-      s"""{"ts": $ts, "payload": "{\\"clusterMetrics\\": {\\"availableVirtualCores\\": $avail, \\"totalVirtualCores\\": $total}}"}"""
-    }
-    Files.writeString(srcDir.resolve("trace.jsonl"), trace.mkString("\n"))
+    Files.writeString(srcDir.resolve("trace.jsonl"), demoTrace.mkString("\n"))
 
     // the custom DSv2 replay source stands in for the reference's
     // cron+curl poll loop, rate-limited to one "tick" batch per trigger
