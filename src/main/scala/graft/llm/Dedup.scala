@@ -486,18 +486,30 @@ object Dedup extends QueryGroup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
-  // ---- Embedding-cosine near-dup, blocked on the coarse label -----------
+  // ---- Embedding-cosine near-dup, blocked on (label, SRP bucket) --------
+  // Label alone is quadratic in block size: the label count is FIXED, so a
+  // 10x corpus puts 10x vectors in each label and the pair count grows
+  // 100x (the sf1 sweep measured exactly that — 25x wall clock). The
+  // 4-plane signed-random-projection bucket (16 cells, the same seeded
+  // construction ann_lsh_topk blocks with) subdivides every label so the
+  // per-cell population — hence the pair count per data volume — scales
+  // like the other banded families. Near-identical vectors agree on all 4
+  // planes with high probability, so top-50 cosine pairs survive the cut;
+  // vectors carrying a NULL element have no meaningful bucket and are
+  // dropped by the shared lshInput guard (mirrored in the oracle's x CTE).
   private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val bkts = lshInput(s, d).select(col("vec_id"), lshBucket(4).as("bucket"))
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
     // zero-norm guard — same rationale and oracle mirror as q31
     val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
       .where(col("nsq") > 0)
-    val a = n.select(col("vec_id").as("vec_a"), col("label"),
+      .join(bkts, Seq("vec_id"))
+    val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
-    val b = n.select(col("vec_id").as("vec_b"), col("label"),
+    val b = n.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
       col("emb").as("emb_b"), col("nsq").as("nsq_b"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("label", "bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", dot(col("emb_a"), col("emb_b")))
       .withColumn("cos", col("dot") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .select(col("vec_a"), col("vec_b"), col("label"),
@@ -507,15 +519,33 @@ object Dedup extends QueryGroup {
   }
 
   private val embCosinePairsSql =
-    s"""WITH n AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-      |    $guardedNsq AS nsq
+    s"""WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
+      |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
+      |          SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) AS proj
+      |  FROM x CROSS JOIN (SELECT unnest(range(4)) AS p)
+      |  GROUP BY vec_id, p),
+      |bkt AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (
+      |  SELECT e.vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    $guardedNsq AS nsq, b.bucket
+      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
       |  WHERE $guardedNsq > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
       |  CAST(CAST(list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq))
       |    AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+      |  AND a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
   // ---- Near-dup clustering: converging label propagation ----------------

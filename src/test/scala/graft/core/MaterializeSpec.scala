@@ -24,6 +24,9 @@ class MaterializeSpec extends SparkSuite {
     val tmp = Files.createTempDirectory("graft-ckpt-")
     val sess = spark.newSession()
     sess.conf.set(Materialize.ConfKey, tmp.toString)
+    // other suites share this context and may hold their own caches —
+    // only NEW pins are this test's business
+    val pinnedBefore = sess.sparkContext.getPersistentRDDs.keySet
     val df = sess.range(1000).select(col("id"), (col("id") * 2).as("v"))
     val cut = Materialize.cut(df)
     // populated: the reliable writer laid partition files under the dir
@@ -34,7 +37,7 @@ class MaterializeSpec extends SparkSuite {
     assert(!plan.contains("Range "), s"lineage not truncated:\n$plan")
     assert(cut.count() === 1000)
     // the persist guard released its cache once the files existed
-    assert(sess.sparkContext.getPersistentRDDs.isEmpty,
+    assert(sess.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
       "cut left the checkpoint-guard cache pinned")
   }
 

@@ -178,20 +178,21 @@ class PlanSpec extends SparkSuite {
     assert(hashEx === 1, p)
   }
 
-  test("metric_anomaly: both trailing windows share one exchange + sort") {
-    // s1 and s2 are two Window nodes over the same (partition, order,
-    // frame) spec — a second Exchange or Sort between them would mean the
-    // series re-shuffled/re-sorted per statistic
+  test("metric_anomaly: one segment exchange carries all trailing statistics") {
+    // range-split shape (RangeSplitSpec pins equivalence to the global
+    // window): the trailing n/s1/s2 statistics are Window nodes over ONE
+    // (event_type, seg) spec — exactly one exchange carries the segment
+    // key; a second would mean the data re-shuffled per statistic. The
+    // volume-scaling phase-1 key (event_type, bkt) must also appear.
     val df = SparkEntry.queries("metric_anomaly")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalSection = p.split("== Initial Plan ==").head
-    val hashEx = finalSection.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx === 1, p)
-    assert(finalSection.linesIterator.count(l => l.contains("- Sort ") ||
-      l.trim.startsWith("Sort ")) <= 2, p)
-    assert(!finalSection.contains("Join"), p)
+    val segEx = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("seg"))
+    assert(segEx === 1, p)
+    assert(finalSection.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bkt")), p)
   }
 
   test("chunk_documents: narrow generator — no shuffle before the output sort") {

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Generate a local sf1 fixture (10x sf0.1) for the scale sweep.
+
+Usage: python3 tools/make_sf1.py [outDir]   (default target/sf1)
+
+documents/embeddings only -- the tables the dedup/ANN/text board reads.
+Copy 0 is sf0.1 verbatim; copies 1..9 shift ids by copy*N and perturb
+content deterministically (zlib.crc32 seeds) so that:
+  - each copy's INTERNAL near-dup structure mirrors sf0.1 (pair counts,
+    cluster sizes and text statistics scale ~linearly), and
+  - cross-copy pairs stay below the Jaccard/hamming thresholds (every
+    other word resampled from the same vocabulary), so the pair graph
+    does NOT explode quadratically in the copy count.
+Dev tool only -- never shipped; the driver's sf dirs stay read-only.
+"""
+import sys, zlib
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def h32(*parts):
+    return zlib.crc32(":".join(str(p) for p in parts).encode()) & 0xFFFFFFFF
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    n_docs = docs.num_rows
+    doc_id = docs.column("doc_id").to_pylist()
+    text = docs.column("text").to_pylist()
+    lang = docs.column("lang").to_pylist()
+    source = docs.column("source").to_pylist()
+    vocab = sorted({w for t in text for w in t.split(" ") if w})
+
+    d_id, d_text, d_lang, d_src, d_nch = [], [], [], [], []
+    for c in range(COPIES):
+        for i in range(n_docs):
+            if c == 0:
+                t = text[i]
+            else:
+                words = text[i].split(" ")
+                t = " ".join(
+                    vocab[h32(c, doc_id[i], p) % len(vocab)]
+                    if h32("flip", c, doc_id[i], p) % 2 == 0 else w
+                    for p, w in enumerate(words))
+            d_id.append(c * n_docs + doc_id[i])
+            d_text.append(t)
+            d_lang.append(lang[i])
+            d_src.append(source[i])
+            d_nch.append(len(t))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(d_id, pa.int64()),
+        "text": pa.array(d_text, pa.string()),
+        "lang": pa.array(d_lang, pa.string()),
+        "source": pa.array(d_src, pa.string()),
+        "n_chars": pa.array(d_nch, pa.int64()),
+    }), f"{out}/documents.parquet")
+    print(f"documents: {len(d_id)} rows")
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    n_vec = emb.num_rows
+    vec_id = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding").to_pylist()
+    label = emb.column("label").to_pylist()
+    e_id, e_vec, e_lab = [], [], []
+    for c in range(COPIES):
+        for i in range(n_vec):
+            if c == 0:
+                v = vecs[i]
+            else:
+                v = [x + ((h32(c, vec_id[i], j) % 1001) - 500) / 10000.0
+                     for j, x in enumerate(vecs[i])]
+            e_id.append(c * n_vec + vec_id[i])
+            e_vec.append(v)
+            e_lab.append(label[i])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(e_id, pa.int64()),
+        "embedding": pa.array(e_vec, pa.list_(pa.float32())),
+        "label": pa.array(e_lab, pa.int32()),
+    }), f"{out}/embeddings.parquet")
+    print(f"embeddings: {len(e_id)} rows")
+
+
+if __name__ == "__main__":
+    main()
