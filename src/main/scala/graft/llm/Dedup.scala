@@ -497,8 +497,12 @@ object Dedup extends QueryGroup {
   // planes with high probability, so top-50 cosine pairs survive the cut;
   // vectors carrying a NULL element have no meaningful bucket and are
   // dropped by the shared lshInput guard (mirrored in the oracle's x CTE).
-  private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
-    val bkts = lshInput(s, d).select(col("vec_id"), lshBucket(4).as("bucket"))
+  /** `nPlanes` is the scale knob: cells = labels × 2^nPlanes, so a
+    * deployment holds per-cell population constant by raising it with
+    * log2 of the corpus size. The registry pins 4 for oracle stability. */
+  private[llm] def embCosinePairs(s: SparkSession, d: String,
+      nPlanes: Int): DataFrame = {
+    val bkts = lshInput(s, d).select(col("vec_id"), lshBucket(nPlanes).as("bucket"))
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
     // zero-norm guard — same rationale and oracle mirror as q31
@@ -772,7 +776,7 @@ object Dedup extends QueryGroup {
     "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
     "dedup_simhash_pairs"   -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
-    "dedup_embedding_cosine" -> QueryDef(embCosinePairs, Some(embCosinePairsSql)),
+    "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
   )

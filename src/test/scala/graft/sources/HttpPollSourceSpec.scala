@@ -79,6 +79,33 @@ class HttpPollSourceSpec extends SparkSuite {
     }
   }
 
+  test("the reference's full loop offline: HTTP poll -> bc percent -> put-metric-data") {
+    // custom-metrics.sh end-to-end: poll the RM endpoint, compute the
+    // scale-2 truncated percentage, publish the CLI field tuple — here as
+    // one streaming query against the in-process stub
+    withRmStub { (url, _) =>
+      val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val ep = new graft.streaming.CloudWatchSink.Endpoint {
+        override def emit(ls: Seq[String]): Unit = ls.foreach(lines.add)
+      }
+      val payloads = spark.readStream.format("graft.sources.HttpPollSource")
+        .option("transport", "http").option("url", url).load()
+      val ckpt = Files.createTempDirectory("graft_poll_pub").toString
+      val q = graft.streaming.MetricPipeline.startPublish(
+        payloads, "j-LIVE", ckpt, ep, Trigger.ProcessingTime(0L))
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (lines.size < 3 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      assert(lines.size >= 3, s"only ${lines.size} publications landed")
+      // poll 1 served availableVirtualCores=1 of 16: bc scale=2 -> 6.25
+      assert(lines.get(0) ==
+        """{"action":"put-metric-data","metric-name":"YARNCoreAvailablePercentage","namespace":"AWS/ElasticMapReduce","unit":"Percent","value":6.25,"dimensions":["JobFlowId=j-LIVE"]}""",
+        lines.get(0))
+    }
+  }
+
   test("replay transport is the default and drains the capture exactly once") {
     val f = Files.createTempFile("graft_poll_replay", ".jsonl")
     val lines = (0 until 7).map { i =>
