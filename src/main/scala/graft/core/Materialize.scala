@@ -46,8 +46,11 @@ object Materialize {
         // the configured base: setCheckpointDir mints a fresh UUID subdir
         // every call, so unconditional installs would scatter files —
         // but a conf change to a NEW base must win over a stale install
+        // "/" suffix: the installed dir is base/<uuid>, and a bare
+        // startsWith would treat /mnt/ckpt as already-installed when the
+        // stale base is /mnt/ckpt-old (string prefix, different dir)
         def norm(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
-        if (!sc.getCheckpointDir.map(norm).exists(_.startsWith(norm(dir))))
+        if (!sc.getCheckpointDir.map(norm).exists(_.startsWith(norm(dir) + "/")))
           sc.setCheckpointDir(dir)
         // persist around the checkpoint: the reliable write runs as a
         // SECOND job after the eager count, and without a cache that job

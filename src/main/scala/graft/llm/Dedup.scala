@@ -502,13 +502,19 @@ object Dedup extends QueryGroup {
     * log2 of the corpus size. The registry pins 4 for oracle stability. */
   private[llm] def embCosinePairs(s: SparkSession, d: String,
       nPlanes: Int): DataFrame = {
-    val bkts = lshInput(s, d).select(col("vec_id"), lshBucket(nPlanes).as("bucket"))
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-    // zero-norm guard — same rationale and oracle mirror as q31
+    // zero-norm guard — same rationale and oracle mirror as q31. The nsq
+    // filter also drops null-element vectors (dot null-propagates), so
+    // the bucket is computed directly on the surviving rows — ONE scan,
+    // no separate bucket table to shuffle-join back on vec_id. The dim
+    // guard stays loud, as in lshInput.
     val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
       .where(col("nsq") > 0)
-      .join(bkts, Seq("vec_id"))
+      .where(assert_true(size(col("emb")) <= MaxEmbeddingDim,
+        lit(s"embedding dim exceeds the $MaxEmbeddingDim-dim LSH plane matrix")).isNull)
+      .withColumn("bucket",
+        graft.functions.LshProject.bucket(col("emb"), lshDirs, nPlanes))
     val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),

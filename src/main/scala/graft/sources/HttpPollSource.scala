@@ -135,14 +135,24 @@ private class HttpPollMicroBatchStream(transport: MetricTransport)
     PollOffset(base + buf.length)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    PollOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val v = json.toLong
+    // restart fast-forward: Spark replays the checkpointed offsets
+    // through here before the first poll. While nothing has been polled
+    // yet, adopt the highest committed index as the new base so fresh
+    // observations continue the numbering instead of colliding with
+    // committed indices 0..v. Once polls exist the base is pinned — an
+    // uncommitted-batch replay then fails loudly below.
+    if (buf.isEmpty && v > base) base = v
+    PollOffset(v)
+  }
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[PollOffset].index
     if (e > base) {
-      // on restart the committed offset can be ahead of this fresh
-      // buffer; nothing is retained for it anyway, so just jump
+      // planInputPartitions bounds every served batch to the retained
+      // tail, so a commit past it can only be the fast-forwarded restart
+      // case (buf empty); the drop below then drops nothing fresh
       buf.dropInPlace(math.min(e - base, buf.length.toLong).toInt)
       base = e
     }
@@ -153,10 +163,15 @@ private class HttpPollMicroBatchStream(transport: MetricTransport)
       end.asInstanceOf[PollOffset].index)
     if (e <= s) return Array.empty
     synchronized {
-      if (s < base) throw new IllegalStateException(
-        s"http_poll: recovery asked for observations [$s,$e) but the " +
-          s"retained tail starts at $base — live polls are not replayable; " +
-          "rerun from a recorded capture (transport=replay) for exact recovery")
+      // both bounds checked: s < base is a replay below the trimmed tail,
+      // e past the buffer is a restart asking for observations this
+      // process never polled — serving an empty slice for either would
+      // silently commit data loss
+      if (s < base || e > base + buf.length) throw new IllegalStateException(
+        s"http_poll: recovery asked for observations [$s,$e) but this " +
+          s"process retains only [$base,${base + buf.length}) — live polls " +
+          "are not replayable; rerun from a recorded capture " +
+          "(transport=replay) for exact recovery")
       val rows = buf.slice((s - base).toInt, (e - base).toInt).toArray
       Array(PollPartition(rows))
     }

@@ -68,8 +68,15 @@ object ReplaySource {
     val raw = line.substring(pColon + 1).trim.stripSuffix("}").trim
     // the swallowed-trailing-key failure mode: a well-formed payload is
     // either a quoted string or a JSON object, both ending at the line's
-    // closing brace — a raw tail like `..."}, "other": 1` is neither
-    require(!raw.matches(""".*(?<!\\)",\s*"[^"]+"\s*:.*"""),
+    // closing brace — a raw tail like `..."}, "other": 1` is neither.
+    // The quote closes the payload only when preceded by an EVEN number
+    // of backslashes (a single-char lookbehind would let `abc\\", "k":`
+    // slip through: the quote follows the second char of an escaped
+    // backslash, yet it IS a real closing quote)
+    val trailingKey = """",\s*"[^"]+"\s*:""".r.findAllMatchIn(raw).exists { m =>
+      raw.view.slice(0, m.start).reverse.takeWhile(_ == '\\').size % 2 == 0
+    }
+    require(!trailingKey,
       s"replay line has keys after payload (payload must be last): ${line.take(80)}")
     val unquoted = raw.stripPrefix("\"").stripSuffix("\"")
       .replace("\\\"", "\"").replace("\\\\", "\\")

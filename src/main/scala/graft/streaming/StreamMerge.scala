@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, struct}
@@ -124,12 +124,20 @@ object StreamMerge {
       }
       if (Files.exists(b)) assertBranded()
       else {
-        // CREATE_NEW claims the brand atomically: two queries racing their
-        // FIRST commit against the same empty dir cannot both install it —
-        // the loser lands in FileAlreadyExistsException and compares.
+        // claim the brand atomically IN CONTENT as well as existence:
+        // write a unique temp file, then hard-LINK it to the brand path —
+        // link(2) fails if the target exists and the link carries the
+        // complete content the instant it appears. A plain CREATE_NEW
+        // write would let the loser read the winner's file before its
+        // bytes land and die on a spurious ""-lineage mismatch, and
+        // ATOMIC_MOVE is rename(2) on POSIX, which silently REPLACES.
         Files.createDirectories(b.getParent)
-        try Files.writeString(b, ck, StandardOpenOption.CREATE_NEW)
+        val tmp = b.resolveSibling(
+          s"${b.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, ck)
+        try Files.createLink(b, tmp)
         catch { case _: FileAlreadyExistsException => assertBranded() }
+        finally Files.deleteIfExists(tmp)
       }
     }
     // replay AFTER the pointer flip: the batch is already in the table —

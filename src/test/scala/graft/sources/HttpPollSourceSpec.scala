@@ -106,6 +106,30 @@ class HttpPollSourceSpec extends SparkSuite {
     }
   }
 
+  test("restart guards: clean restart fast-forwards, unreplayable ranges fail loudly") {
+    val f = Files.createTempFile("graft_poll_restart", ".jsonl")
+    Files.writeString(f, (0 until 3).map { i =>
+      s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
+    }.mkString("\n"))
+    val s = new HttpPollMicroBatchStream(new ReplayTransport(f.toString))
+    // the checkpointed offset replays through deserializeOffset BEFORE any
+    // poll: fresh observations must continue the numbering from there,
+    // not restart at 0 and collide with committed indices
+    s.deserializeOffset("5")
+    val end = s.latestOffset()
+    assert(end.json == "6")
+    assert(s.planInputPartitions(s.deserializeOffset("5"), end).length == 1)
+    // a replay below the retained tail (committed-but-lost observations)
+    // must fail loudly, never serve an empty slice
+    val exLow = intercept[IllegalStateException](
+      s.planInputPartitions(s.deserializeOffset("0"), s.deserializeOffset("2")))
+    assert(exLow.getMessage.contains("not replayable"))
+    // and so must a range past anything this process ever polled
+    val exHigh = intercept[IllegalStateException](
+      s.planInputPartitions(s.deserializeOffset("6"), s.deserializeOffset("8")))
+    assert(exHigh.getMessage.contains("not replayable"))
+  }
+
   test("replay transport is the default and drains the capture exactly once") {
     val f = Files.createTempFile("graft_poll_replay", ".jsonl")
     val lines = (0 until 7).map { i =>

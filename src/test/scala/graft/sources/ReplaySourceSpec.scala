@@ -40,6 +40,18 @@ class ReplaySourceSpec extends SparkSuite {
     assert(firstTs == 1700000000L)
   }
 
+  test("payload-last guard: escaped quote passes, escaped backslash still trips") {
+    // an escaped quote inside the payload is NOT a closing quote — the
+    // guard must not false-positive on the `\", \"x\":` shape
+    val (_, p) = ReplaySource.parseLine("""{"ts": 1, "payload": "a\", \"x\": 1"}""")
+    assert(p == """a", "x": 1""")
+    // a payload ending in an escaped BACKSLASH is a real closing quote
+    // (even backslash count) — a trailing key after it must stay loud
+    val ex = intercept[IllegalArgumentException](
+      ReplaySource.parseLine("""{"ts": 1, "payload": "abc\\", "extra": 1}"""))
+    assert(ex.getMessage.contains("payload must be last"))
+  }
+
   test("checkpoint recovery: restart resumes from the committed offset") {
     val path = writeTrace(30)
     val ckpt = Files.createTempDirectory("graft_ck_rec").toString

@@ -29,8 +29,11 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
-    n_docs = docs.num_rows
     doc_id = docs.column("doc_id").to_pylist()
+    n_docs = docs.num_rows
+    # stride by max(id)+1, not row count: sparse ids would otherwise
+    # collide across copies and silently corrupt the pair statistics
+    doc_stride = max(doc_id) + 1
     text = docs.column("text").to_pylist()
     lang = docs.column("lang").to_pylist()
     source = docs.column("source").to_pylist()
@@ -47,7 +50,7 @@ def main():
                     vocab[h32(c, doc_id[i], p) % len(vocab)]
                     if h32("flip", c, doc_id[i], p) % 2 == 0 else w
                     for p, w in enumerate(words))
-            d_id.append(c * n_docs + doc_id[i])
+            d_id.append(c * doc_stride + doc_id[i])
             d_text.append(t)
             d_lang.append(lang[i])
             d_src.append(source[i])
@@ -62,8 +65,9 @@ def main():
     print(f"documents: {len(d_id)} rows")
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
-    n_vec = emb.num_rows
     vec_id = emb.column("vec_id").to_pylist()
+    n_vec = emb.num_rows
+    vec_stride = max(vec_id) + 1
     vecs = emb.column("embedding").to_pylist()
     label = emb.column("label").to_pylist()
     e_id, e_vec, e_lab = [], [], []
@@ -74,7 +78,7 @@ def main():
             else:
                 v = [x + ((h32(c, vec_id[i], j) % 1001) - 500) / 10000.0
                      for j, x in enumerate(vecs[i])]
-            e_id.append(c * n_vec + vec_id[i])
+            e_id.append(c * vec_stride + vec_id[i])
             e_vec.append(v)
             e_lab.append(label[i])
     pq.write_table(pa.table({
