@@ -64,6 +64,41 @@ def main():
     }), f"{out}/documents.parquet")
     print(f"documents: {len(d_id)} rows")
 
+    # events: copies are TIME-SHIFTED (31-day stride), so the 5 series
+    # keep their identity while the per-series row count grows 10x — the
+    # exact shape the metric_anomaly range-split exists for. ts is written
+    # as TIMESTAMP(NANOS) to match the driver fixture (Tables.events reads
+    # nanos-as-long).
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    n_ev = ev.num_rows
+    ev_id = ev.column("event_id").to_pylist()
+    ev_ts = ev.column("ts").to_pylist()
+    ev_uid = ev.column("user_id").to_pylist()
+    ev_ty = ev.column("event_type").to_pylist()
+    ev_val = ev.column("value").to_pylist()
+    ev_pr = ev.column("props").to_pylist()
+    ev_stride = max(ev_id) + 1
+    import datetime
+    day31 = datetime.timedelta(days=31)
+    v_id, v_ts, v_uid, v_ty, v_val, v_pr = [], [], [], [], [], []
+    for c in range(COPIES):
+        for i in range(n_ev):
+            v_id.append(c * ev_stride + ev_id[i])
+            v_ts.append(ev_ts[i] + c * day31)
+            v_uid.append(ev_uid[i])
+            v_ty.append(ev_ty[i])
+            v_val.append(ev_val[i])
+            v_pr.append(ev_pr[i])
+    pq.write_table(pa.table({
+        "event_id": pa.array(v_id, pa.int64()),
+        "ts": pa.array(v_ts, pa.timestamp("ns")),
+        "user_id": pa.array(v_uid, pa.int64()),
+        "event_type": pa.array(v_ty, pa.string()),
+        "value": pa.array(v_val, pa.float64()),
+        "props": pa.array(v_pr, pa.string()),
+    }), f"{out}/events.parquet")
+    print(f"events: {len(v_id)} rows")
+
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_id = emb.column("vec_id").to_pylist()
     n_vec = emb.num_rows
