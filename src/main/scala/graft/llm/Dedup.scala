@@ -511,8 +511,7 @@ object Dedup extends QueryGroup {
     // guard stays loud, as in lshInput.
     val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
       .where(col("nsq") > 0)
-      .where(assert_true(size(col("emb")) <= MaxEmbeddingDim,
-        lit(s"embedding dim exceeds the $MaxEmbeddingDim-dim LSH plane matrix")).isNull)
+      .where(fitsPlaneMatrix(col("emb")))
       .withColumn("bucket",
         graft.functions.LshProject.bucket(col("emb"), lshDirs, nPlanes))
     val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
@@ -682,12 +681,19 @@ object Dedup extends QueryGroup {
     * a corrupt vector has no meaningful bucket anyway), and dims beyond
     * the precomputed plane matrix REJECTED loudly — silently slicing them
     * off would zero every projection and collapse all buckets. */
+  /** Loud dim guard shared by lshInput and the single-scan cosine path:
+    * TRUE (well, non-null) only while the vector fits the precomputed
+    * plane matrix — one definition so the bound and message can't
+    * diverge between the two call sites. */
+  private def fitsPlaneMatrix(v: Column): Column =
+    assert_true(size(v) <= MaxEmbeddingDim,
+      lit(s"embedding dim exceeds the $MaxEmbeddingDim-dim LSH plane matrix")).isNull
+
   private[llm] def lshInput(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .where(size(col("embedding")) > 0)
       .where(!exists(col("embedding"), _.isNull))
-      .where(assert_true(size(col("embedding")) <= MaxEmbeddingDim,
-        lit(s"embedding dim exceeds the $MaxEmbeddingDim-dim LSH plane matrix")).isNull)
+      .where(fitsPlaneMatrix(col("embedding")))
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     lshInput(s, d)

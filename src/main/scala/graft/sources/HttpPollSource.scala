@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -123,29 +123,35 @@ private case class PollOffset(index: Long) extends Offset {
 }
 
 private class HttpPollMicroBatchStream(transport: MetricTransport)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
   // uncommitted tail of the stream: buf(i) is observation (base + i)
   private val buf = ArrayBuffer.empty[(Long, String)]
   private var base = 0L
 
   override def initialOffset(): Offset = PollOffset(0L)
 
-  override def latestOffset(): Offset = synchronized {
+  // SupportsAdmissionControl is load-bearing for restarts, not rate
+  // limiting: for a plain MicroBatchStream the engine polls latestOffset()
+  // BEFORE it ever hands us a checkpointed offset, so a fresh observation
+  // would be numbered from base=0 and collide with committed indices. This
+  // overload receives the restored start offset FIRST — the only hook
+  // where a restart fast-forward can run ahead of the first poll.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val s = start.asInstanceOf[PollOffset].index
+    // clean restart: nothing polled yet, so adopt the committed index as
+    // the new base and let fresh observations continue the numbering.
+    // Once polls exist the base is pinned — an uncommitted-batch replay
+    // then fails loudly in planInputPartitions.
+    if (buf.isEmpty && s > base) base = s
     transport.poll().foreach(buf += _) // one poll per trigger, cron-style
     PollOffset(base + buf.length)
   }
 
-  override def deserializeOffset(json: String): Offset = synchronized {
-    val v = json.toLong
-    // restart fast-forward: Spark replays the checkpointed offsets
-    // through here before the first poll. While nothing has been polled
-    // yet, adopt the highest committed index as the new base so fresh
-    // observations continue the numbering instead of colliding with
-    // committed indices 0..v. Once polls exist the base is pinned — an
-    // uncommitted-batch replay then fails loudly below.
-    if (buf.isEmpty && v > base) base = v
-    PollOffset(v)
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[PollOffset].index

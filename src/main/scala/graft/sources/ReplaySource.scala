@@ -66,21 +66,62 @@ object ReplaySource {
     require(pKey >= 0, s"replay line missing payload: ${line.take(80)}")
     val pColon = line.indexOf(':', pKey)
     val raw = line.substring(pColon + 1).trim.stripSuffix("}").trim
-    // the swallowed-trailing-key failure mode: a well-formed payload is
-    // either a quoted string or a JSON object, both ending at the line's
-    // closing brace — a raw tail like `..."}, "other": 1` is neither.
-    // The quote closes the payload only when preceded by an EVEN number
-    // of backslashes (a single-char lookbehind would let `abc\\", "k":`
-    // slip through: the quote follows the second char of an escaped
-    // backslash, yet it IS a real closing quote)
-    val trailingKey = """",\s*"[^"]+"\s*:""".r.findAllMatchIn(raw).exists { m =>
-      raw.view.slice(0, m.start).reverse.takeWhile(_ == '\\').size % 2 == 0
-    }
-    require(!trailingKey,
+    require(payloadIsLast(raw),
       s"replay line has keys after payload (payload must be last): ${line.take(80)}")
-    val unquoted = raw.stripPrefix("\"").stripSuffix("\"")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+    // unescaping applies to the quoted-string form only; a raw JSON-object
+    // payload passes through verbatim (its inner escapes belong to the
+    // downstream from_json)
+    val unquoted = if (raw.startsWith("\""))
+      raw.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    else raw
     (ts, unquoted)
+  }
+
+  /** Index of the first unescaped quote at/after `from` — one preceded by
+    * an EVEN number of backslashes (a single-char lookbehind would let
+    * `abc\\"` slip through: that quote follows the second char of an
+    * escaped backslash, yet it IS a real closing quote). -1 if none. */
+  private def unescapedQuote(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s(i) == '"') {
+        var b = i - 1
+        while (b >= 0 && s(b) == '\\') b -= 1
+        if ((i - 1 - b) % 2 == 0) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** The swallowed-trailing-key failure mode: a well-formed payload is
+    * either a quoted string or a JSON object, and in both forms the value
+    * must extend to the line's closing brace — a value that closes earlier
+    * (`..."}, "other": 1`) means keys follow the payload. Scanned, not
+    * regex-matched: a quoted `\", \"x\":` inside either form is payload
+    * content, not a trailing key. */
+  private[sources] def payloadIsLast(raw: String): Boolean = raw.headOption match {
+    case Some('"') => unescapedQuote(raw, 1) == raw.length - 1
+    case Some('{') =>
+      var depth = 0
+      var i = 0
+      while (i < raw.length) {
+        raw(i) match {
+          case '"' =>
+            val close = unescapedQuote(raw, i + 1)
+            if (close < 0) return false // unterminated string literal
+            i = close
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return i == raw.length - 1
+          case _ =>
+        }
+        i += 1
+      }
+      false // unbalanced braces: the payload never closes
+    case _ => false // contract: payload is a quoted string or a JSON object
   }
 
   private[sources] def readAll(path: String): IndexedSeq[(Long, String)] =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, FileSystemException, Files, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, struct}
@@ -115,7 +115,16 @@ object StreamMerge {
     checkpoint.map(lineageId).foreach { ck =>
       val b = brandPath(dir)
       def assertBranded(): Unit = {
-        val branded = Files.readString(b).trim
+        // a CREATE_NEW-fallback claimant's bytes land one write after the
+        // open — tolerate a transiently empty brand before declaring a
+        // mismatch (the hard-link path never exposes this window)
+        var branded = Files.readString(b).trim
+        var spins = 0
+        while (branded.isEmpty && spins < 100) {
+          Thread.sleep(10)
+          branded = Files.readString(b).trim
+          spins += 1
+        }
         if (branded != ck) throw new IllegalStateException(
           s"stream_merge: output dir $dir belongs to checkpoint lineage " +
             s"'$branded' but this query runs from '$ck' — batchIds would " +
@@ -131,12 +140,31 @@ object StreamMerge {
         // write would let the loser read the winner's file before its
         // bytes land and die on a spurious ""-lineage mismatch, and
         // ATOMIC_MOVE is rename(2) on POSIX, which silently REPLACES.
+        // Filesystems without link(2) (CIFS/FAT/object-store mounts)
+        // fall back to CREATE_NEW — existence-atomic, with the reader
+        // spin in assertBranded covering the open-to-write gap.
         Files.createDirectories(b.getParent)
+        // a crash between the tmp write and the finally leaks the tmp;
+        // sweep stale ones (old enough to not belong to a live claimant)
+        val listing = Files.list(b.getParent)
+        try listing.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(s"${b.getFileName}.") && n.endsWith(".tmp") &&
+            Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - 3600000L)
+            Files.deleteIfExists(p)
+        } finally listing.close()
         val tmp = b.resolveSibling(
           s"${b.getFileName}.${java.util.UUID.randomUUID()}.tmp")
         Files.writeString(tmp, ck)
         try Files.createLink(b, tmp)
-        catch { case _: FileAlreadyExistsException => assertBranded() }
+        catch {
+          case _: FileAlreadyExistsException => assertBranded()
+          case _: UnsupportedOperationException | _: FileSystemException =>
+            try Files.write(b, ck.getBytes("UTF-8"),
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            catch { case _: FileAlreadyExistsException => assertBranded() }
+        }
         finally Files.deleteIfExists(tmp)
       }
     }

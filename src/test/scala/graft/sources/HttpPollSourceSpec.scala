@@ -112,12 +112,17 @@ class HttpPollSourceSpec extends SparkSuite {
       s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
     }.mkString("\n"))
     val s = new HttpPollMicroBatchStream(new ReplayTransport(f.toString))
-    // the checkpointed offset replays through deserializeOffset BEFORE any
-    // poll: fresh observations must continue the numbering from there,
-    // not restart at 0 and collide with committed indices
-    s.deserializeOffset("5")
-    val end = s.latestOffset()
+    // the engine's actual restart order (MicroBatchExecution +
+    // SupportsAdmissionControl): the checkpointed start arrives via
+    // latestOffset(start, limit) BEFORE the first poll — fresh
+    // observations must continue the numbering from there, not restart
+    // at 0 and collide with committed indices
+    val end = s.latestOffset(s.deserializeOffset("5"),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
     assert(end.json == "6")
+    // the engine then commits the restored offset (cleanUpLastExecutedMicroBatch)
+    // — that must not drop the fresh never-served observation
+    s.commit(s.deserializeOffset("5"))
     assert(s.planInputPartitions(s.deserializeOffset("5"), end).length == 1)
     // a replay below the retained tail (committed-but-lost observations)
     // must fail loudly, never serve an empty slice
@@ -128,6 +133,45 @@ class HttpPollSourceSpec extends SparkSuite {
     val exHigh = intercept[IllegalStateException](
       s.planInputPartitions(s.deserializeOffset("6"), s.deserializeOffset("8")))
     assert(exHigh.getMessage.contains("not replayable"))
+  }
+
+  test("checkpointed restart through the real engine continues the numbering") {
+    // regression: with a plain MicroBatchStream the engine polls
+    // latestOffset() BEFORE deserializing the checkpointed offset, so the
+    // restart fast-forward never fired, the first fresh observation was
+    // dropped, and the regressed offset crash-looped the query. The
+    // SupportsAdmissionControl overload receives the restored start first;
+    // this drives a real stop/restart cycle through MicroBatchExecution.
+    val f = Files.createTempFile("graft_poll_ckpt", ".jsonl")
+    Files.writeString(f, (0 until 20).map { i =>
+      s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
+    }.mkString("\n"))
+    val ckpt = Files.createTempDirectory("graft_poll_ckpt_dir").toString
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def run(minRows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.HttpPollSource")
+        .option("path", f.toString).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(r.getString(1)))
+        }
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen.size < minRows && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        // the capture (or target) is drained: give the in-flight commit a
+        // beat to land so the stop is a clean between-batches shutdown
+        Thread.sleep(500)
+      } finally q.stop()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      assert(seen.size >= minRows, s"only ${seen.size} of $minRows rows landed")
+    }
+    run(20) // first run drains the whole capture and commits offset 20
+    // restart against the same checkpoint: a fresh transport re-polls from
+    // the top, and the fast-forward must renumber those observations from
+    // the committed offset instead of colliding (or crash-looping)
+    run(23)
   }
 
   test("replay transport is the default and drains the capture exactly once") {

@@ -52,6 +52,23 @@ class ReplaySourceSpec extends SparkSuite {
     assert(ex.getMessage.contains("payload must be last"))
   }
 
+  test("payload-last guard: raw JSON-object payloads with interior keys pass") {
+    // an object payload whose string value is followed by another key is
+    // well-formed by the parser's own contract — the `", "id":` inside the
+    // object is payload content, not a trailing key
+    val (_, p) = ReplaySource.parseLine(
+      """{"ts": 1, "payload": {"state": "RUNNING", "id": 5}}""")
+    assert(p == """{"state": "RUNNING", "id": 5}""")
+    // a key after the object's real closing brace must still trip
+    val ex = intercept[IllegalArgumentException](
+      ReplaySource.parseLine("""{"ts": 1, "payload": {"a": 1}, "extra": 2}"""))
+    assert(ex.getMessage.contains("payload must be last"))
+    // interior escaped quotes don't end the object's string literals
+    val (_, p2) = ReplaySource.parseLine(
+      """{"ts": 1, "payload": {"s": "a\"b", "n": 2}}""")
+    assert(p2 == """{"s": "a\"b", "n": 2}""")
+  }
+
   test("checkpoint recovery: restart resumes from the committed offset") {
     val path = writeTrace(30)
     val ckpt = Files.createTempDirectory("graft_ck_rec").toString

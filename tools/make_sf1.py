@@ -3,7 +3,8 @@
 
 Usage: python3 tools/make_sf1.py [outDir]   (default target/sf1)
 
-documents/embeddings only -- the tables the dedup/ANN/text board reads.
+Generates documents/embeddings (the tables the dedup/ANN/text board
+reads) plus events (time-shifted copies for the window family).
 Copy 0 is sf0.1 verbatim; copies 1..9 shift ids by copy*N and perturb
 content deterministically (zlib.crc32 seeds) so that:
   - each copy's INTERNAL near-dup structure mirrors sf0.1 (pair counts,
