@@ -4,7 +4,9 @@
 Usage: python3 tools/make_sf1.py [outDir]   (default target/sf1)
 
 Generates documents/embeddings (the tables the dedup/ANN/text board
-reads) plus events (time-shifted copies for the window family).
+reads), events (time-shifted copies for the window family), and the
+TPC-H tables (key-shifted fact copies for the relational/sketch board;
+dims verbatim -- facts grow faster than dims, so joins fan out 10x).
 Copy 0 is sf0.1 verbatim; copies 1..9 shift ids by copy*N and perturb
 content deterministically (zlib.crc32 seeds) so that:
   - each copy's INTERNAL near-dup structure mirrors sf0.1 (pair counts,
@@ -123,6 +125,44 @@ def main():
         "label": pa.array(e_lab, pa.int32()),
     }), f"{out}/embeddings.parquet")
     print(f"embeddings: {len(e_id)} rows")
+
+    # TPC-H: facts (lineitem/orders/customer) get key-shifted copies so
+    # referential joins scale linearly -- l_orderkey and o_custkey shift by
+    # the SAME strides as their parents. Vectorized (pyarrow compute): the
+    # 6M-row sf1 lineitem is too big for python-list row loops. Non-key
+    # columns (dates, prices, flags) are unchanged, so group-by
+    # cardinalities stay fixed while groups grow 10x -- the aggregation
+    # shape a real 100 TB fact table has.
+    import pyarrow.compute as pc
+
+    def fact_copies(name, shift_cols):
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        copies = []
+        for c in range(COPIES):
+            cols = {}
+            for col in t.column_names:
+                arr = t.column(col)
+                if c > 0 and col in shift_cols:
+                    arr = pc.add(arr, c * shift_cols[col])
+                cols[col] = arr
+            copies.append(pa.table(cols))
+        merged = pa.concat_tables(copies)
+        pq.write_table(merged, f"{out}/{name}.parquet")
+        print(f"{name}: {merged.num_rows} rows")
+
+    o_stride = pc.max(
+        pq.read_table(f"{SRC}/orders.parquet", columns=["o_orderkey"])
+        .column("o_orderkey")).as_py() + 1
+    c_stride = pc.max(
+        pq.read_table(f"{SRC}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")).as_py() + 1
+    fact_copies("customer", {"c_custkey": c_stride})
+    fact_copies("orders", {"o_orderkey": o_stride, "o_custkey": c_stride})
+    fact_copies("lineitem", {"l_orderkey": o_stride})
+    for dim in ("supplier", "part", "nation", "region"):
+        t = pq.read_table(f"{SRC}/{dim}.parquet")
+        pq.write_table(t, f"{out}/{dim}.parquet")
+        print(f"{dim}: {t.num_rows} rows (verbatim dim)")
 
 
 if __name__ == "__main__":
