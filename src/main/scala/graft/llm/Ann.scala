@@ -76,9 +76,48 @@ object Ann extends QueryGroup {
     * k=32/nprobe=2 on the dim-1024 fixture. */
   private[llm] def ivf(s: SparkSession, d: String, k: Int, iters: Int,
       nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k,
+      s"ivf: need 1 <= nprobe <= k; got k=$k nprobe=$nprobe")
+    val (lists, cdf) = ivfModel(s, d, k, iters)
+    // probe cells: the nprobe nearest centroids per probe (cosine, ties
+    // to the lower ck — the same rule as assign); at nprobe=1 this IS the
+    // probe's own cell. The (probe × nprobe) fan-out stays
+    // constant-size, so the broadcast below remains provably tiny.
+    val probes = lists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("ck"))
+    val probeCells = probes.crossJoin(broadcast(cdf))
+      .withColumn("c_cos",
+        when(col("c_nsq") > 0,
+          dot(col("q_emb"), col("cvec")) /
+            (sqrt(col("q_nsq")) * sqrt(col("c_nsq")))))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(probeCells), Seq("ck"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot", dot(col("q_emb"), col("emb")))
+      .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
+        col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Deterministic IVF model shared by the top-k probe path and the
+    * cluster-balanced sampler: the final inverted lists (vec_id, emb,
+    * nsq, ck) plus the centroid table (ck, cvec, c_nsq). */
+  private[llm] def ivfModel(s: SparkSession, d: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    require(k >= 1 && iters >= 0 && nprobe >= 1 && nprobe <= k,
-      s"ivf: need k >= 1, iters >= 0, 1 <= nprobe <= k; got k=$k iters=$iters nprobe=$nprobe")
+    require(k >= 1 && iters >= 0,
+      s"ivfModel: need k >= 1, iters >= 0; got k=$k iters=$iters")
     val n = normed(s, d).cache()
 
     def centDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
@@ -128,27 +167,33 @@ object Ann extends QueryGroup {
     }
 
     val cdf = centDf(cents)
-    val lists = n.join(assign(cdf), Seq("vec_id"))
-    // probe cells: the nprobe nearest centroids per probe (cosine, ties
-    // to the lower ck — the same rule as assign); at nprobe=1 this IS the
-    // probe's own cell. The (probe × nprobe) fan-out stays
-    // constant-size, so the broadcast below remains provably tiny.
-    val probes = n.filter(col("vec_id") < 5)
+    (n.join(assign(cdf), Seq("vec_id")), cdf)
+  }
+
+  /** Registry surface: the oracle-pinned parameterization. */
+  private def ivfTopk(s: SparkSession, d: String): DataFrame =
+    ivf(s, d, k = 8, iters = 2, nprobe = 1)
+
+  /** Multi-probe LSH: each probe scans its own bucket PLUS the 4
+    * Hamming-1 neighbor buckets (one sign flip per plane) — the classic
+    * recall knob that needs NO extra tables or planes. Cost stays
+    * bucket-bounded: candidates carry exactly one bucket each, and the 5
+    * probe buckets are distinct, so no (probe, candidate) pair repeats
+    * and the join needs no dedup. `AnnRecallSpec` asserts recall ≥ the
+    * single-bucket `ann_lsh_topk`. */
+  private def lshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val planes = 4
+    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
+    val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val q = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"))
-    val wc = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("ck"))
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("c_cos",
-        when(col("c_nsq") > 0,
-          dot(col("q_emb"), col("cvec")) /
-            (sqrt(col("q_nsq")) * sqrt(col("c_nsq")))))
-      .withColumn("crn", row_number().over(wc))
-      .filter(col("crn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
+        col("nsq").as("q_nsq"), col("bucket"))
+      .withColumn("flip", explode(flips))
+      .select(col("q_id"), col("q_emb"), col("q_nsq"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    lists.join(broadcast(probeCells), Seq("ck"))
+    n.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
@@ -160,15 +205,33 @@ object Ann extends QueryGroup {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Registry surface: the oracle-pinned parameterization. */
-  private def ivfTopk(s: SparkSession, d: String): DataFrame =
-    ivf(s, d, k = 8, iters = 2, nprobe = 1)
+  /** Cluster-balanced diversity sample: assign every vector to its IVF
+    * cell, then take a fixed per-cell quota in salted-hash order — the
+    * curation move that keeps a corpus's TAIL clusters represented
+    * instead of letting head clusters dominate a uniform sample. Hash
+    * order (not vec_id order) so the draw is unbiased w.r.t. ingestion
+    * order yet fully deterministic for the oracle. At 100 TB the cell
+    * count k grows with the corpus, so the per-cell window parallelizes
+    * with the data; the rank ≤ quota filter is a WindowGroupLimit (no
+    * full sort per cell). */
+  private def clusterDiverse(s: SparkSession, d: String): DataFrame = {
+    val (lists, _) = ivfModel(s, d, k = 8, iters = 2)
+    val w = Window.partitionBy(col("ck")).orderBy(col("skey"), col("vec_id"))
+    lists
+      .withColumn("skey", conv(substring(md5(concat(lit("divsamp:"),
+        col("vec_id").cast(StringType))), 1, 12), 16, 10).cast(LongType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 25)
+      .select(col("vec_id"), col("ck"), col("rank"))
+      .orderBy(col("ck"), col("rank"))
+  }
 
   /** The full LSH pipeline is deterministic (seeded md5 planes,
     * exact-decimal projections, cosine rounded through DECIMAL(10,4)), so
     * unlike most ANN implementations it is oracle-expressible end-to-end:
-    * the same 4-plane bucketing + in-bucket exact re-rank in DuckDB. */
-  private val lshTopkSql =
+    * the same 4-plane bucketing + in-bucket exact re-rank in DuckDB.
+    * CTE chain shared by the single-bucket and multi-probe oracles. */
+  private val lshCtes =
     s"""WITH x AS (
       |  SELECT vec_id,
       |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
@@ -191,25 +254,45 @@ object Ann extends QueryGroup {
       |    ${Dedup.guardedNsq} AS nsq,
       |    b.bucket
       |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
-      |  WHERE ${Dedup.guardedNsq} > 0),
-      |p AS (
-      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
-      |  FROM n q JOIN n c ON q.vec_id < 5 AND q.bucket = c.bucket
-      |    AND q.vec_id <> c.vec_id)
-      |SELECT q_id, neighbor_id,
+      |  WHERE ${Dedup.guardedNsq} > 0)""".stripMargin
+
+  private val lshTopkTail =
+    """SELECT q_id, neighbor_id,
       |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
       |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
       |      FROM p)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  private val lshTopkSql =
+    s"""$lshCtes,
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND q.bucket = c.bucket
+      |    AND q.vec_id <> c.vec_id)
+      |$lshTopkTail""".stripMargin
+
+  /** Same re-rank, but each probe meets candidates in its own bucket OR
+    * any Hamming-1 flip of it — the [0,1,2,4,8] XOR masks mirror the
+    * engine's `flips` array. */
+  private val lshMultiprobeSql =
+    s"""$lshCtes,
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM n q
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) fl
+      |  JOIN n c ON q.vec_id < 5 AND xor(q.bucket, CAST(f AS BIGINT)) = c.bucket
+      |    AND q.vec_id <> c.vec_id)
+      |$lshTopkTail""".stripMargin
+
   /** The fixed 2-iteration Lloyd loop IS SQL-expressible once centroid
     * means are exact-decimal (order-independent): init = vecs 0..7, two
     * assign+update rounds (argmax cosine, ties to the lower centroid id —
     * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
     * the previous centroid, then probe the final inverted lists. */
-  private val ivfTopkSql =
+  private val ivfAssignCtes =
     s"""WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS pos
@@ -262,7 +345,10 @@ object Ann extends QueryGroup {
       |          (sqrt(n.nsq) * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
       |        c.ck) AS rn
       |    FROM n CROSS JOIN c2 c) WHERE rn = 1),
-      |lst AS (SELECT n.vec_id, n.emb, n.nsq, a3.ck FROM n JOIN a3 USING (vec_id)),
+      |lst AS (SELECT n.vec_id, n.emb, n.nsq, a3.ck FROM n JOIN a3 USING (vec_id))""".stripMargin
+
+  private val ivfTopkSql =
+    s"""$ivfAssignCtes,
       |pr AS (SELECT vec_id AS q_id, emb AS q_emb, nsq AS q_nsq, ck
       |       FROM lst WHERE vec_id < 5),
       |p AS (
@@ -270,12 +356,19 @@ object Ann extends QueryGroup {
       |    list_inner_product(pr.q_emb, c.emb) /
       |      (sqrt(pr.q_nsq) * sqrt(c.nsq)) AS cos
       |  FROM lst c JOIN pr ON c.ck = pr.ck AND pr.q_id <> c.vec_id)
-      |SELECT q_id, neighbor_id,
-      |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
-      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
-      |        PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-      |      FROM p)
-      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      |$lshTopkTail""".stripMargin
+
+  /** Per-cell quota in salted-hash order over the SAME final assignment
+    * (`lst`) — the 48-bit '0x'-prefixed md5 key mirrors the engine's
+    * conv(md5)/16→10 sample key bit-for-bit. */
+  private val clusterDiverseSql =
+    s"""$ivfAssignCtes
+      |SELECT vec_id, ck, rank FROM (
+      |  SELECT vec_id, ck, CAST(ROW_NUMBER() OVER (PARTITION BY ck
+      |      ORDER BY CAST('0x'||substring(md5('divsamp:'||CAST(vec_id AS VARCHAR)),1,12)
+      |        AS BIGINT), vec_id) AS BIGINT) AS rank
+      |  FROM lst)
+      |WHERE rank <= 25 ORDER BY ck, rank""".stripMargin
 
   /** HLL approximate distinct (Spark-native approx_count_distinct, rsd 2%)
     * alongside the exact count — the raw surface for `AnnRecallSpec`. */
@@ -303,8 +396,10 @@ object Ann extends QueryGroup {
       |FROM wrd GROUP BY lang ORDER BY lang""".stripMargin
 
   override val defs: Seq[(String, QueryDef)] = Seq(
-    "ann_lsh_topk"     -> QueryDef(lshTopk, Some(lshTopkSql)),
-    "ann_ivf_topk"     -> QueryDef(ivfTopk, Some(ivfTopkSql)),
-    "hll_distinct"     -> QueryDef(hllDistinct, Some(hllDistinctSql)),
+    "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
+    "ann_lsh_multiprobe"     -> QueryDef(lshMultiprobe, Some(lshMultiprobeSql)),
+    "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),
+    "sample_cluster_diverse" -> QueryDef(clusterDiverse, Some(clusterDiverseSql)),
+    "hll_distinct"           -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )
 }

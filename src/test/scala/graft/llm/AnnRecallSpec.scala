@@ -53,6 +53,32 @@ class AnnRecallSpec extends SparkSuite {
     assert(r2 > 0.0, "nprobe=2 found no true neighbors at all")
   }
 
+  private def meanRecall(got: Map[Long, Set[Long]]): Double = {
+    val rs = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    rs.sum / rs.size
+  }
+
+  test("multi-probe LSH: recall >= single-bucket LSH, candidates still bounded") {
+    val single = meanRecall(topkSet("ann_lsh_topk"))
+    val multi = meanRecall(topkSet("ann_lsh_multiprobe"))
+    assert(multi >= single,
+      s"multiprobe recall $multi below single-bucket recall $single")
+    assert(multi > 0.0, "multiprobe found no true neighbors at all")
+  }
+
+  test("cluster-diverse sample: per-cell quota honored, deterministic") {
+    val rows = SparkEntry.queries("sample_cluster_diverse")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(_.getAs[Int]("ck")).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 25), s"cell over quota: $perCell")
+    // more than one cell must be represented — the whole point is that
+    // the sample cannot collapse into the head cluster
+    assert(perCell.size > 1, s"sample collapsed into ${perCell.keySet}")
+    val again = SparkEntry.queries("sample_cluster_diverse")(spark, sfDir).collect()
+    assert(rows.toSeq == again.toSeq, "sample not deterministic across runs")
+  }
+
   test("HLL approx distinct within 10% of exact per language") {
     Ann.hllDistinctRaw(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_words").toDouble
