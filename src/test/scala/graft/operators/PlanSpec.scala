@@ -156,6 +156,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ann_lsh_multiprobe: probe set broadcast; candidates meet it on the bucket key") {
+    // the probe × flips fan-out is constant-size (5 probes × 5 buckets) —
+    // it must broadcast, so the full candidate table never shuffles for
+    // the join no matter how many vectors it holds
+    val p = physical("ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_cluster_diverse: per-cell quota is a two-phase WindowGroupLimit") {
+    // rank ≤ quota per cell must prune before the exchange — at real
+    // scale a cell holds millions of vectors and only `quota` survive
+    val df = SparkEntry.queries("sample_cluster_diverse")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("q39: salted join replicates the dim side and joins on (key, salt)") {
     val p = physical("q39_skew_salted_join")
     // dim replication shows as a Generate(explode) feeding the join
