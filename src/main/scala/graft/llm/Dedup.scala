@@ -486,6 +486,41 @@ object Dedup extends QueryGroup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** Asymmetric near-containment over the SAME capped shingle sets:
+    * containment = |A∩B| / min(|A|,|B|) — high when the smaller document
+    * sits (almost) whole inside the larger. Catches the inclusion shapes
+    * symmetric Jaccard is blind to: a short document quoted whole inside
+    * a long one scores containment ≈ 1 but Jaccard ≈ |B|/|A|, diluted by
+    * the long side's extra shingles past any near-dup threshold.
+    * Candidates come from the same shared-shingle blocking + stop-shingle
+    * cap, so the pair bound is unchanged; both scores are reported and
+    * the 0.7 floor keeps the output pair-graph sized. */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d)
+      .withColumn("containment", col("n_common").cast(DoubleType) /
+        least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("containment") >= 0.7)
+      .withColumn("contained_doc",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("contained_doc"),
+        col("containment").cast(DecimalType(10, 4)).cast(DoubleType).as("containment"),
+        col("jaccard").cast(DecimalType(10, 4)).cast(DoubleType).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val containmentSql =
+    s"""$jaccardCte
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN sa.nsh <= sb.nsh THEN doc_a ELSE doc_b END AS contained_doc,
+       |  CAST(CAST(CAST(n_common AS DOUBLE) / LEAST(sa.nsh, sb.nsh)
+       |    AS DECIMAL(10,4)) AS DOUBLE) AS containment,
+       |  CAST(CAST(CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common)
+       |    AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / LEAST(sa.nsh, sb.nsh) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- Embedding-cosine near-dup, blocked on (label, SRP bucket) --------
   // Label alone is quadratic in block size: the label count is FIXED, so a
   // 10x corpus puts 10x vectors in each label and the pair count grows
@@ -788,6 +823,7 @@ object Dedup extends QueryGroup {
     "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
     "dedup_simhash_pairs"   -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),

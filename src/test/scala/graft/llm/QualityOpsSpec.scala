@@ -27,6 +27,43 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_containment: containment dominates jaccard; inclusion beats symmetry") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cont, jac) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+      // |A∩B|/min ≥ |A∩B|/union always — a violation means the two
+      // denominators came from different shingle sets
+      assert(cont >= jac - 1e-9, s"containment $cont < jaccard $jac in $r")
+      assert(cont >= 0.7, r.toString)
+      val contained = r.getAs[Long]("contained_doc")
+      assert(contained == r.getAs[Long]("doc_a") || contained == r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("dedup_containment: a quoted-whole document is caught only by containment") {
+    // the operator's reason to exist, demonstrated on a constructed
+    // inclusion (the standard fixture's near-dups are all perturbation-
+    // shaped, so containment ≈ jaccard there): doc 2 sits verbatim at the
+    // head of doc 1, whose 400 extra words dilute Jaccard below every
+    // symmetric near-dup threshold while containment stays ≈ 1
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val short = (1 to 80).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (1 to 400).map(i => s"x$i").mkString(" ")
+    val other = (1 to 80).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    Seq((1L, long, "en", "web"), (2L, short, "en", "web"), (3L, other, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_containment")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getAs[Long]("contained_doc") == 2L)
+    assert(rows.head.getAs[Double]("containment") >= 0.95, rows.head.toString)
+    assert(rows.head.getAs[Double]("jaccard") < 0.5, rows.head.toString)
+  }
+
   test("chunk_documents: consecutive chunks overlap by size - stride") {
     val rows = SparkEntry.queries("chunk_documents")(spark, sfDir)
       .select("doc_id", "chunk_id", "chunk_text").collect()
