@@ -144,6 +144,60 @@ object Pipeline extends QueryGroup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- sample_mix_temperature: τ-scaled mixture from observed counts ----
+  // The fixed-weight mix applies shares a human decided; temperature
+  // sampling (the multilingual-corpus move) computes them FROM the data:
+  // target share q_l ∝ n_l^τ, so tail languages gain mass as τ drops.
+  // keep_frac_l = min(1, q_l · N / n_l) — monotonically non-increasing in
+  // n_l at τ < 1 — and the per-doc decision is the same salted-hash
+  // threshold as [[sampleMix]] (shuffle-free, append-stable). Cross-engine
+  // determinism pins τ = 0.5: sqrt is IEEE-correctly-rounded where pow is
+  // not, the share denominator is an order-free exact DECIMAL sum, and
+  // every remaining step is a single IEEE op with an identical expression
+  // tree on both sides.
+  private def sampleMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("sqrt_dec",
+        sqrt(col("n_l").cast(DoubleType)).cast(DecimalType(20, 10)))
+    val denom = counts.agg(
+      sum(col("sqrt_dec")).cast(DoubleType).as("s"),
+      sum(col("n_l")).cast(DoubleType).as("n_total"))
+    val fracs = counts.crossJoin(broadcast(denom))
+      .withColumn("keep_frac", least(lit(1.0),
+        col("sqrt_dec").cast(DoubleType) / col("s") *
+          (col("n_total") / col("n_l").cast(DoubleType))))
+      .select(col("lang"), col("keep_frac"))
+    docs.select(col("doc_id"), col("lang"),
+        h48(concat(lit("mixt:"), col("doc_id").cast(StringType))).as("h"))
+      .join(broadcast(fracs), Seq("lang"))
+      .where(col("h").cast(DoubleType) < col("keep_frac") * lit(281474976710656.0))
+      .select(col("doc_id"), col("lang"),
+        col("keep_frac").cast(DecimalType(10, 4)).cast(DoubleType).as("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleMixTemperatureSql =
+    s"""WITH cnt AS (
+       |  SELECT lang, COUNT(*) AS n_l,
+       |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(20,10)) AS sqrt_dec
+       |  FROM documents GROUP BY lang),
+       |den AS (
+       |  SELECT CAST(SUM(sqrt_dec) AS DOUBLE) AS s,
+       |    CAST(SUM(n_l) AS DOUBLE) AS n_total FROM cnt),
+       |fr AS (
+       |  SELECT lang, LEAST(CAST(1.0 AS DOUBLE),
+       |    CAST(sqrt_dec AS DOUBLE) / s * (n_total / CAST(n_l AS DOUBLE)))
+       |    AS keep_frac
+       |  FROM cnt CROSS JOIN den)
+       |SELECT doc_id, lang,
+       |  CAST(CAST(keep_frac AS DECIMAL(10,4)) AS DOUBLE) AS keep_frac
+       |FROM documents JOIN fr USING (lang)
+       |WHERE CAST(CAST('0x'||substring(md5('mixt:'||CAST(doc_id AS VARCHAR)),1,12)
+       |    AS BIGINT) AS DOUBLE) < keep_frac * 281474976710656.0
+       |ORDER BY doc_id""".stripMargin
+
   // ---- text_repetition: Gopher-style repetition/boilerplate signals -----
   // Per doc: word count, distinct-word count, most-frequent-word count,
   // and the bigram equivalents — the inputs to duplicate-line/top-ngram
@@ -690,6 +744,7 @@ object Pipeline extends QueryGroup {
     "sample_split_by_source" -> QueryDef(splitBySource, Some(splitBySourceSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),
+    "sample_mix_temperature" -> QueryDef(sampleMixTemperature, Some(sampleMixTemperatureSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),

@@ -64,6 +64,28 @@ class QualityOpsSpec extends SparkSuite {
     assert(rows.head.getAs[Double]("jaccard") < 0.5, rows.head.toString)
   }
 
+  test("sample_mix_temperature: keep fraction non-increasing in corpus share") {
+    // τ = 0.5 means q_l ∝ √n_l, so keep_frac ∝ 1/√n_l: the MORE a
+    // language dominates the corpus, the harder it is downsampled —
+    // exactly inverse to a uniform sample. Deterministic math property,
+    // no statistical tolerance needed.
+    val counts = graft.core.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = SparkEntry.queries("sample_mix_temperature")(spark, sfDir)
+      .select("lang", "keep_frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs.nonEmpty)
+    for {
+      (la, fa) <- fracs; (lb, fb) <- fracs
+      if counts(la) < counts(lb)
+    } assert(fa >= fb - 1e-9,
+      s"$la (n=${counts(la)}) keep_frac $fa < $lb (n=${counts(lb)}) $fb")
+    // every language must survive the downsampling — the tail is the
+    // point of temperature sampling
+    assert(fracs.keySet == counts.keySet)
+  }
+
   test("chunk_documents: consecutive chunks overlap by size - stride") {
     val rows = SparkEntry.queries("chunk_documents")(spark, sfDir)
       .select("doc_id", "chunk_id", "chunk_text").collect()
