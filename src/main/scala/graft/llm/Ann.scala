@@ -43,16 +43,18 @@ object Ann extends QueryGroup {
     Dedup.lshInput(s, d)
       .select(col("vec_id"), Dedup.lshBucket(4).as("bucket"))
 
-  /** ANN top-5 via LSH bucketing: probes 0..4, candidates = same bucket,
-    * exact cosine re-rank inside the bucket. */
-  private def lshTopk(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
-    val q = n.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"), col("bucket"))
+  /** Exact cosine re-rank shared by every ANN surface: candidates
+    * (vec_id, emb, nsq + the join key) meet the broadcast probe set
+    * (q_id, q_emb, q_nsq + key) on `key`; top-5 by cosine survive, ties
+    * to the lower vec_id, output rounded through DECIMAL(10,4). ONE
+    * definition — the tie-break and rounding are oracle-parity-critical
+    * and must not drift between the LSH, multi-probe, and IVF paths
+    * (the SQL twin is [[lshTopkTail]]). */
+  private def rerank(candidates: DataFrame, probes: DataFrame,
+      key: String): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    n.join(broadcast(q), Seq("bucket"))
+    candidates.join(broadcast(probes), Seq(key))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
@@ -62,6 +64,16 @@ object Ann extends QueryGroup {
         col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
         col("rn"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** ANN top-5 via LSH bucketing: probes 0..4, candidates = same bucket,
+    * exact cosine re-rank inside the bucket. */
+  private def lshTopk(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
+    val q = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("bucket"))
+    rerank(n, q, "bucket")
   }
 
   /** IVF ANN: coarse quantizer = deterministic k-means (init = the `k`
@@ -96,18 +108,7 @@ object Ann extends QueryGroup {
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    lists.join(broadcast(probeCells), Seq("ck"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", dot(col("q_emb"), col("emb")))
-      .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
-        col("rn"))
-      .orderBy(col("q_id"), col("rn"))
+    rerank(lists, probeCells, "ck")
   }
 
   /** Deterministic IVF model shared by the top-k probe path and the
@@ -191,18 +192,7 @@ object Ann extends QueryGroup {
       .withColumn("flip", explode(flips))
       .select(col("q_id"), col("q_emb"), col("q_nsq"),
         col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    n.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", dot(col("q_emb"), col("emb")))
-      .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
-        col("rn"))
-      .orderBy(col("q_id"), col("rn"))
+    rerank(n, q, "bucket")
   }
 
   /** Cluster-balanced diversity sample: assign every vector to its IVF
@@ -218,8 +208,8 @@ object Ann extends QueryGroup {
     val (lists, _) = ivfModel(s, d, k = 8, iters = 2)
     val w = Window.partitionBy(col("ck")).orderBy(col("skey"), col("vec_id"))
     lists
-      .withColumn("skey", conv(substring(md5(concat(lit("divsamp:"),
-        col("vec_id").cast(StringType))), 1, 12), 16, 10).cast(LongType))
+      .withColumn("skey", Dedup.h48(concat(lit("divsamp:"),
+        col("vec_id").cast(StringType))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 25)
       .select(col("vec_id"), col("ck"), col("rank"))

@@ -453,7 +453,7 @@ object Dedup extends QueryGroup {
     * until [[graft.core.Release.storage]] runs — Bench/Verify call it
     * after every query, and a caller composing several registry queries
     * in one session should do the same, or cached copies accumulate
-    * (four registry queries route through here). Cross-query memoization
+    * (five registry queries route through here). Cross-query memoization
     * was considered and rejected: per-query release would silently strip
     * the memoized DataFrame's caching and every later reuse would
     * recompute uncached, which is worse than honestly rebuilding. */

@@ -31,7 +31,7 @@ def main():
     out = {
         "metric": "sf1_scale_sweep",
         "unit": "sec",
-        "note": ("full 116-query board; sf1 = 10x sf0.1 local fixture "
+        "note": (f"full {len(queries)}-query board; sf1 = 10x sf0.1 local fixture "
                  "(tools/make_sf1.py: documents/embeddings perturbed copies, "
                  "events time-shifted, TPC-H facts key-shifted, dims "
                  "verbatim); min of 2 passes at local[32]; allowance "
