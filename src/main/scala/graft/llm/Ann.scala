@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -51,11 +51,11 @@ object Ann extends QueryGroup {
     * and must not drift between the LSH, multi-probe, and IVF paths
     * (the SQL twin is [[lshTopkTail]]). */
   private def rerank(candidates: DataFrame, probes: DataFrame,
-      key: String): DataFrame = {
+      key: String, keep: Column = lit(true)): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     candidates.join(broadcast(probes), Seq(key))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(col("q_id") =!= col("vec_id") && keep)
       .withColumn("dot", dot(col("q_emb"), col("emb")))
       .withColumn("cos", col("dot") / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -195,6 +195,26 @@ object Ann extends QueryGroup {
     rerank(n, q, "bucket")
   }
 
+  /** Hard-negative mining for contrastive training: per probe, the top-5
+    * most-similar vectors carrying a DIFFERENT label — the lookalikes a
+    * metric-learning objective gains the most from. Candidates come from
+    * the same multi-probe bucket set (own + Hamming-1 flips), so the
+    * search stays bucket-bounded; the cross-label predicate runs before
+    * the re-rank window. NULL-label rows never pair (<> is null-rejecting
+    * in both engines, mirrored in the oracle). */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val planes = 4
+    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
+    val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val q = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("label").as("q_label"), col("bucket"))
+      .withColumn("flip", explode(flips))
+      .select(col("q_id"), col("q_emb"), col("q_nsq"), col("q_label"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    rerank(n, q, "bucket", keep = col("label") =!= col("q_label"))
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its IVF
     * cell, then take a fixed per-cell quota in salted-hash order — the
     * curation move that keeps a corpus's TAIL clusters represented
@@ -240,7 +260,7 @@ object Ann extends QueryGroup {
       |      AS BIGINT) AS bucket
       |  FROM proj GROUP BY vec_id),
       |n AS (
-      |  SELECT e.vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |  SELECT e.vec_id, e.label, CAST(embedding AS DOUBLE[]) AS emb,
       |    ${Dedup.guardedNsq} AS nsq,
       |    b.bucket
       |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
@@ -282,6 +302,19 @@ object Ann extends QueryGroup {
     * assign+update rounds (argmax cosine, ties to the lower centroid id —
     * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
     * the previous centroid, then probe the final inverted lists. */
+  /** Multi-probe candidate set + the cross-label predicate — otherwise
+    * identical to the multi-probe oracle. */
+  private val hardNegativesSql =
+    s"""$lshCtes,
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM n q
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) fl
+      |  JOIN n c ON q.vec_id < 5 AND xor(q.bucket, CAST(f AS BIGINT)) = c.bucket
+      |    AND q.vec_id <> c.vec_id AND q.label <> c.label)
+      |$lshTopkTail""".stripMargin
+
   private val ivfAssignCtes =
     s"""WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -388,6 +421,7 @@ object Ann extends QueryGroup {
   override val defs: Seq[(String, QueryDef)] = Seq(
     "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
     "ann_lsh_multiprobe"     -> QueryDef(lshMultiprobe, Some(lshMultiprobeSql)),
+    "ann_hard_negatives"     -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),
     "sample_cluster_diverse" -> QueryDef(clusterDiverse, Some(clusterDiverseSql)),
     "hll_distinct"           -> QueryDef(hllDistinct, Some(hllDistinctSql)),

@@ -67,6 +67,27 @@ class AnnRecallSpec extends SparkSuite {
     assert(multi > 0.0, "multiprobe found no true neighbors at all")
   }
 
+  test("hard negatives: every mined pair crosses labels and looks similar") {
+    val labels = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("ann_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, nb) = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(labels(q) != labels(nb), s"same-label pair mined: $q -> $nb")
+    }
+    // 'hard' means a lookalike: a mined negative must out-rank at least
+    // the bottom of the same probe's unfiltered top-k would... minimally,
+    // ranks are dense per probe and cosines non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(cs == cs.sorted.reverse, s"cosines not non-increasing: $cs")
+    }
+  }
+
   test("cluster-diverse sample: per-cell quota honored, deterministic") {
     val rows = SparkEntry.queries("sample_cluster_diverse")(spark, sfDir).collect()
     assert(rows.nonEmpty)
