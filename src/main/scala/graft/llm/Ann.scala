@@ -26,7 +26,7 @@ import graft.functions.DotProduct.dot
   */
 object Ann extends QueryGroup {
 
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private[llm] def normed(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
@@ -50,7 +50,7 @@ object Ann extends QueryGroup {
     * definition — the tie-break and rounding are oracle-parity-critical
     * and must not drift between the LSH, multi-probe, and IVF paths
     * (the SQL twin is [[lshTopkTail]]). */
-  private def rerank(candidates: DataFrame, probes: DataFrame,
+  private[llm] def rerank(candidates: DataFrame, probes: DataFrame,
       key: String, keep: Column = lit(true)): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -91,16 +91,22 @@ object Ann extends QueryGroup {
     require(nprobe >= 1 && nprobe <= k,
       s"ivf: need 1 <= nprobe <= k; got k=$k nprobe=$nprobe")
     val (lists, cdf) = ivfModel(s, d, k, iters)
-    // probe cells: the nprobe nearest centroids per probe (cosine, ties
-    // to the lower ck — the same rule as assign); at nprobe=1 this IS the
-    // probe's own cell. The (probe × nprobe) fan-out stays
-    // constant-size, so the broadcast below remains provably tiny.
     val probes = lists.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
+    rerank(lists, probeCells(probes, cdf, nprobe), "ck")
+  }
+
+  /** Probe cells: the nprobe nearest centroids per probe (cosine, ties to
+    * the lower ck — the same rule as assign); at nprobe=1 this IS the
+    * probe's own cell. The (probe × nprobe) fan-out stays constant-size,
+    * so the broadcast stays provably tiny. Shared with the persisted-index
+    * search path ([[IvfIndex]]). */
+  private[llm] def probeCells(probes: DataFrame, cdf: DataFrame,
+      nprobe: Int): DataFrame = {
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("ck"))
-    val probeCells = probes.crossJoin(broadcast(cdf))
+    probes.crossJoin(broadcast(cdf))
       .withColumn("c_cos",
         when(col("c_nsq") > 0,
           dot(col("q_emb"), col("cvec")) /
@@ -108,7 +114,6 @@ object Ann extends QueryGroup {
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
-    rerank(lists, probeCells, "ck")
   }
 
   /** Deterministic IVF model shared by the top-k probe path and the

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the deterministic k-means model written once as
+  * two parquet artifacts and searched many times —
+  *
+  *  - `centroids/`: the k×dim centroid table (tiny; broadcast at query
+  *    time),
+  *  - `assign/`: vec_id → cell, PARTITIONED BY the cell id.
+  *
+  * Searching `nprobe` cells filters the assignment scan to those cell
+  * values, so partition pruning performs the inverted-list seek: each
+  * query reads ~nprobe/k of the assignment data, not all of it. That is
+  * the point of IVF at 100 TB — the Lloyd build cost is paid once, while
+  * the registry's inline `ann_ivf_topk` (kept for oracle grading)
+  * re-derives the model per run. Vectors themselves are NOT copied into
+  * the index: the search re-joins the source embedding table by vec_id,
+  * so the index stays small and the corpus remains the single source of
+  * truth. Everything is deterministic, which is what lets `IvfIndexSpec`
+  * assert search-over-index ≡ the inline oracle-graded query. */
+object IvfIndex {
+
+  /** Build and persist the model under `dir` (overwrites). */
+  def build(s: SparkSession, d: String, dir: String, k: Int = 8,
+      iters: Int = 2): Unit = {
+    val (lists, cdf) = Ann.ivfModel(s, d, k, iters)
+    cdf.write.mode("overwrite").parquet(s"$dir/centroids")
+    lists.select(col("vec_id"), col("ck"))
+      .write.mode("overwrite").partitionBy("ck").parquet(s"$dir/assign")
+  }
+
+  /** Top-5 neighbors for probes 0..4 against the persisted index — the
+    * same probe set, tie-breaks, and rounding as `ann_ivf_topk`. */
+  def search(s: SparkSession, d: String, dir: String,
+      nprobe: Int = 1): DataFrame = {
+    val cdf = s.read.parquet(s"$dir/centroids")
+    val n = Ann.normed(s, d)
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val cells = Ann.probeCells(probes, cdf, nprobe)
+    // constant-size collect (probes × nprobe cell ids): materializing the
+    // wanted cells as literals is what lets the assignment scan prune
+    // partitions on disk instead of reading every cell
+    val wanted = cells.select("ck").distinct().collect().map(_.getInt(0)).toSeq
+    val assign = s.read.parquet(s"$dir/assign")
+      .where(col("ck").isin(wanted: _*))
+    Ann.rerank(n.join(assign, Seq("vec_id")), cells, "ck")
+  }
+}
