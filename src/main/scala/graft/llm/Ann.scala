@@ -180,44 +180,42 @@ object Ann extends QueryGroup {
   private def ivfTopk(s: SparkSession, d: String): DataFrame =
     ivf(s, d, k = 8, iters = 2, nprobe = 1)
 
-  /** Multi-probe LSH: each probe scans its own bucket PLUS the 4
-    * Hamming-1 neighbor buckets (one sign flip per plane) — the classic
-    * recall knob that needs NO extra tables or planes. Cost stays
-    * bucket-bounded: candidates carry exactly one bucket each, and the 5
-    * probe buckets are distinct, so no (probe, candidate) pair repeats
-    * and the join needs no dedup. `AnnRecallSpec` asserts recall ≥ the
-    * single-bucket `ann_lsh_topk`. */
-  private def lshMultiprobe(s: SparkSession, d: String): DataFrame = {
+  /** Multi-probe probe set: each probe row fans out to its own bucket
+    * plus the 4 Hamming-1 flips (one sign flip per plane — the SQL twin
+    * is [[multiProbePSql]]'s `[0,1,2,4,8]` XOR masks; change both
+    * together). Candidates carry exactly one bucket each and the 5 probe
+    * buckets are distinct, so no (probe, candidate) pair repeats and the
+    * downstream join needs no dedup. */
+  private def multiProbeQ(n: DataFrame, withLabel: Boolean): DataFrame = {
     val planes = 4
-    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
     val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
-    val q = n.filter(col("vec_id") < 5)
+    val keep = Seq(col("q_id"), col("q_emb"), col("q_nsq")) ++
+      (if (withLabel) Seq(col("label").as("q_label")) else Nil)
+    n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"), col("bucket"))
+        col("nsq").as("q_nsq"), col("label"), col("bucket"))
       .withColumn("flip", explode(flips))
-      .select(col("q_id"), col("q_emb"), col("q_nsq"),
-        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-    rerank(n, q, "bucket")
+      .select(keep :+ col("bucket").bitwiseXOR(col("flip")).as("bucket"): _*)
+  }
+
+  /** Multi-probe LSH: the classic recall knob that needs NO extra tables
+    * or planes. `AnnRecallSpec` asserts recall ≥ the single-bucket
+    * `ann_lsh_topk`. */
+  private def lshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
+    rerank(n, multiProbeQ(n, withLabel = false), "bucket")
   }
 
   /** Hard-negative mining for contrastive training: per probe, the top-5
     * most-similar vectors carrying a DIFFERENT label — the lookalikes a
-    * metric-learning objective gains the most from. Candidates come from
-    * the same multi-probe bucket set (own + Hamming-1 flips), so the
-    * search stays bucket-bounded; the cross-label predicate runs before
-    * the re-rank window. NULL-label rows never pair (<> is null-rejecting
-    * in both engines, mirrored in the oracle). */
+    * metric-learning objective gains the most from. Same multi-probe
+    * bucket set, cross-label predicate before the re-rank window.
+    * NULL-label rows never pair (<> is null-rejecting in both engines,
+    * mirrored in the oracle). */
   private def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val planes = 4
     val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
-    val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
-    val q = n.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"), col("label").as("q_label"), col("bucket"))
-      .withColumn("flip", explode(flips))
-      .select(col("q_id"), col("q_emb"), col("q_nsq"), col("q_label"),
-        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-    rerank(n, q, "bucket", keep = col("label") =!= col("q_label"))
+    rerank(n, multiProbeQ(n, withLabel = true), "bucket",
+      keep = col("label") =!= col("q_label"))
   }
 
   /** Cluster-balanced diversity sample: assign every vector to its IVF
@@ -288,38 +286,30 @@ object Ann extends QueryGroup {
       |    AND q.vec_id <> c.vec_id)
       |$lshTopkTail""".stripMargin
 
-  /** Same re-rank, but each probe meets candidates in its own bucket OR
-    * any Hamming-1 flip of it — the [0,1,2,4,8] XOR masks mirror the
-    * engine's `flips` array. */
-  private val lshMultiprobeSql =
-    s"""$lshCtes,
-      |p AS (
+  /** Multi-probe pair CTE shared by the plain and hard-negative oracles:
+    * each probe meets candidates in its own bucket OR any Hamming-1 flip
+    * of it — the `[0,1,2,4,8]` XOR masks mirror [[multiProbeQ]]'s
+    * `flips` array (change both together). */
+  private def multiProbePSql(extraPred: String): String =
+    s"""p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
       |  FROM n q
       |  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) fl
       |  JOIN n c ON q.vec_id < 5 AND xor(q.bucket, CAST(f AS BIGINT)) = c.bucket
-      |    AND q.vec_id <> c.vec_id)
-      |$lshTopkTail""".stripMargin
+      |    AND q.vec_id <> c.vec_id$extraPred)""".stripMargin
+
+  private val lshMultiprobeSql =
+    s"$lshCtes,\n${multiProbePSql("")}\n$lshTopkTail"
+
+  private val hardNegativesSql =
+    s"$lshCtes,\n${multiProbePSql(" AND q.label <> c.label")}\n$lshTopkTail"
 
   /** The fixed 2-iteration Lloyd loop IS SQL-expressible once centroid
     * means are exact-decimal (order-independent): init = vecs 0..7, two
     * assign+update rounds (argmax cosine, ties to the lower centroid id —
     * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
     * the previous centroid, then probe the final inverted lists. */
-  /** Multi-probe candidate set + the cross-label predicate — otherwise
-    * identical to the multi-probe oracle. */
-  private val hardNegativesSql =
-    s"""$lshCtes,
-      |p AS (
-      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
-      |  FROM n q
-      |  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) fl
-      |  JOIN n c ON q.vec_id < 5 AND xor(q.bucket, CAST(f AS BIGINT)) = c.bucket
-      |    AND q.vec_id <> c.vec_id AND q.label <> c.label)
-      |$lshTopkTail""".stripMargin
-
   private val ivfAssignCtes =
     s"""WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * the index: the search re-joins the source embedding table by vec_id,
   * so the index stays small and the corpus remains the single source of
   * truth. Everything is deterministic, which is what lets `IvfIndexSpec`
-  * assert search-over-index ≡ the inline oracle-graded query. */
+  * assert search-over-index ≡ the inline oracle-graded query.
+  *
+  * Storage contract (the repo-wide one): `build` leaves the normalized-
+  * embeddings cache from the Lloyd loop resident, and `search` caches the
+  * constant-size probe-cell table so it is computed once, not twice. Run
+  * `graft.core.Release.storage(spark)` between calls when composing
+  * outside a Bench/Verify loop — the same rule every registry query
+  * documents. */
 object IvfIndex {
 
   /** Build and persist the model under `dir` (overwrites). */
@@ -35,12 +42,16 @@ object IvfIndex {
     * same probe set, tie-breaks, and rounding as `ann_ivf_topk`. */
   def search(s: SparkSession, d: String, dir: String,
       nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"search: need nprobe >= 1; got $nprobe")
     val cdf = s.read.parquet(s"$dir/centroids")
     val n = Ann.normed(s, d)
     val probes = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
-    val cells = Ann.probeCells(probes, cdf, nprobe)
+    // cached: the cell table is read twice (the literal collect below and
+    // the rerank probe side) and the probes-scan + centroid cross-join +
+    // window behind it should run once, not twice
+    val cells = Ann.probeCells(probes, cdf, nprobe).cache()
     // constant-size collect (probes × nprobe cell ids): materializing the
     // wanted cells as literals is what lets the assignment scan prune
     // partitions on disk instead of reading every cell

@@ -26,9 +26,11 @@ class IvfIndexSpec extends SparkSuite {
       .find(l => l.contains("PartitionFilters") && l.contains("ck"))
     assert(scan.isDefined, "no partition filter on the assign scan:\n" +
       df.queryExecution.executedPlan.toString)
-    // the filter must carry concrete cell literals, not a catch-all
-    assert(scan.get.contains("ck IN") || scan.get.contains("ck#"),
-      scan.get)
+    // the filter must carry concrete cell literals — a catch-all like
+    // isnotnull(ck#12) still reads every cell's partitions and must fail
+    assert(scan.get.contains(" IN (") ||
+      scan.get.matches(""".*ck#\d+\)?\s*=\s*\d+.*"""),
+      s"partition filter carries no concrete cell literals: ${scan.get}")
   }
 
   test("nprobe=2 candidates are a superset: the best neighbor never worsens") {
