@@ -97,6 +97,25 @@ object Ann extends QueryGroup {
     rerank(lists, probeCells(probes, cdf, nprobe), "ck")
   }
 
+  /** Nearest-centroid assignment — THE argmax rule of the whole IVF
+    * family (Lloyd iterations, final lists, and [[IvfIndex.assign]]'s
+    * out-of-sample path all route through here so they cannot diverge).
+    * Argmax via ordered-struct max: no window sort, one hash aggregate.
+    * c_nsq > 0 guard: initial centroids are nonzero by construction, but
+    * a Lloyd UPDATE whose members cancel exactly yields a zero centroid —
+    * unguarded, 0/0 = NaN sorts HIGHEST in Spark's struct ordering and
+    * the dead centroid would win every argmax (DuckDB's NULL quietly
+    * ranks last; the null here matches it). */
+  private[llm] def assignCells(n: DataFrame, cdf: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cdf))
+      .withColumn("c_cos",
+        when(col("c_nsq") > 0,
+          dot(col("emb"), col("cvec")) /
+            (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
+      .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
+
   /** Probe cells: the nprobe nearest centroids per probe (cosine, ties to
     * the lower ck — the same rule as assign); at nprobe=1 this IS the
     * probe's own cell. The (probe × nprobe) fan-out stays constant-size,
@@ -130,21 +149,7 @@ object Ann extends QueryGroup {
       cents.toDF("ck", "cvec")
         .withColumn("c_nsq", dot(col("cvec"), col("cvec")))
 
-    def assign(cdf: DataFrame): DataFrame =
-      // argmax via ordered-struct max: no window sort, one hash aggregate.
-      // c_nsq > 0 guard: initial centroids are nonzero by construction,
-      // but a Lloyd UPDATE whose members cancel exactly yields a zero
-      // centroid — unguarded, 0/0 = NaN sorts HIGHEST in Spark's struct
-      // ordering and the dead centroid would win every argmax (DuckDB's
-      // NULL quietly ranks last; the null here matches it)
-      n.crossJoin(broadcast(cdf))
-        .withColumn("c_cos",
-          when(col("c_nsq") > 0,
-            dot(col("emb"), col("cvec")) /
-              (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
-        .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
+    def assign(cdf: DataFrame): DataFrame = assignCells(n, cdf)
 
     // init = the k lowest vec_ids; ck keeps their vec_id ORDER (index),
     // which for dense 0..k-1 ids equals the vec_id itself — the numbering

@@ -38,6 +38,19 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("ck").parquet(s"$dir/assign")
   }
 
+  /** Out-of-sample assignment: map the vectors of source `d` to the
+    * PERSISTED centroids without re-running Lloyd — the incremental path
+    * when new corpus lands after the index was built. Exactly the
+    * build-time argmax rule ([[Ann.assignCells]]), so re-assigning the
+    * original corpus reproduces the stored lists bit-for-bit
+    * (`IvfIndexSpec` asserts it); append the result to `assign/` to grow
+    * the index, and re-run [[build]] only when drift warrants new
+    * centroids. */
+  def assign(s: SparkSession, d: String, dir: String): DataFrame = {
+    val cdf = s.read.parquet(s"$dir/centroids")
+    Ann.assignCells(Ann.normed(s, d), cdf)
+  }
+
   /** Top-5 neighbors for probes 0..4 against the persisted index — the
     * same probe set, tie-breaks, and rounding as `ann_ivf_topk`. */
   def search(s: SparkSession, d: String, dir: String,

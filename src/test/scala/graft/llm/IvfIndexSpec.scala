@@ -33,6 +33,21 @@ class IvfIndexSpec extends SparkSuite {
       s"partition filter carries no concrete cell literals: ${scan.get}")
   }
 
+  test("out-of-sample assign reproduces the stored lists bit-for-bit") {
+    // the incremental-ingest contract: assigning the original corpus
+    // against the persisted centroids must equal the build-time
+    // assignment exactly — same argmax, same ties — or appended vectors
+    // would land in different cells than a rebuild would put them
+    val dir = Files.createTempDirectory("graft_ivf_idx_assign").toString
+    IvfIndex.build(spark, sfDir, dir)
+    val stored = spark.read.parquet(s"$dir/assign")
+      .select("vec_id", "ck").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fresh = IvfIndex.assign(spark, sfDir, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fresh == stored)
+  }
+
   test("nprobe=2 candidates are a superset: the best neighbor never worsens") {
     val dir = Files.createTempDirectory("graft_ivf_idx_np").toString
     IvfIndex.build(spark, sfDir, dir)
