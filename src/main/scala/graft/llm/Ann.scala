@@ -13,10 +13,17 @@ import graft.functions.DotProduct.dot
   * candidate set that stays bounded at 100 TB.
   *
   *  - LSH: probe and candidates meet only inside a shared
-  *    random-projection bucket (8 seeded hyperplanes → 256 buckets) —
-  *    the join key is the bucket, so cost is Σ bucket² not n².
-  *  - IVF: coarse quantizer = per-label centroid (the fixture's label is
-  *    the coarse cluster); probes scan only the nearest `nprobe=1` list.
+  *    random-projection bucket. The plane count is a knob
+  *    ([[buckets]]/[[multiProbeQ]]): the registry's topk/multiprobe/
+  *    hard-negative queries pin `planes=4` (16 buckets — oracle
+  *    stability), `ann_lsh_buckets` shows the 8-plane/256-bucket
+  *    projection, and `AnnRecallSpec` grades recall at planes=8. The
+  *    join key is the bucket, so cost is Σ bucket² not n²; more planes
+  *    shrink each inverted list as the corpus grows, multi-probe
+  *    (Hamming-1 bucket flips) buys the recall back.
+  *  - IVF: coarse quantizer = deterministic k-means (init = the k lowest
+  *    surviving vec_ids, parameterized k/iters); probes scan only the
+  *    `nprobe` nearest centroids' inverted lists.
   *
   * Both are deterministic end-to-end (seeded planes, exact-decimal
   * projections and centroid means) and ORACLE-GRADED: the LSH pipeline and
@@ -35,13 +42,17 @@ object Ann extends QueryGroup {
       // and in both ANN oracles; ANSI would throw DIVIDE_BY_ZERO
       .where(col("nsq") > 0)
 
-  /** Bucket per vector from 4 seeded hyperplanes (16 buckets → ~30
-    * candidates per probe at sf0.01). Same md5-derived ±1 construction as
+  /** Bucket per vector from `planes` seeded hyperplanes (2^planes
+    * buckets; the registry pins planes=4 → 16 buckets, ~30 candidates per
+    * probe at sf0.01). Same md5-derived ±1 construction as
     * Dedup.lshBuckets (shared precomputed matrix + fused codegen'd
-    * projection — shuffle-free), fewer planes for recall. */
-  private def buckets4(s: SparkSession, d: String): DataFrame =
+    * projection — shuffle-free). Fewer planes trade candidate-set size
+    * for recall; a real corpus raises `planes` with its size so each
+    * inverted list stays bounded (`AnnRecallSpec` gates planes=8). */
+  private[llm] def buckets(s: SparkSession, d: String,
+      planes: Int = 4): DataFrame =
     Dedup.lshInput(s, d)
-      .select(col("vec_id"), Dedup.lshBucket(4).as("bucket"))
+      .select(col("vec_id"), Dedup.lshBucket(planes).as("bucket"))
 
   /** Exact cosine re-rank shared by every ANN surface: candidates
     * (vec_id, emb, nsq + the join key) meet the broadcast probe set
@@ -66,15 +77,26 @@ object Ann extends QueryGroup {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** ANN top-5 via LSH bucketing: probes 0..4, candidates = same bucket,
-    * exact cosine re-rank inside the bucket. */
-  private def lshTopk(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
-    val q = n.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nsq").as("q_nsq"), col("bucket"))
+  /** ANN top-5 via LSH bucketing at any plane count: probes 0..4,
+    * candidates = same bucket (or the Hamming-1 flip set when
+    * `multiProbe`), exact cosine re-rank inside the candidate buckets.
+    * The registry surfaces pin planes=4; the spec-only planes=8 path is
+    * the same code with a different knob, so recall gates grade exactly
+    * what a production index would run. */
+  private[llm] def lshTopkAt(s: SparkSession, d: String, planes: Int,
+      multiProbe: Boolean): DataFrame = {
+    val n = normed(s, d).join(buckets(s, d, planes), Seq("vec_id"))
+    val q =
+      if (multiProbe) multiProbeQ(n, withLabel = false, planes)
+      else n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("bucket"))
     rerank(n, q, "bucket")
   }
+
+  /** Registry surface: single-bucket LSH top-5 at the pinned planes=4. */
+  private def lshTopk(s: SparkSession, d: String): DataFrame =
+    lshTopkAt(s, d, planes = 4, multiProbe = false)
 
   /** IVF ANN: coarse quantizer = deterministic k-means (init = the `k`
     * lowest vec_ids, `iters` Lloyd rounds). Each iteration is a
@@ -151,9 +173,9 @@ object Ann extends QueryGroup {
 
     def assign(cdf: DataFrame): DataFrame = assignCells(n, cdf)
 
-    // init = the k lowest vec_ids; ck keeps their vec_id ORDER (index),
-    // which for dense 0..k-1 ids equals the vec_id itself — the numbering
-    // the oracle replays
+    // init = the k lowest SURVIVING vec_ids, renumbered 0..k-1 in vec_id
+    // order — the oracle's c0 CTE replays exactly this (rank + limit),
+    // so a dropped zero-norm id or sparse ids cannot desync the two
     var cents: Seq[(Int, Seq[Double])] =
       n.orderBy(col("vec_id")).limit(k)
         .select(col("emb")).collect().toSeq
@@ -186,13 +208,14 @@ object Ann extends QueryGroup {
     ivf(s, d, k = 8, iters = 2, nprobe = 1)
 
   /** Multi-probe probe set: each probe row fans out to its own bucket
-    * plus the 4 Hamming-1 flips (one sign flip per plane — the SQL twin
-    * is [[multiProbePSql]]'s `[0,1,2,4,8]` XOR masks; change both
-    * together). Candidates carry exactly one bucket each and the 5 probe
-    * buckets are distinct, so no (probe, candidate) pair repeats and the
-    * downstream join needs no dedup. */
-  private def multiProbeQ(n: DataFrame, withLabel: Boolean): DataFrame = {
-    val planes = 4
+    * plus the `planes` Hamming-1 flips (one sign flip per plane — at the
+    * registry's planes=4 the SQL twin is [[multiProbePSql]]'s
+    * `[0,1,2,4,8]` XOR masks; change both together). Candidates carry
+    * exactly one bucket each and the probe buckets are distinct, so no
+    * (probe, candidate) pair repeats and the downstream join needs no
+    * dedup. */
+  private def multiProbeQ(n: DataFrame, withLabel: Boolean,
+      planes: Int = 4): DataFrame = {
     val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
     val keep = Seq(col("q_id"), col("q_emb"), col("q_nsq")) ++
       (if (withLabel) Seq(col("label").as("q_label")) else Nil)
@@ -206,10 +229,8 @@ object Ann extends QueryGroup {
   /** Multi-probe LSH: the classic recall knob that needs NO extra tables
     * or planes. `AnnRecallSpec` asserts recall ≥ the single-bucket
     * `ann_lsh_topk`. */
-  private def lshMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
-    rerank(n, multiProbeQ(n, withLabel = false), "bucket")
-  }
+  private def lshMultiprobe(s: SparkSession, d: String): DataFrame =
+    lshTopkAt(s, d, planes = 4, multiProbe = true)
 
   /** Hard-negative mining for contrastive training: per probe, the top-5
     * most-similar vectors carrying a DIFFERENT label — the lookalikes a
@@ -218,7 +239,7 @@ object Ann extends QueryGroup {
     * NULL-label rows never pair (<> is null-rejecting in both engines,
     * mirrored in the oracle). */
   private def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d).join(buckets4(s, d), Seq("vec_id"))
+    val n = normed(s, d).join(buckets(s, d), Seq("vec_id"))
     rerank(n, multiProbeQ(n, withLabel = true), "bucket",
       keep = col("label") =!= col("q_label"))
   }
@@ -311,7 +332,8 @@ object Ann extends QueryGroup {
     s"$lshCtes,\n${multiProbePSql(" AND q.label <> c.label")}\n$lshTopkTail"
 
   /** The fixed 2-iteration Lloyd loop IS SQL-expressible once centroid
-    * means are exact-decimal (order-independent): init = vecs 0..7, two
+    * means are exact-decimal (order-independent): init = the 8 lowest
+    * surviving vec_ids renumbered 0..7 (the engine's rule), two
     * assign+update rounds (argmax cosine, ties to the lower centroid id —
     * same `max(struct(cos, -ck))` rule as the engine), empty cells keep
     * the previous centroid, then probe the final inverted lists. */
@@ -326,8 +348,9 @@ object Ann extends QueryGroup {
       |    ${Dedup.guardedNsq} AS nsq
       |  FROM embeddings
       |  WHERE ${Dedup.guardedNsq} > 0),
-      |c0 AS (SELECT CAST(vec_id AS INT) AS ck, emb AS cvec
-      |       FROM n WHERE vec_id < 8),
+      |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS ck,
+      |         emb AS cvec
+      |       FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT 8)),
       |a1 AS (
       |  SELECT vec_id, ck FROM (
       |    SELECT n.vec_id, c.ck,

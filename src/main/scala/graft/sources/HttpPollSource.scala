@@ -24,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * never needs to be serializable. */
 trait MetricTransport extends AutoCloseable {
   def poll(): Option[(Long, String)]
+
+  /** Restart hook: `n` observations were already committed by a previous
+    * incarnation of this stream — a seekable transport (a recorded
+    * capture) skips them so they are not re-served under new offsets. A
+    * live feed cannot seek and ignores this (its fresh observations ARE
+    * new data; the fast-forward just renumbers them correctly). */
+  def seek(n: Long): Unit = {}
   override def close(): Unit = {}
 }
 
@@ -36,6 +43,13 @@ final class ReplayTransport(path: String) extends MetricTransport {
   override def poll(): Option[(Long, String)] = synchronized {
     if (i >= rows.length) None
     else { val r = rows(i); i += 1; Some(r) }
+  }
+  /** The capture is seekable: a checkpointed restart resumes AFTER the
+    * committed prefix instead of silently re-serving it under new
+    * offsets (exactly-once across restarts as long as the capture file
+    * only ever grows). */
+  override def seek(n: Long): Unit = synchronized {
+    i = math.min(n, rows.length.toLong).toInt
   }
 }
 
@@ -74,7 +88,11 @@ final class HttpTransport(url: String, timeoutMs: Long = 10000L,
   * Spark's own socket source, live observations are NOT replayable after
   * the buffer is gone: a recovery that reaches past the retained tail
   * fails loudly instead of silently re-polling different data — replay
-  * the recorded capture (the `replay` transport) for exact reruns.
+  * the recorded capture (the `replay` transport) for exact reruns. A
+  * checkpointed RESTART of a replay-transport query seeks the capture to
+  * the committed offset first, so nothing is re-served (exactly-once as
+  * long as the capture file only grows); a live-transport restart simply
+  * renumbers fresh observations from the committed offset.
   */
 class HttpPollSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -140,9 +158,12 @@ private class HttpPollMicroBatchStream(transport: MetricTransport)
     val s = start.asInstanceOf[PollOffset].index
     // clean restart: nothing polled yet, so adopt the committed index as
     // the new base and let fresh observations continue the numbering.
+    // A seekable transport (recorded capture) additionally skips the
+    // committed prefix so already-delivered observations are not
+    // re-served as new offsets; a live transport ignores the seek.
     // Once polls exist the base is pinned — an uncommitted-batch replay
     // then fails loudly in planInputPartitions.
-    if (buf.isEmpty && s > base) base = s
+    if (buf.isEmpty && s > base) { base = s; transport.seek(s) }
     transport.poll().foreach(buf += _) // one poll per trigger, cron-style
     PollOffset(base + buf.length)
   }

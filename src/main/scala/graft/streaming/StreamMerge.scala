@@ -125,6 +125,14 @@ object StreamMerge {
           branded = Files.readString(b).trim
           spins += 1
         }
+        // an empty brand after the spin is not a lineage mismatch: a
+        // CREATE_NEW-fallback claimant crashed between opening the brand
+        // file and writing its bytes — name the actual remedy instead of
+        // the generic wipe-everything one
+        if (branded.isEmpty) throw new IllegalStateException(
+          s"stream_merge: brand file $b is empty — a previous claimant " +
+            "likely crashed between creating and writing it; delete that " +
+            "file (only it) to let the next query re-claim the output dir")
         if (branded != ck) throw new IllegalStateException(
           s"stream_merge: output dir $dir belongs to checkpoint lineage " +
             s"'$branded' but this query runs from '$ck' — batchIds would " +

@@ -53,6 +53,32 @@ class AnnRecallSpec extends SparkSuite {
     assert(r2 > 0.0, "nprobe=2 found no true neighbors at all")
   }
 
+  test("planes=8 LSH (256 buckets) recall >= pinned planes=4 at a smaller candidate budget") {
+    // the parameterization gate: raising the plane count with corpus size
+    // is the LSH scale path, and it must not cost recall. On the
+    // clustered dim-1024 fixture, planes=8 + Hamming-1 multi-probe scans
+    // 9 of 256 buckets (~3.5% of the corpus) — barely half the candidate
+    // budget of the registry-pinned planes=4 single bucket (1 of 16,
+    // 6.25%) — and must still reach at least its recall. Everything is
+    // seeded and deterministic, so these are exact replays, not noise.
+    val cdir = WideEmb.clusteredDir(spark)
+    val truthC = SparkEntry.queries("q31_cosine_topk")(spark, cdir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallAt(planes: Int, multiProbe: Boolean): Double = {
+      val got = Ann.lshTopkAt(spark, cdir, planes, multiProbe).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val rs = truthC.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r4 = recallAt(4, multiProbe = false)
+    val r8 = recallAt(8, multiProbe = true)
+    assert(r8 >= r4, s"planes=8 multiprobe recall $r8 below planes=4 recall $r4")
+    assert(r8 >= 0.5, s"planes=8 multiprobe recall $r8 unusably low")
+  }
+
   private def meanRecall(got: Map[Long, Set[Long]]): Double = {
     val rs = truth.map { case (q, t) =>
       got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }

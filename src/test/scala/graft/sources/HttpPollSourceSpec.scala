@@ -4,6 +4,8 @@ import java.net.InetSocketAddress
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import com.sun.net.httpserver.HttpServer
 
 import graft.SparkSuite
@@ -108,7 +110,7 @@ class HttpPollSourceSpec extends SparkSuite {
 
   test("restart guards: clean restart fast-forwards, unreplayable ranges fail loudly") {
     val f = Files.createTempFile("graft_poll_restart", ".jsonl")
-    Files.writeString(f, (0 until 3).map { i =>
+    Files.writeString(f, (0 until 8).map { i =>
       s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
     }.mkString("\n"))
     val s = new HttpPollMicroBatchStream(new ReplayTransport(f.toString))
@@ -116,14 +118,19 @@ class HttpPollSourceSpec extends SparkSuite {
     // SupportsAdmissionControl): the checkpointed start arrives via
     // latestOffset(start, limit) BEFORE the first poll — fresh
     // observations must continue the numbering from there, not restart
-    // at 0 and collide with committed indices
+    // at 0 and collide with committed indices. The replay transport
+    // additionally SEEKS past the 5 committed observations, so the first
+    // fresh poll serves p5 — not a renumbered duplicate of p0.
     val end = s.latestOffset(s.deserializeOffset("5"),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
     assert(end.json == "6")
     // the engine then commits the restored offset (cleanUpLastExecutedMicroBatch)
     // — that must not drop the fresh never-served observation
     s.commit(s.deserializeOffset("5"))
-    assert(s.planInputPartitions(s.deserializeOffset("5"), end).length == 1)
+    val parts = s.planInputPartitions(s.deserializeOffset("5"), end)
+    assert(parts.length == 1)
+    assert(parts(0).asInstanceOf[PollPartition].rows.map(_._2).toSeq ==
+      Seq("p5"), "restart must resume the capture, not re-serve its head")
     // a replay below the retained tail (committed-but-lost observations)
     // must fail loudly, never serve an empty slice
     val exLow = intercept[IllegalStateException](
@@ -168,10 +175,16 @@ class HttpPollSourceSpec extends SparkSuite {
       assert(seen.size >= minRows, s"only ${seen.size} of $minRows rows landed")
     }
     run(20) // first run drains the whole capture and commits offset 20
-    // restart against the same checkpoint: a fresh transport re-polls from
-    // the top, and the fast-forward must renumber those observations from
-    // the committed offset instead of colliding (or crash-looping)
+    // the capture grows while the query is down (the recorded feed keeps
+    // appending), then a restart against the same checkpoint: the fresh
+    // transport SEEKS past the 20 committed observations and serves only
+    // the new tail — nothing is re-served under new offsets
+    Files.writeString(f, "\n" + (20 until 23).map { i =>
+      s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
+    }.mkString("\n"), java.nio.file.StandardOpenOption.APPEND)
     run(23)
+    assert(seen.asScala.toSeq == (0 until 23).map(i => s"p$i"),
+      s"restart duplicated or dropped rows: ${seen.asScala.toSeq}")
   }
 
   test("replay transport is the default and drains the capture exactly once") {
