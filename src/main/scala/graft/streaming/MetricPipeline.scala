@@ -196,15 +196,18 @@ object MetricPipeline {
 
   /** The reference's publication surface as its own streaming query:
     * every parsed observation rendered as a `put-metric-data` JSON line
-    * (R12) — the streaming twin of `MetricTickMain`'s one-shot tick. */
+    * (R12) — the streaming twin of `MetricTickMain`'s one-shot tick.
+    * Emission is partition-parallel (each partition opens its own
+    * endpoint via `factory`), so the sink scales with metric cardinality
+    * instead of funneling through the driver. */
   def startPublish(payloads: DataFrame, clusterId: String,
       checkpointDir: String,
-      endpoint: CloudWatchSink.Endpoint = CloudWatchSink.Stdout,
+      factory: CloudWatchSink.EndpointFactory = CloudWatchSink.StdoutFactory,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")) =
     parseRmPayload(payloads, clusterId).toDF().writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(CloudWatchSink.metricPublisher(endpoint = endpoint))
+      .foreachBatch(CloudWatchSink.metricPublisher(factory = factory))
       .start()
 }

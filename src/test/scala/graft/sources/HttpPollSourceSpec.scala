@@ -86,15 +86,15 @@ class HttpPollSourceSpec extends SparkSuite {
     // scale-2 truncated percentage, publish the CLI field tuple — here as
     // one streaming query against the in-process stub
     withRmStub { (url, _) =>
-      val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
-      val ep = new graft.streaming.CloudWatchSink.Endpoint {
-        override def emit(ls: Seq[String]): Unit = ls.foreach(lines.add)
-      }
+      import graft.streaming.TestEndpoints
+      TestEndpoints.clear("poll_pub")
+      def lines = TestEndpoints.lines("poll_pub")
       val payloads = spark.readStream.format("graft.sources.HttpPollSource")
         .option("transport", "http").option("url", url).load()
       val ckpt = Files.createTempDirectory("graft_poll_pub").toString
       val q = graft.streaming.MetricPipeline.startPublish(
-        payloads, "j-LIVE", ckpt, ep, Trigger.ProcessingTime(0L))
+        payloads, "j-LIVE", ckpt, TestEndpoints.Factory("poll_pub"),
+        Trigger.ProcessingTime(0L))
       try {
         val deadline = System.currentTimeMillis() + 60000
         while (lines.size < 3 && System.currentTimeMillis() < deadline)
@@ -102,9 +102,9 @@ class HttpPollSourceSpec extends SparkSuite {
       } finally q.stop()
       assert(lines.size >= 3, s"only ${lines.size} publications landed")
       // poll 1 served availableVirtualCores=1 of 16: bc scale=2 -> 6.25
-      assert(lines.get(0) ==
+      assert(lines.head ==
         """{"action":"put-metric-data","metric-name":"YARNCoreAvailablePercentage","namespace":"AWS/ElasticMapReduce","unit":"Percent","value":6.25,"dimensions":["JobFlowId=j-LIVE"]}""",
-        lines.get(0))
+        lines.head)
     }
   }
 
