@@ -1,14 +1,21 @@
 package graft.llm
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.DotProduct.dot
 
 /** Persisted IVF index: the deterministic k-means model written once as
-  * two parquet artifacts and searched many times —
+  * parquet artifacts and searched many times —
   *
   *  - `centroids/`: the k×dim centroid table (tiny; broadcast at query
   *    time),
-  *  - `assign/`: vec_id → cell, PARTITIONED BY the cell id.
+  *  - `assign/`: vec_id → cell, PARTITIONED BY the cell id,
+  *  - `stats/`: the build-time quantization quality (mean best-cosine),
+  *    the yardstick the staleness metric compares against.
   *
   * Searching `nprobe` cells filters the assignment scan to those cell
   * values, so partition pruning performs the inverted-list seek: each
@@ -18,8 +25,17 @@ import org.apache.spark.sql.functions._
   * re-derives the model per run. Vectors themselves are NOT copied into
   * the index: the search re-joins the source embedding table by vec_id,
   * so the index stays small and the corpus remains the single source of
-  * truth. Everything is deterministic, which is what lets `IvfIndexSpec`
-  * assert search-over-index ≡ the inline oracle-graded query.
+  * truth.
+  *
+  * Lifecycle beyond the one-shot build: [[append]] folds a NEW corpus
+  * slice into `assign/` against the frozen centroids (the incremental
+  * ingest path — no Lloyd re-run), [[compact]] rewrites the accumulated
+  * append deltas into one file per cell, and [[staleness]] measures how
+  * far the current corpus has drifted from the centroids the index was
+  * built on — the signal that it is time to pay for a fresh [[build]].
+  * Everything is deterministic, which is what lets `IvfIndexSpec` assert
+  * search-over-index ≡ the inline oracle-graded query and
+  * search-over-the-grown-index ≡ brute force at nprobe=k.
   *
   * Storage contract (the repo-wide one): `build` leaves the normalized-
   * embeddings cache from the Lloyd loop resident, and `search` caches the
@@ -29,13 +45,30 @@ import org.apache.spark.sql.functions._
   * documents. */
 object IvfIndex {
 
+  /** Mean best-cosine of `n`'s vectors against the centroid table — the
+    * quantization quality. Decimal-summed so the mean is
+    * order-independent (the staleness compare is exact, not noisy). */
+  private def quality(n: DataFrame, cdf: DataFrame): Double =
+    n.crossJoin(broadcast(cdf))
+      .withColumn("c_cos",
+        when(col("c_nsq") > 0,
+          dot(col("emb"), col("cvec")) /
+            (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
+      .groupBy(col("vec_id")).agg(max(col("c_cos")).as("best"))
+      .agg((sum(col("best").cast(DecimalType(20, 10))).cast(DoubleType) /
+        count(lit(1))).as("q"))
+      .collect()(0).getDouble(0)
+
   /** Build and persist the model under `dir` (overwrites). */
   def build(s: SparkSession, d: String, dir: String, k: Int = 8,
       iters: Int = 2): Unit = {
+    import s.implicits._
     val (lists, cdf) = Ann.ivfModel(s, d, k, iters)
     cdf.write.mode("overwrite").parquet(s"$dir/centroids")
     lists.select(col("vec_id"), col("ck"))
       .write.mode("overwrite").partitionBy("ck").parquet(s"$dir/assign")
+    Seq(quality(Ann.normed(s, d), cdf)).toDF("built_quality")
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Out-of-sample assignment: map the vectors of source `d` to the
@@ -43,16 +76,66 @@ object IvfIndex {
     * when new corpus lands after the index was built. Exactly the
     * build-time argmax rule ([[Ann.assignCells]]), so re-assigning the
     * original corpus reproduces the stored lists bit-for-bit
-    * (`IvfIndexSpec` asserts it); append the result to `assign/` to grow
-    * the index, and re-run [[build]] only when drift warrants new
-    * centroids. */
+    * (`IvfIndexSpec` asserts it). */
   def assign(s: SparkSession, d: String, dir: String): DataFrame = {
     val cdf = s.read.parquet(s"$dir/centroids")
     Ann.assignCells(Ann.normed(s, d), cdf)
   }
 
+  /** Grow the index: assign source `d`'s vectors against the frozen
+    * centroids and append them to `assign/`. The caller owns vec_id
+    * uniqueness across appended corpora (ids are the join key back to the
+    * vectors at search time). Appends accumulate one file set per call
+    * inside each cell partition — run [[compact]] periodically — and pull
+    * the per-cell quality down as the new data drifts from the build-time
+    * centroids: watch [[staleness]] and re-[[build]] past your budget. */
+  def append(s: SparkSession, d: String, dir: String): Unit =
+    assign(s, d, dir)
+      .write.mode("append").partitionBy("ck").parquet(s"$dir/assign")
+
+  /** Rewrite `assign/` so each cell partition holds ONE file again (an
+    * append per ingest slice otherwise accumulates small files and the
+    * inverted-list seek degrades into many tiny reads). The rewrite lands
+    * in a sibling directory first and is swapped in by rename, so a
+    * concurrent reader sees the old layout or the new one, never a
+    * half-written mix (POSIX rename; an object-store deployment would
+    * swap a manifest instead). */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/assign_compacting"
+    s.read.parquet(s"$dir/assign").select(col("vec_id"), col("ck"))
+      // all rows of one ck land in one task, so partitionBy writes
+      // exactly one file per cell
+      .repartition(col("ck"))
+      .write.mode("overwrite").partitionBy("ck").parquet(tmp)
+    val live = Paths.get(dir, "assign")
+    val old = Paths.get(dir, "assign_retiring")
+    Files.move(live, old)
+    Files.move(Paths.get(tmp), live)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(old.toFile)
+  }
+
+  /** Centroid drift of corpus `d` (typically the original + appended
+    * slices) vs the build-time yardstick: the relative drop in mean
+    * best-cosine, floored at 0. 0 = the corpus quantizes exactly as well
+    * as at build time; rising values mean the frozen centroids describe
+    * the data worse and worse — re-[[build]] when it crosses your budget
+    * (a few percent is a common trigger). */
+  def staleness(s: SparkSession, d: String, dir: String): Double = {
+    val built = s.read.parquet(s"$dir/stats")
+      .collect()(0).getAs[Double]("built_quality")
+    val cdf = s.read.parquet(s"$dir/centroids")
+    val current = quality(Ann.normed(s, d), cdf)
+    math.max(0.0, (built - current) / math.abs(built))
+  }
+
   /** Top-5 neighbors for probes 0..4 against the persisted index — the
-    * same probe set, tie-breaks, and rounding as `ann_ivf_topk`. */
+    * same probe set, tie-breaks, and rounding as `ann_ivf_topk`. `d` must
+    * cover every corpus slice the index was built from or grown with
+    * (the index stores only ids; vectors are re-joined from `d`). */
   def search(s: SparkSession, d: String, dir: String,
       nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"search: need nprobe >= 1; got $nprobe")

@@ -48,6 +48,68 @@ class IvfIndexSpec extends SparkSuite {
     assert(fresh == stored)
   }
 
+  test("lifecycle: append a drifted twin, compact, search the grown index, read staleness") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ivf_idx_grow").toString
+    IvfIndex.build(spark, sfDir, dir)
+
+    // the original corpus quantizes exactly as well as at build time —
+    // the staleness floor is an exact 0, not an approximate one
+    assert(IvfIndex.staleness(spark, sfDir, dir) == 0.0)
+
+    // a deterministic perturbed twin of the corpus: ids shifted past the
+    // originals (the caller-owned uniqueness contract), every element
+    // nudged by a position-dependent factor so directions actually drift
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shift = src.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    def perturb(c: org.apache.spark.sql.Column) =
+      transform(c, (x, i) =>
+        (x.cast("double") * (lit(1.0) + (i % 3 - 1).cast("double") * lit(0.05)))
+          .cast("float"))
+    val twin = src.select((col("vec_id") + shift).as("vec_id"),
+      perturb(col("embedding")).as("embedding"), col("label"))
+    val tdir = graft.core.Fixtures.path("ivf_twin")
+    twin.write.mode("overwrite").parquet(s"$tdir/embeddings.parquet")
+    val udir = graft.core.Fixtures.path("ivf_union")
+    src.unionByName(twin).write.mode("overwrite")
+      .parquet(s"$udir/embeddings.parquet")
+
+    IvfIndex.append(spark, tdir, dir)
+
+    def assignMap: Map[Long, Int] =
+      spark.read.parquet(s"$dir/assign").select("vec_id", "ck").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def partFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/assign"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+
+    val grown = assignMap
+    // every original and every appended vector is indexed exactly once
+    assert(grown.size > src.count() .toInt, s"append grew nothing: ${grown.size}")
+    val before = partFiles
+    IvfIndex.compact(spark, dir)
+    assert(assignMap == grown, "compaction changed the assignment")
+    assert(partFiles < before,
+      s"compaction did not reduce files: $before -> $partFiles")
+
+    // the drift check: at nprobe=k the probe set covers every cell, so
+    // search over the GROWN index must equal brute-force top-k over the
+    // union corpus — same re-rank, same rounding, same tie-breaks
+    val got = IvfIndex.search(spark, udir, dir, nprobe = 8).collect().toSeq
+    val truth = SparkEntry.queries("q31_cosine_topk")(spark, udir)
+      .collect().toSeq
+    assert(got == truth, "grown-index exhaustive search drifted from brute force")
+
+    // the grown corpus drifted from the build-time centroids: the metric
+    // must register it as a finite, non-negative, sane fraction
+    val st = IvfIndex.staleness(spark, udir, dir)
+    assert(st >= 0.0 && st < 0.5 && !st.isNaN, s"staleness out of range: $st")
+  }
+
   test("nprobe=2 candidates are a superset: the best neighbor never worsens") {
     val dir = Files.createTempDirectory("graft_ivf_idx_np").toString
     IvfIndex.build(spark, sfDir, dir)
