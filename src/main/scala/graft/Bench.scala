@@ -81,6 +81,54 @@ object Bench {
       .mkString("{", ",", "}")
     val totalStr = num(total, 2)
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"iters":$iters,"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
+    // Per-query regression gate: bench_budgets.json pins a ceiling per
+    // query (re-baselined when a slowdown is justified and explained in
+    // SCALING.md). Without it the round-6 board drifted ~16% with no
+    // alarm — drift that size would hide a real 2x regression on a fast
+    // query. Breaches list offenders and FAIL the run (exit 1); the
+    // summary lines above are already printed, so the driver's artifact
+    // still carries the numbers alongside the non-zero rc.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "bench_budgets.json")
+    val budgetFile = new java.io.File(budgetPath)
+    // the gate only judges the full default board at the default sf —
+    // subset/dev and sweep runs (sf1, custom fixtures) have different
+    // per-query costs and would false-alarm
+    val gateApplies = args.isEmpty && iters >= 2 &&
+      sfDir == "/root/testdata/sf0.1"
+    if (budgetFile.isFile && gateApplies) {
+      val src = scala.io.Source.fromFile(budgetFile, "UTF-8")
+      val text = try src.mkString finally src.close()
+      val (over, unbudgeted) = budgetCheck(results, text)
+      if (unbudgeted.nonEmpty)
+        System.err.println(s"[bench] no budget pinned for: ${unbudgeted.mkString(", ")}")
+      if (over.nonEmpty || failed > 0) {
+        val detail = over.map { case (k, v, b) =>
+          "\"" + k + "\":{\"sec\":" + num(v, 2) + ",\"budget\":" + num(b, 2) + "}"
+        }.mkString("{", ",", "}")
+        println(s"""{"metric":"budget_breach","n_over":${over.size},"failed":$failed,"offenders":$detail}""")
+        spark.stop()
+        sys.exit(1)
+      }
+    } else if (gateApplies) {
+      System.err.println(s"[bench] budget file $budgetPath missing - regression gate skipped")
+    }
     spark.stop()
+  }
+
+  /** The budget compare, factored out so `BenchGateSpec` can grade the
+    * breach/pass/unbudgeted behavior without a full bench run. Returns
+    * (offenders as (query, measured, budget), queries with no pinned
+    * budget). Failure markers (-1) never count as "under budget" — the
+    * caller trips the gate on `failed > 0` separately. */
+  private[graft] def budgetCheck(results: Seq[(String, Double)], budgetJson: String)
+      : (Seq[(String, Double, Double)], Seq[String]) = {
+    // the file is our own flat {"name": seconds} map — a regex pull of
+    // the pairs avoids a JSON-library dependency
+    val budgets = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(budgetJson).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val over = results.collect { case (k, v)
+      if v >= 0 && budgets.get(k).exists(v > _) => (k, v, budgets(k)) }
+    val unbudgeted = results.collect { case (k, _) if !budgets.contains(k) => k }
+    (over, unbudgeted)
   }
 }
