@@ -425,13 +425,20 @@ object Pipeline extends QueryGroup {
   // size-based planning picks the right join either way. Shingles are
   // 48-bit-hashed BEFORE the distinct (8-byte shuffle keys, the
   // Dedup.scala rule); the contamination fraction divides exact longs.
-  private val benchMod = 5
-  private def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh8 = T.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.Shingles.shingleNgrams(col("text"), 8)).as("sh"))
+  private[graft] val benchMod = 5
+
+  /** Per-doc distinct 48-bit 8-gram hashes — the contamination currency.
+    * Shared by batch [[decontaminate]] and the streaming twin
+    * (`streaming.StreamCurate`), so the two can never disagree on what
+    * counts as an overlapping shingle. */
+  private[graft] def shingle8(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.Shingles.shingleNgrams(col("text"), 8)).as("sh"))
       .select(col("doc_id"), h48(col("sh")).as("shh"))
       .distinct()
+
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh8 = shingle8(T.documents(s, d))
       .cache() // read three times (bench build, overlap probe, totals)
     val bench = sh8.filter(col("doc_id") % benchMod === 0)
       .select(col("shh")).distinct()
@@ -624,12 +631,13 @@ object Pipeline extends QueryGroup {
   // already-proven pipeline; the composition is three doc_id equi-joins,
   // which AQE plans as shuffle joins on the same key — no new scale
   // surface beyond the components'.
-  private def curateVerdict(s: SparkSession, d: String): DataFrame = {
-    // word stats over FILTERED tokens: repetition() counts the empty
-    // tokens consecutive spaces produce, which would let a
-    // whitespace-padded one-word doc evade too_short (review finding) —
-    // and would disagree with text_dedup_spans' n_words for the same doc
-    val rep = T.documents(s, d)
+  /** Per-doc word stats over FILTERED tokens: repetition() counts the
+    * empty tokens consecutive spaces produce, which would let a
+    * whitespace-padded one-word doc evade too_short (review finding) —
+    * and would disagree with text_dedup_spans' n_words for the same doc.
+    * Shared with the streaming twin. */
+  private[graft] def wordStats(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
       .groupBy(col("doc_id"))
@@ -638,6 +646,26 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), col("n_words"),
         (col("n_uniq_words").cast(DoubleType) /
           col("n_words").cast(DoubleType)).as("uniq_frac"))
+
+  /** The verdict composition: (doc_id, is_clean, is_canonical, n_words,
+    * uniq_frac) → keep + reasons. ONE definition — the streaming twin
+    * folds per-batch inputs into exactly these columns and calls this,
+    * so the keep thresholds can never drift between the two. */
+  private[graft] def verdictCols(j: DataFrame): DataFrame =
+    j.withColumn("keep",
+      col("is_clean") && col("is_canonical") &&
+        col("n_words") >= 5 && col("uniq_frac") >= 0.25)
+      .withColumn("reasons", concat_ws(",",
+        when(!col("is_clean"), lit("contaminated")),
+        when(!col("is_canonical"), lit("duplicate")),
+        when(col("n_words") < 5, lit("too_short")),
+        // gated on n_words > 0: an empty doc is too_short, not repetitive
+        when(col("n_words") > 0 && col("uniq_frac") < 0.25, lit("repetitive"))))
+      .select(col("doc_id"), col("n_words"), col("uniq_frac"),
+        col("keep"), col("reasons"))
+
+  private def curateVerdict(s: SparkSession, d: String): DataFrame = {
+    val rep = wordStats(T.documents(s, d))
     val dec = decontaminate(s, d).select(col("doc_id"), col("is_clean"))
     val canon = T.documents(s, d)
       .select(col("doc_id"),
@@ -648,21 +676,11 @@ object Pipeline extends QueryGroup {
         (col("doc_id") === col("first_doc")).as("is_canonical"))
     // left join: a doc of ONLY whitespace has no filtered words at all —
     // it must still get a verdict (too_short), not vanish
-    dec.join(rep, Seq("doc_id"), "left").join(canon, Seq("doc_id"))
-      .select(col("doc_id"), col("is_clean"), col("is_canonical"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("uniq_frac"), lit(0.0)).as("uniq_frac"))
-      .withColumn("keep",
-        col("is_clean") && col("is_canonical") &&
-          col("n_words") >= 5 && col("uniq_frac") >= 0.25)
-      .withColumn("reasons", concat_ws(",",
-        when(!col("is_clean"), lit("contaminated")),
-        when(!col("is_canonical"), lit("duplicate")),
-        when(col("n_words") < 5, lit("too_short")),
-        // gated on n_words > 0: an empty doc is too_short, not repetitive
-        when(col("n_words") > 0 && col("uniq_frac") < 0.25, lit("repetitive"))))
-      .select(col("doc_id"), col("n_words"), col("uniq_frac"),
-        col("keep"), col("reasons"))
+    verdictCols(
+      dec.join(rep, Seq("doc_id"), "left").join(canon, Seq("doc_id"))
+        .select(col("doc_id"), col("is_clean"), col("is_canonical"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("uniq_frac"), lit(0.0)).as("uniq_frac")))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.{Tables => T}
+import graft.llm.Pipeline
+
+/** Streaming curation: fold a stream of documents through the batch
+  * `curate_verdict` core per micro-batch — dedup canonicality,
+  * benchmark decontamination, length and repetition composed into one
+  * keep/drop verdict, emitted incrementally as the corpus arrives. The
+  * batch query stays the oracle; every signal reuses its code
+  * ([[Pipeline.wordStats]]/[[Pipeline.shingle8]]/[[Pipeline.verdictCols]]
+  * and `Tables.textFingerprint`), so the two cannot drift.
+  *
+  * The one genuinely stateful signal is canonicality: a document is
+  * canonical iff its fingerprint was never seen in ANY earlier batch
+  * (nor earlier — lower doc_id — in its own). State is the fingerprint →
+  * first-doc table, persisted as per-batch DELTAS: `fps/batch=<id>/`
+  * holds only the fingerprints first seen in batch `id`, and the state
+  * read for batch N unions the deltas the commit pointer has published.
+  * Verdicts are append-only for the same reason — a later document can
+  * never change an earlier verdict — so `verdicts/batch=<id>/` is this
+  * batch's rows, never a cumulative rewrite. That is the 100 TB shape:
+  * per-batch work is O(batch + state-scan), not O(corpus re-written per
+  * batch); at real scale the fps dir would additionally be bucketed by
+  * fingerprint so the canonicality join co-locates, and periodically
+  * compacted (the `IvfIndex.compact` pattern) so the delta count stays
+  * bounded.
+  *
+  * Exactly-once on plain parquet, the [[StreamMerge]] recipe: a batch
+  * overwrites its own two delta dirs (replay-idempotent), then flips the
+  * `_latest` pointer atomically; deltas beyond the pointer are invisible
+  * to readers AND to the state scan, so a crash between write and flip
+  * replays cleanly and a replay after the flip short-circuits. The
+  * output dir is branded with the checkpoint lineage
+  * ([[CommitFiles.claimOrAssert]]) — a fresh checkpoint against old
+  * output fails loudly instead of silently dropping replayed batchIds.
+  *
+  * The benchmark set is the STATIC side (a real pipeline's held-out eval
+  * suites): read from `benchDir` per batch via the same doc_id % 5 == 0
+  * stand-in slice as the batch query. Arrival order is the stream's
+  * ordering contract: canonicality keys on it (first arrival wins, min
+  * doc_id inside a batch), exactly as `ingest_dedup_incremental` defines
+  * first-wins for batched ingest. */
+object StreamCurate {
+
+  private def pointerPath(dir: String) = Paths.get(dir, "_latest")
+  private def brandPath(dir: String) = Paths.get(dir, "_checkpoint")
+
+  /** Highest committed batch id, if any batch has flipped the pointer. */
+  def latestVersion(dir: String): Option[Long] =
+    CommitFiles.readPointer(pointerPath(dir))
+
+  /** All committed verdict rows (the union of published deltas). */
+  def currentVerdicts(spark: SparkSession, dir: String): Option[DataFrame] =
+    latestVersion(dir).map { v =>
+      spark.read.parquet(s"$dir/verdicts")
+        .filter(col("batch") <= v).drop("batch")
+    }
+
+  private def fpState(spark: SparkSession, dir: String): Option[DataFrame] =
+    latestVersion(dir).map { v =>
+      spark.read.parquet(s"$dir/fps")
+        .filter(col("batch") <= v).drop("batch")
+    }
+
+  /** The benchmark 8-gram hash set: `benchDir`'s doc_id % benchMod == 0
+    * slice, hashed exactly like the batch decontamination pass. */
+  def benchShingles(spark: SparkSession, benchDir: String): DataFrame =
+    Pipeline.shingle8(
+      T.documents(spark, benchDir).filter(col("doc_id") % Pipeline.benchMod === 0))
+      .select(col("shh")).distinct()
+
+  /** One micro-batch of (doc_id, text, ...) rows: verdict every non-
+    * benchmark document against the committed state, publish the deltas.
+    * Safe to replay with the same batchId. */
+  def applyBatch(spark: SparkSession, dir: String, docs: DataFrame,
+      batchId: Long, benchDir: String,
+      checkpoint: Option[String] = None): Unit = {
+    checkpoint.map(CommitFiles.lineageId).foreach { ck =>
+      CommitFiles.claimOrAssert(brandPath(dir), ck, "stream_curate")
+    }
+    // replay AFTER the pointer flip: already published — committed = done
+    if (latestVersion(dir).exists(_ >= batchId)) return
+    docs.persist()
+    try {
+      if (docs.isEmpty) return // idle trigger: nothing to publish
+      val state = fpState(spark, dir)
+
+      // canonicality: first arrival wins. Batch-first per fingerprint,
+      // demoted if ANY committed batch already carries the fingerprint.
+      // Benchmark docs participate (they can be the canonical first of a
+      // fingerprint, exactly as in the batch query) but get no verdict.
+      val fps = docs.select(col("doc_id"),
+        T.textFingerprint(col("text")).as("fp"))
+      val firsts = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("batch_first"))
+      val canon = state match {
+        case Some(st) => fps.join(firsts, Seq("fp"))
+          .join(st.select(col("fp"), lit(true).as("seen")), Seq("fp"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") === col("batch_first") && col("seen").isNull)
+              .as("is_canonical"))
+        case None => fps.join(firsts, Seq("fp"))
+          .select(col("doc_id"),
+            (col("doc_id") === col("batch_first")).as("is_canonical"))
+      }
+      // the state DELTA: only fingerprints this batch saw first
+      val newFps = (state match {
+        case Some(st) => firsts.join(st, Seq("fp"), "left_anti")
+        case None => firsts
+      }).select(col("fp"), col("batch_first").as("first_doc"))
+
+      // decontamination against the static benchmark set; benchmark docs
+      // themselves are excluded from verdicts, as in the batch query
+      val corpus = docs.filter(col("doc_id") % Pipeline.benchMod =!= 0)
+      val overlap = Pipeline.shingle8(corpus)
+        .join(benchShingles(spark, benchDir), Seq("shh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      val dec = corpus.select(col("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_overlap"), lit(0L)) === 0).as("is_clean"))
+
+      // left join: a whitespace-only doc has no filtered words at all —
+      // it must still get a verdict (too_short), not vanish
+      val verdicts = Pipeline.verdictCols(
+        dec.join(Pipeline.wordStats(corpus), Seq("doc_id"), "left")
+          .join(canon, Seq("doc_id"))
+          .select(col("doc_id"), col("is_clean"), col("is_canonical"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("uniq_frac"), lit(0.0)).as("uniq_frac")))
+
+      // publish: overwrite THIS batch's delta dirs (replay-idempotent),
+      // then flip the pointer — the single commit point for both
+      newFps.write.mode("overwrite").parquet(s"$dir/fps/batch=$batchId")
+      verdicts.write.mode("overwrite").parquet(s"$dir/verdicts/batch=$batchId")
+      CommitFiles.atomicWrite(pointerPath(dir), batchId.toString)
+    } finally docs.unpersist()
+  }
+
+  /** The streaming query: a document stream → incrementally published
+    * verdict deltas under `dir`, decontaminated against `benchDir`. */
+  def start(docs: DataFrame, dir: String, benchDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch.sparkSession, dir, batch, id, benchDir,
+          Some(checkpoint))
+      }
+      .start()
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{FileAlreadyExistsException, FileSystemException, Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, struct}
@@ -47,22 +47,12 @@ object StreamMerge {
   private def brandPath(dir: String) = Paths.get(dir, "_checkpoint")
 
   /** Current table version, if any batch has committed. */
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] =
+    CommitFiles.readPointer(pointerPath(dir))
 
   /** The committed table as of the last flipped pointer. */
   def currentTable(spark: SparkSession, dir: String): Option[DataFrame] =
     latestVersion(dir).map(v => spark.read.parquet(s"$dir/v=$v"))
-
-  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.createDirectories(path.getParent)
-    Files.writeString(tmp, content)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Reduce a batch to one change per key: highest `seqCol` wins (struct
     * arg-max — one aggregation, no window sort). Without a sequence
@@ -99,82 +89,11 @@ object StreamMerge {
   def applyBatch(spark: SparkSession, dir: String, changes: DataFrame,
       key: String, batchId: Long, seqCol: Option[String] = None,
       checkpoint: Option[String] = None): Unit = {
-    // The brand is the checkpoint's QUERY ID (the uuid Spark writes to
-    // <checkpoint>/metadata, stable across restarts of one lineage but
-    // regenerated when a checkpoint is wiped) — branding on the PATH
-    // alone would pass after a wipe-and-recreate at the same path, and
-    // the restarted batchIds would then short-circuit on the committed
-    // version and silently drop every batch. Path (normalized: scheme
-    // prefix and trailing slashes stripped, so equivalent spellings
-    // can't false-positive) is the fallback when metadata is unreadable.
-    def norm(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
-    def lineageId(ck: String): String = {
-      val meta = Paths.get(norm(ck), "metadata")
-      if (Files.exists(meta)) Files.readString(meta).trim else norm(ck)
-    }
-    checkpoint.map(lineageId).foreach { ck =>
-      val b = brandPath(dir)
-      def assertBranded(): Unit = {
-        // a CREATE_NEW-fallback claimant's bytes land one write after the
-        // open — tolerate a transiently empty brand before declaring a
-        // mismatch (the hard-link path never exposes this window)
-        var branded = Files.readString(b).trim
-        var spins = 0
-        while (branded.isEmpty && spins < 100) {
-          Thread.sleep(10)
-          branded = Files.readString(b).trim
-          spins += 1
-        }
-        // an empty brand after the spin is not a lineage mismatch: a
-        // CREATE_NEW-fallback claimant crashed between opening the brand
-        // file and writing its bytes — name the actual remedy instead of
-        // the generic wipe-everything one
-        if (branded.isEmpty) throw new IllegalStateException(
-          s"stream_merge: brand file $b is empty — a previous claimant " +
-            "likely crashed between creating and writing it; delete that " +
-            "file (only it) to let the next query re-claim the output dir")
-        if (branded != ck) throw new IllegalStateException(
-          s"stream_merge: output dir $dir belongs to checkpoint lineage " +
-            s"'$branded' but this query runs from '$ck' — batchIds would " +
-            "collide with the committed versions and silently drop data; " +
-            "wipe the output dir together with its checkpoint")
-      }
-      if (Files.exists(b)) assertBranded()
-      else {
-        // claim the brand atomically IN CONTENT as well as existence:
-        // write a unique temp file, then hard-LINK it to the brand path —
-        // link(2) fails if the target exists and the link carries the
-        // complete content the instant it appears. A plain CREATE_NEW
-        // write would let the loser read the winner's file before its
-        // bytes land and die on a spurious ""-lineage mismatch, and
-        // ATOMIC_MOVE is rename(2) on POSIX, which silently REPLACES.
-        // Filesystems without link(2) (CIFS/FAT/object-store mounts)
-        // fall back to CREATE_NEW — existence-atomic, with the reader
-        // spin in assertBranded covering the open-to-write gap.
-        Files.createDirectories(b.getParent)
-        // a crash between the tmp write and the finally leaks the tmp;
-        // sweep stale ones (old enough to not belong to a live claimant)
-        val listing = Files.list(b.getParent)
-        try listing.forEach { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith(s"${b.getFileName}.") && n.endsWith(".tmp") &&
-            Files.getLastModifiedTime(p).toMillis <
-              System.currentTimeMillis() - 3600000L)
-            Files.deleteIfExists(p)
-        } finally listing.close()
-        val tmp = b.resolveSibling(
-          s"${b.getFileName}.${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, ck)
-        try Files.createLink(b, tmp)
-        catch {
-          case _: FileAlreadyExistsException => assertBranded()
-          case _: UnsupportedOperationException | _: FileSystemException =>
-            try Files.write(b, ck.getBytes("UTF-8"),
-              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-            catch { case _: FileAlreadyExistsException => assertBranded() }
-        }
-        finally Files.deleteIfExists(tmp)
-      }
+    // lineage brand: see CommitFiles.claimOrAssert — a fresh checkpoint
+    // against this output dir would restart batchIds at 0 and the
+    // short-circuit below would silently drop every replayed batch
+    checkpoint.map(CommitFiles.lineageId).foreach { ck =>
+      CommitFiles.claimOrAssert(brandPath(dir), ck, "stream_merge")
     }
     // replay AFTER the pointer flip: the batch is already in the table —
     // merging it again would also read v=<batchId> while overwriting the
@@ -197,7 +116,7 @@ object StreamMerge {
       merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
       // pointer flip via temp-file + ATOMIC_MOVE: readers see either the
       // old version or the new one, never a torn pointer
-      atomicWrite(pointerPath(dir), batchId.toString)
+      CommitFiles.atomicWrite(pointerPath(dir), batchId.toString)
       // retention: the previous snapshot stays (one-commit reader grace +
       // the only version a crash-before-flip replay can read); everything
       // older is unreachable and deleted — disk holds ≤ 2 table copies.
