@@ -57,4 +57,78 @@ class ZOrderSpec extends SparkSuite {
     assert(spark.sql("SELECT zorder_key(3L, 5L)").as[Long].head() ==
       ZOrderUtil.interleave16(3L, 5L))
   }
+
+  test("curve-clustered files let a 2-D box query skip most files; other layouts don't") {
+    // the payoff q52 only argues: write the SAME rows in three layouts
+    // and measure, from per-file min/max (what a stats-based planner
+    // consults), how many files a 2-D range query must actually read
+    val d = "/root/testdata/sf0.01"
+    val raw = graft.core.Tables.orders(spark, d).select(
+      (col("o_custkey") % 65536L).as("ck0"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("dy0"))
+    // affine-scale each dim onto the full 16-bit curve axis (what a real
+    // deployment does by quantile rank) so the interleave is balanced
+    val b = raw.agg(min("ck0"), max("ck0"), min("dy0"), max("dy0"))
+      .collect()(0)
+    val (ckLo, ckHi, dyLo, dyHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def scale16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lo) * 65535L / (hi - lo)).cast("long")
+    val base = raw.select(
+      scale16(col("ck0"), ckLo, ckHi).as("ck"),
+      scale16(col("dy0"), dyLo, dyHi).as("dy"))
+    val nFiles = 32
+
+    def layout(name: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): String = {
+      val dir = graft.core.Fixtures.path(s"zorder_layout_$name")
+      f(base).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val zdir = layout("curve")(df => df
+      .withColumn("z", ZOrderKey.zorderKey(col("ck"), col("dy")))
+      .repartitionByRange(nFiles, col("z")).drop("z"))
+    val ldir = layout("lex")(_.repartitionByRange(nFiles, col("ck"), col("dy")))
+    val udir = layout("none")(_.repartition(nFiles))
+
+    // per-file min/max — exactly the footer stats a planner prunes with
+    def filesRead(dir: String, ck: Option[(Long, Long)],
+        dy: Option[(Long, Long)]): (Int, Int) = {
+      val st = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ck").as("ckmin"), max("ck").as("ckmax"),
+          min("dy").as("dymin"), max("dy").as("dymax"))
+        .collect()
+      def hits(r: org.apache.spark.sql.Row) =
+        ck.forall { case (lo, hi) =>
+          r.getLong(2) >= lo && r.getLong(1) <= hi } &&
+          dy.forall { case (lo, hi) =>
+            r.getLong(4) >= lo && r.getLong(3) <= hi }
+      (st.count(hits), st.length)
+    }
+
+    // the 2-D box: a middle ~1/8 band of each dimension
+    val box = (Some((28000L, 36000L)), Some((28000L, 36000L)))
+    val (zBox, zn) = filesRead(zdir, box._1, box._2)
+    val (lBox, ln) = filesRead(ldir, box._1, box._2)
+    val (uBox, un) = filesRead(udir, box._1, box._2)
+    assert(zn == nFiles && ln == nFiles && un == nFiles)
+    info(s"2-D box query reads: curve $zBox/$zn, lex $lBox/$ln, unclustered $uBox/$un")
+    // unclustered: every file spans everything — zero pruning
+    assert(uBox >= (nFiles * 9) / 10, s"unclustered pruned?? $uBox")
+    // the curve layout must skip at least 3/4 of the files
+    assert(zBox <= nFiles / 4, s"curve layout read $zBox of $nFiles files")
+
+    // the second-dimension test lexicographic layouts fail: a dy-only
+    // band — lex files (ck-leading) all span the full dy axis
+    val dyBand = Some((28000L, 36000L))
+    val (zDy, _) = filesRead(zdir, None, dyBand)
+    val (lDy, _) = filesRead(ldir, None, dyBand)
+    info(s"dy-band query reads: curve $zDy/$zn, lex $lDy/$ln")
+    assert(lDy >= (nFiles * 9) / 10, s"lex pruned the second dim?? $lDy")
+    assert(zDy <= (nFiles * 3) / 4, s"curve read $zDy of $nFiles on the dy band")
+    // and the box beats the band: both dimensions contribute pruning
+    assert(zBox < zDy)
+  }
 }
