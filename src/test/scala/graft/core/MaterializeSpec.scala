@@ -45,12 +45,16 @@ class MaterializeSpec extends SparkSuite {
     val tmp = Files.createTempDirectory("graft-ckpt-loop-")
     val sess = spark.newSession()
     sess.conf.set(Materialize.ConfKey, tmp.toString)
+    // sf0.01 — the same fixture the driver's correctness gate runs, so
+    // this is the REGISTRY path (multi-round loops, real shingle join)
+    // under the cluster-mode config, not a toy
+    val d = "/root/testdata/sf0.01"
     Seq("dedup_clusters", "graph_pagerank").foreach { name =>
       val before = rddFiles(tmp).size
-      val reliable = SparkEntry.queries(name)(sess, sfDir).collect()
+      val reliable = SparkEntry.queries(name)(sess, d).collect()
       assert(rddFiles(tmp).size > before,
         s"$name cut no lineage through the reliable dir")
-      val local = SparkEntry.queries(name)(spark, sfDir).collect()
+      val local = SparkEntry.queries(name)(spark, d).collect()
       assert(reliable.toSeq === local.toSeq, s"$name diverged between modes")
       Release.storage(sess)
       Release.storage(spark)
