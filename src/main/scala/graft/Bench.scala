@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
   * sink — nothing is pruned the way a bare count() would allow) on
   * SPARK_GRAFT_SF_DIR; prints the one-line JSON contract. */
 object Bench {
+  /** The default (and driver-run) bench fixture — also the only sf the
+    * regression gate judges. */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,9 +96,14 @@ object Bench {
     val budgetFile = new java.io.File(budgetPath)
     // the gate only judges the full default board at the default sf —
     // subset/dev and sweep runs (sf1, custom fixtures) have different
-    // per-query costs and would false-alarm
+    // per-query costs and would false-alarm. Path compare is normalized
+    // (scheme prefix / trailing slash) so an equivalent spelling can't
+    // silently run the default board ungated.
+    def normPath(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
     val gateApplies = args.isEmpty && iters >= 2 &&
-      sfDir == "/root/testdata/sf0.1"
+      normPath(sfDir) == normPath(DefaultSfDir)
+    if (args.isEmpty && iters >= 2 && !gateApplies)
+      System.err.println(s"[bench] non-default sf dir $sfDir - regression gate skipped")
     if (budgetFile.isFile && gateApplies) {
       val src = scala.io.Source.fromFile(budgetFile, "UTF-8")
       val text = try src.mkString finally src.close()

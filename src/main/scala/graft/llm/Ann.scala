@@ -119,21 +119,26 @@ object Ann extends QueryGroup {
     rerank(lists, probeCells(probes, cdf, nprobe), "ck")
   }
 
-  /** Nearest-centroid assignment — THE argmax rule of the whole IVF
-    * family (Lloyd iterations, final lists, and [[IvfIndex.assign]]'s
-    * out-of-sample path all route through here so they cannot diverge).
-    * Argmax via ordered-struct max: no window sort, one hash aggregate.
+  /** The guarded vector-vs-centroid cosine, against a joined centroid
+    * row's (cvec, c_nsq) columns. ONE definition for every consumer
+    * ([[assignCells]], [[probeCells]], `IvfIndex.quality`) so the
+    * staleness yardstick can never drift from the argmax rule.
     * c_nsq > 0 guard: initial centroids are nonzero by construction, but
     * a Lloyd UPDATE whose members cancel exactly yields a zero centroid —
     * unguarded, 0/0 = NaN sorts HIGHEST in Spark's struct ordering and
     * the dead centroid would win every argmax (DuckDB's NULL quietly
     * ranks last; the null here matches it). */
+  private[llm] def centroidCosine(emb: Column, nsq: Column): Column =
+    when(col("c_nsq") > 0,
+      dot(emb, col("cvec")) / (sqrt(nsq) * sqrt(col("c_nsq"))))
+
+  /** Nearest-centroid assignment — THE argmax rule of the whole IVF
+    * family (Lloyd iterations, final lists, and [[IvfIndex.assign]]'s
+    * out-of-sample path all route through here so they cannot diverge).
+    * Argmax via ordered-struct max: no window sort, one hash aggregate. */
   private[llm] def assignCells(n: DataFrame, cdf: DataFrame): DataFrame =
     n.crossJoin(broadcast(cdf))
-      .withColumn("c_cos",
-        when(col("c_nsq") > 0,
-          dot(col("emb"), col("cvec")) /
-            (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
+      .withColumn("c_cos", centroidCosine(col("emb"), col("nsq")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("c_cos"), (-col("ck")).as("nck"))).as("m"))
       .select(col("vec_id"), (-col("m.nck")).cast("int").as("ck"))
@@ -148,10 +153,7 @@ object Ann extends QueryGroup {
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("ck"))
     probes.crossJoin(broadcast(cdf))
-      .withColumn("c_cos",
-        when(col("c_nsq") > 0,
-          dot(col("q_emb"), col("cvec")) /
-            (sqrt(col("q_nsq")) * sqrt(col("c_nsq")))))
+      .withColumn("c_cos", centroidCosine(col("q_emb"), col("q_nsq")))
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))

@@ -6,8 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.functions.DotProduct.dot
-
 /** Persisted IVF index: the deterministic k-means model written once as
   * parquet artifacts and searched many times —
   *
@@ -46,18 +44,26 @@ import graft.functions.DotProduct.dot
 object IvfIndex {
 
   /** Mean best-cosine of `n`'s vectors against the centroid table — the
-    * quantization quality. Decimal-summed so the mean is
-    * order-independent (the staleness compare is exact, not noisy). */
-  private def quality(n: DataFrame, cdf: DataFrame): Double =
-    n.crossJoin(broadcast(cdf))
-      .withColumn("c_cos",
-        when(col("c_nsq") > 0,
-          dot(col("emb"), col("cvec")) /
-            (sqrt(col("nsq")) * sqrt(col("c_nsq")))))
+    * quantization quality. The cosine is [[Ann.centroidCosine]], the SAME
+    * guarded expression the assignment argmax uses, so the yardstick can
+    * never drift from the rule it grades. Decimal-summed so the mean is
+    * order-independent (the staleness compare is exact, not noisy); the
+    * mean is over vectors with a defined best (count of `best`, not of
+    * rows — a vector whose every centroid is zero-norm must not deflate
+    * it), and a corpus with NO defined best fails loudly rather than
+    * writing a meaningless yardstick. */
+  private def quality(n: DataFrame, cdf: DataFrame): Double = {
+    val r = n.crossJoin(broadcast(cdf))
+      .withColumn("c_cos", Ann.centroidCosine(col("emb"), col("nsq")))
       .groupBy(col("vec_id")).agg(max(col("c_cos")).as("best"))
       .agg((sum(col("best").cast(DecimalType(20, 10))).cast(DoubleType) /
-        count(lit(1))).as("q"))
-      .collect()(0).getDouble(0)
+        count(col("best"))).as("q"))
+      .collect()(0)
+    if (r.isNullAt(0)) throw new IllegalStateException(
+      "ivf_index: quantization quality is undefined — the corpus has no " +
+        "vector with a positive-norm embedding and a positive-norm centroid")
+    r.getDouble(0)
+  }
 
   /** Build and persist the model under `dir` (overwrites). */
   def build(s: SparkSession, d: String, dir: String, k: Int = 8,
@@ -93,29 +99,68 @@ object IvfIndex {
     assign(s, d, dir)
       .write.mode("append").partitionBy("ck").parquet(s"$dir/assign")
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** The live assign/ part-file set — the cheap fingerprint [[compact]]
+    * uses to detect a concurrent [[append]] between its read and its
+    * swap. */
+  private def partSet(live: java.nio.file.Path): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(live.toFile).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Heal the on-disk state a crashed [[compact]] can leave behind:
+    * a swap interrupted between its two renames (assign/ missing, the
+    * retiring copy present) is rolled back, and leftover retiring /
+    * compacting directories from a crash after the swap are deleted.
+    * Runs at the start of every compact, so no crash state is sticky. */
+  private def heal(dir: String): Unit = {
+    val live = Paths.get(dir, "assign")
+    val old = Paths.get(dir, "assign_retiring")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    if (Files.exists(old)) rmTree(old.toFile)
+    val tmp = Paths.get(dir, "assign_compacting")
+    if (Files.exists(tmp)) rmTree(tmp.toFile)
+  }
+
   /** Rewrite `assign/` so each cell partition holds ONE file again (an
     * append per ingest slice otherwise accumulates small files and the
-    * inverted-list seek degrades into many tiny reads). The rewrite lands
-    * in a sibling directory first and is swapped in by rename, so a
-    * concurrent reader sees the old layout or the new one, never a
-    * half-written mix (POSIX rename; an object-store deployment would
-    * swap a manifest instead). */
+    * inverted-list seek degrades into many tiny reads). The rewrite
+    * lands in a sibling directory first and is swapped in by two
+    * renames. Maintenance contract on this plain-filesystem layout:
+    * run compact in the ingest pauses — an [[append]] racing the swap
+    * is detected (the live file set is fingerprinted before the read
+    * and re-checked before the swap) and compact aborts loudly rather
+    * than deleting the appended rows, but a reader BETWEEN the two
+    * renames can observe the directory missing. A crash anywhere
+    * leaves a state the next compact self-heals ([[heal]]); an
+    * object-store deployment would swap a manifest pointer instead and
+    * have neither window. */
   def compact(s: SparkSession, dir: String): Unit = {
+    heal(dir)
+    val live = Paths.get(dir, "assign")
+    val before = partSet(live)
     val tmp = s"$dir/assign_compacting"
     s.read.parquet(s"$dir/assign").select(col("vec_id"), col("ck"))
       // all rows of one ck land in one task, so partitionBy writes
       // exactly one file per cell
       .repartition(col("ck"))
       .write.mode("overwrite").partitionBy("ck").parquet(tmp)
-    val live = Paths.get(dir, "assign")
+    if (partSet(live) != before) {
+      rmTree(new java.io.File(tmp))
+      throw new IllegalStateException(
+        "ivf_index: assign/ changed while compacting (a concurrent append?) " +
+          "— aborted without swapping; re-run compact in an ingest pause")
+    }
     val old = Paths.get(dir, "assign_retiring")
     Files.move(live, old)
     Files.move(Paths.get(tmp), live)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(old.toFile)
+    rmTree(old.toFile)
   }
 
   /** Centroid drift of corpus `d` (typically the original + appended
@@ -129,7 +174,12 @@ object IvfIndex {
       .collect()(0).getAs[Double]("built_quality")
     val cdf = s.read.parquet(s"$dir/centroids")
     val current = quality(Ann.normed(s, d), cdf)
-    math.max(0.0, (built - current) / math.abs(built))
+    // built == 0 (a degenerate build-time corpus) has no meaningful
+    // relative drop: any decline reads as fully stale, none as fresh —
+    // never NaN/Infinity, which a `staleness > budget` monitor would
+    // silently treat as "fresh" forever
+    if (built == 0.0) { if (current < 0.0) 1.0 else 0.0 }
+    else math.max(0.0, (built - current) / math.abs(built))
   }
 
   /** Top-5 neighbors for probes 0..4 against the persisted index — the

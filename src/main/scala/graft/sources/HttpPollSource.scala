@@ -47,9 +47,17 @@ final class ReplayTransport(path: String) extends MetricTransport {
   /** The capture is seekable: a checkpointed restart resumes AFTER the
     * committed prefix instead of silently re-serving it under new
     * offsets (exactly-once across restarts as long as the capture file
-    * only ever grows). */
+    * only ever grows). A capture SHORTER than the committed offset
+    * breaks that contract — the file was replaced or truncated — and
+    * clamping would re-serve its tail under fresh offsets, the exact
+    * silent duplication seek exists to prevent; fail loudly instead. */
   override def seek(n: Long): Unit = synchronized {
-    i = math.min(n, rows.length.toLong).toInt
+    if (n > rows.length) throw new IllegalStateException(
+      s"replay transport: cannot seek to committed offset $n — the capture " +
+        s"at $path holds only ${rows.length} observations; it was replaced " +
+        "or truncated since the checkpoint was written. Restore the " +
+        "original capture or start a fresh checkpoint")
+    i = n.toInt
   }
 }
 

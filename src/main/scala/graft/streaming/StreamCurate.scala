@@ -78,9 +78,12 @@ object StreamCurate {
 
   /** One micro-batch of (doc_id, text, ...) rows: verdict every non-
     * benchmark document against the committed state, publish the deltas.
-    * Safe to replay with the same batchId. */
+    * Safe to replay with the same batchId. `bench` is the static
+    * benchmark shingle set ([[benchShingles]]) — [[start]] computes and
+    * persists it ONCE for the query; per-batch recomputation would
+    * re-shingle the whole eval suite on every trigger, forever. */
   def applyBatch(spark: SparkSession, dir: String, docs: DataFrame,
-      batchId: Long, benchDir: String,
+      batchId: Long, bench: DataFrame,
       checkpoint: Option[String] = None): Unit = {
     checkpoint.map(CommitFiles.lineageId).foreach { ck =>
       CommitFiles.claimOrAssert(brandPath(dir), ck, "stream_curate")
@@ -120,7 +123,7 @@ object StreamCurate {
       // themselves are excluded from verdicts, as in the batch query
       val corpus = docs.filter(col("doc_id") % Pipeline.benchMod =!= 0)
       val overlap = Pipeline.shingle8(corpus)
-        .join(benchShingles(spark, benchDir), Seq("shh"))
+        .join(bench, Seq("shh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       val dec = corpus.select(col("doc_id"))
         .join(overlap, Seq("doc_id"), "left")
@@ -145,14 +148,19 @@ object StreamCurate {
   }
 
   /** The streaming query: a document stream → incrementally published
-    * verdict deltas under `dir`, decontaminated against `benchDir`. */
+    * verdict deltas under `dir`, decontaminated against `benchDir`. The
+    * benchmark set is computed and persisted once here (it is static);
+    * the cache lives until the session releases it (`Release.storage`
+    * or unpersist) — one bounded hash set per running curation query. */
   def start(docs: DataFrame, dir: String, benchDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val bench = benchShingles(docs.sparkSession, benchDir).persist()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, dir, batch, id, benchDir,
+        applyBatch(batch.sparkSession, dir, batch, id, bench,
           Some(checkpoint))
       }
       .start()
+  }
 }

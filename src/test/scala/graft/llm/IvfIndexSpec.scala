@@ -33,6 +33,27 @@ class IvfIndexSpec extends SparkSuite {
       s"partition filter carries no concrete cell literals: ${scan.get}")
   }
 
+  test("compact self-heals every crash state a previous compact can leave") {
+    val dir = Files.createTempDirectory("graft_ivf_idx_heal").toString
+    IvfIndex.build(spark, sfDir, dir)
+    val truth = IvfIndex.search(spark, sfDir, dir, nprobe = 2).collect().toSeq
+    val live = java.nio.file.Paths.get(dir, "assign")
+    val old = java.nio.file.Paths.get(dir, "assign_retiring")
+    // crash BETWEEN the two swap renames: assign/ missing, retiring live
+    Files.move(live, old)
+    IvfIndex.compact(spark, dir)
+    assert(IvfIndex.search(spark, sfDir, dir, nprobe = 2).collect().toSeq
+      == truth, "heal lost rows after a mid-swap crash")
+    // crash AFTER the swap but before cleanup: stale retiring + tmp dirs
+    Files.createDirectories(old)
+    Files.createDirectories(java.nio.file.Paths.get(dir, "assign_compacting"))
+    IvfIndex.compact(spark, dir)
+    assert(!Files.exists(old) &&
+      !Files.exists(java.nio.file.Paths.get(dir, "assign_compacting")))
+    assert(IvfIndex.search(spark, sfDir, dir, nprobe = 2).collect().toSeq
+      == truth, "heal lost rows after a post-swap crash")
+  }
+
   test("out-of-sample assign reproduces the stored lists bit-for-bit") {
     // the incremental-ingest contract: assigning the original corpus
     // against the persisted centroids must equal the build-time

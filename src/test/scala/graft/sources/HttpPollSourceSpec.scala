@@ -142,6 +142,21 @@ class HttpPollSourceSpec extends SparkSuite {
     assert(exHigh.getMessage.contains("not replayable"))
   }
 
+  test("a capture shorter than the committed offset fails the seek loudly") {
+    // the restart contract assumes the capture only grows; a replaced or
+    // truncated file would otherwise re-serve its tail under fresh
+    // offsets — the silent duplication seek exists to prevent
+    val f = Files.createTempFile("graft_poll_trunc", ".jsonl")
+    Files.writeString(f, (0 until 3).map { i =>
+      s"""{"ts": ${1700000000L + i}, "payload": "p$i"}"""
+    }.mkString("\n"))
+    val t = new ReplayTransport(f.toString)
+    t.seek(3) // exactly at the end: every committed row is present — fine
+    assert(t.poll().isEmpty)
+    val ex = intercept[IllegalStateException](t.seek(4))
+    assert(ex.getMessage.contains("replaced or truncated"), ex.getMessage)
+  }
+
   test("checkpointed restart through the real engine continues the numbering") {
     // regression: with a plain MicroBatchStream the engine polls
     // latestOffset() BEFORE deserializing the checkpointed offset, so the

@@ -83,12 +83,13 @@ class StreamCurateSpec extends SparkSuite {
 
   test("replaying a batch with the same id is idempotent") {
     val out = freshDir("streamcurate_replay")
-    StreamCurate.applyBatch(spark, out, chunks(0), 0L, sf0001)
-    StreamCurate.applyBatch(spark, out, chunks(1), 1L, sf0001)
+    val bench = StreamCurate.benchShingles(spark, sf0001)
+    StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench)
+    StreamCurate.applyBatch(spark, out, chunks(1), 1L, bench)
     val once = StreamCurate.currentVerdicts(spark, out).get
       .orderBy(col("doc_id")).collect().toSeq
     // the crash-replay: same docs, same batchId, applied again
-    StreamCurate.applyBatch(spark, out, chunks(1), 1L, sf0001)
+    StreamCurate.applyBatch(spark, out, chunks(1), 1L, bench)
     val twice = StreamCurate.currentVerdicts(spark, out).get
       .orderBy(col("doc_id")).collect().toSeq
     assert(once == twice && StreamCurate.latestVersion(out).contains(1L))
@@ -96,14 +97,15 @@ class StreamCurateSpec extends SparkSuite {
 
   test("a duplicate document arriving in a later batch is demoted, the first keeps its verdict") {
     val out = freshDir("streamcurate_dup")
-    StreamCurate.applyBatch(spark, out, chunks(0), 0L, sf0001)
+    val bench = StreamCurate.benchShingles(spark, sf0001)
+    StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench)
     val v0 = StreamCurate.currentVerdicts(spark, out).get
       .orderBy(col("doc_id")).collect().toSeq
     // re-send chunk 0's documents under fresh ids: every fingerprint is
     // already committed state, so every non-bench copy must read duplicate
     val shift = 1000000L
     val copies = chunks(0).withColumn("doc_id", col("doc_id") + shift)
-    StreamCurate.applyBatch(spark, out, copies, 1L, sf0001)
+    StreamCurate.applyBatch(spark, out, copies, 1L, bench)
     val after = StreamCurate.currentVerdicts(spark, out).get
       .orderBy(col("doc_id")).collect().toSeq
     assert(after.take(v0.size) == v0, "earlier verdicts changed")
@@ -117,12 +119,13 @@ class StreamCurateSpec extends SparkSuite {
 
   test("a different checkpoint against the same output dir fails loudly") {
     val out = freshDir("streamcurate_brand")
-    StreamCurate.applyBatch(spark, out, chunks(0), 0L, sf0001,
+    val bench = StreamCurate.benchShingles(spark, sf0001)
+    StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench,
       checkpoint = Some("/ckpt/one"))
-    StreamCurate.applyBatch(spark, out, chunks(0), 0L, sf0001,
+    StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench,
       checkpoint = Some("/ckpt/one")) // same lineage: fine, even on replay
     val e = intercept[IllegalStateException] {
-      StreamCurate.applyBatch(spark, out, chunks(0), 0L, sf0001,
+      StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench,
         checkpoint = Some("/ckpt/two"))
     }
     assert(e.getMessage.contains("lineage") &&
