@@ -1,6 +1,6 @@
 package graft.llm
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,68 +99,37 @@ object IvfIndex {
     assign(s, d, dir)
       .write.mode("append").partitionBy("ck").parquet(s"$dir/assign")
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
-  }
-
-  /** The live assign/ part-file set — the cheap fingerprint [[compact]]
-    * uses to detect a concurrent [[append]] between its read and its
-    * swap. */
-  private def partSet(live: java.nio.file.Path): Set[String] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(live.toFile).map(_.getPath).filter(_.endsWith(".parquet")).toSet
-  }
-
-  /** Heal the on-disk state a crashed [[compact]] can leave behind:
-    * a swap interrupted between its two renames (assign/ missing, the
-    * retiring copy present) is rolled back, and leftover retiring /
-    * compacting directories from a crash after the swap are deleted.
-    * Runs at the start of every compact, so no crash state is sticky. */
-  private def heal(dir: String): Unit = {
-    val live = Paths.get(dir, "assign")
-    val old = Paths.get(dir, "assign_retiring")
-    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
-    if (Files.exists(old)) rmTree(old.toFile)
-    val tmp = Paths.get(dir, "assign_compacting")
-    if (Files.exists(tmp)) rmTree(tmp.toFile)
-  }
-
   /** Rewrite `assign/` so each cell partition holds ONE file again (an
     * append per ingest slice otherwise accumulates small files and the
     * inverted-list seek degrades into many tiny reads). The rewrite
     * lands in a sibling directory first and is swapped in by two
-    * renames. Maintenance contract on this plain-filesystem layout:
-    * run compact in the ingest pauses — an [[append]] racing the swap
-    * is detected (the live file set is fingerprinted before the read
-    * and re-checked before the swap) and compact aborts loudly rather
-    * than deleting the appended rows, but a reader BETWEEN the two
-    * renames can observe the directory missing. A crash anywhere
-    * leaves a state the next compact self-heals ([[heal]]); an
-    * object-store deployment would swap a manifest pointer instead and
-    * have neither window. */
+    * renames ([[graft.streaming.CommitFiles.swapDir]]). Maintenance
+    * contract on this plain-filesystem layout: run compact in the
+    * ingest pauses — an [[append]] racing the swap is detected (the
+    * live file set is fingerprinted before the read and re-checked
+    * before the swap) and compact aborts loudly rather than deleting
+    * the appended rows, but a reader BETWEEN the two renames can
+    * observe the directory missing. A crash anywhere leaves a state the
+    * next compact self-heals (`healSwap`); an object-store deployment
+    * would swap a manifest pointer instead and have neither window. */
   def compact(s: SparkSession, dir: String): Unit = {
-    heal(dir)
+    import graft.streaming.CommitFiles
     val live = Paths.get(dir, "assign")
-    val before = partSet(live)
-    val tmp = s"$dir/assign_compacting"
-    s.read.parquet(s"$dir/assign").select(col("vec_id"), col("ck"))
+    CommitFiles.healSwap(live)
+    val before = CommitFiles.partSet(live)
+    s.read.parquet(live.toString).select(col("vec_id"), col("ck"))
       // all rows of one ck land in one task, so partitionBy writes
       // exactly one file per cell
       .repartition(col("ck"))
-      .write.mode("overwrite").partitionBy("ck").parquet(tmp)
-    if (partSet(live) != before) {
-      rmTree(new java.io.File(tmp))
+      .write.mode("overwrite").partitionBy("ck")
+      .parquet(CommitFiles.staging(live).toString)
+    if (CommitFiles.partSet(live) != before) {
+      CommitFiles.rmTree(CommitFiles.staging(live).toFile)
       throw new IllegalStateException(
         "ivf_index: assign/ changed while compacting (a concurrent append?) " +
           "— aborted without swapping; re-run compact in an ingest pause")
     }
-    val old = Paths.get(dir, "assign_retiring")
-    Files.move(live, old)
-    Files.move(Paths.get(tmp), live)
-    rmTree(old.toFile)
+    CommitFiles.swapDir(live)
   }
 
   /** Centroid drift of corpus `d` (typically the original + appended

@@ -2,13 +2,14 @@ package graft.streaming
 
 import java.nio.file.{FileAlreadyExistsException, FileSystemException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-/** Shared exactly-once plumbing for the foreachBatch parquet sinks
-  * ([[StreamMerge]], [[StreamCurate]]): the atomic commit-pointer file
-  * and the checkpoint-lineage brand. Both sinks key idempotence on
-  * batchId, which is only meaningful for ONE checkpoint lineage — the
-  * brand is what turns "restarted with a fresh checkpoint against an
-  * existing output dir" from silent data loss into a loud failure. */
-private[streaming] object CommitFiles {
+/** Shared exactly-once plumbing for the parquet table layouts
+  * ([[StreamMerge]], [[StreamCurate]], `llm.IvfIndex`): the atomic
+  * commit-pointer file, the checkpoint-lineage brand, and the
+  * staged-directory swap compactions use. The brand is what turns
+  * "restarted with a fresh checkpoint against an existing output dir"
+  * from silent data loss into a loud failure; the swap machinery is
+  * what keeps a crashed compaction from being sticky. */
+private[graft] object CommitFiles {
 
   /** Committed pointer value, if any batch has flipped it. */
   def readPointer(p: Path): Option[Long] =
@@ -22,6 +23,52 @@ private[streaming] object CommitFiles {
     Files.writeString(tmp, content)
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** The parquet part-file set under `p` — the cheap fingerprint a
+    * compaction takes before its read and re-checks before its swap to
+    * detect a concurrent writer. */
+  def partSet(p: Path): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(p.toFile).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  private def retiring(live: Path) =
+    live.resolveSibling(live.getFileName.toString + "_retiring")
+
+  /** The staging sibling a compaction writes into before [[swapDir]]. */
+  def staging(live: Path): Path =
+    live.resolveSibling(live.getFileName.toString + "_compacting")
+
+  /** Heal the on-disk state a crashed [[swapDir]] can leave behind: a
+    * swap interrupted between its two renames (live missing, the
+    * retiring copy present) is rolled back, and leftover retiring /
+    * staging directories from a crash after the swap are deleted. Run
+    * at the start of every compaction, so no crash state is sticky. */
+  def healSwap(live: Path): Unit = {
+    val old = retiring(live)
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    if (Files.exists(old)) rmTree(old.toFile)
+    if (Files.exists(staging(live))) rmTree(staging(live).toFile)
+  }
+
+  /** Swap the fully-written [[staging]] directory in for `live` via two
+    * renames and delete the retired copy. A reader BETWEEN the renames
+    * can observe `live` missing — the documented maintenance window of
+    * this plain-filesystem layout; a crash anywhere leaves a state the
+    * next [[healSwap]] repairs. */
+  def swapDir(live: Path): Unit = {
+    val old = retiring(live)
+    Files.move(live, old)
+    Files.move(staging(live), live)
+    rmTree(old.toFile)
   }
 
   /** The lineage identity of a checkpoint: its QUERY ID (the uuid Spark

@@ -27,10 +27,10 @@ import graft.llm.Pipeline
   * never change an earlier verdict — so `verdicts/batch=<id>/` is this
   * batch's rows, never a cumulative rewrite. That is the 100 TB shape:
   * per-batch work is O(batch + state-scan), not O(corpus re-written per
-  * batch); at real scale the fps dir would additionally be bucketed by
-  * fingerprint so the canonicality join co-locates, and periodically
-  * compacted (the `IvfIndex.compact` pattern) so the delta count stays
-  * bounded.
+  * batch); [[compact]] periodically folds the accumulated deltas into
+  * one partition per table so the delta count stays bounded, and at
+  * real scale the fps dir would additionally be bucketed by fingerprint
+  * so the canonicality join co-locates.
   *
   * Exactly-once on plain parquet, the [[StreamMerge]] recipe: a batch
   * overwrites its own two delta dirs (replay-idempotent), then flips the
@@ -146,6 +146,47 @@ object StreamCurate {
       CommitFiles.atomicWrite(pointerPath(dir), batchId.toString)
     } finally docs.unpersist()
   }
+
+  /** Fold every committed delta into ONE `batch=<committed>` partition
+    * per table — the delta-count bound the layout's scale story calls
+    * for (each micro-batch adds a file set; years of 30 s triggers
+    * would otherwise degrade the state scan into millions of tiny
+    * reads). Readers and the state scan are unaffected at every point:
+    * the merged partition keys at the committed id, so the
+    * `batch <= committed` filter reads exactly the same rows before,
+    * during (old layout), and after (new layout) the swap; a replayed
+    * batch ≤ committed short-circuits on the pointer and never misses
+    * its deleted delta dir. Deltas BEYOND the pointer (a batch that
+    * crashed before its flip) are dropped — the restart recomputes and
+    * rewrites them in full. Maintenance contract, enforced like
+    * `IvfIndex.compact`: run with the stream stopped — a concurrent
+    * writer is detected by a file-set fingerprint and compact aborts
+    * loudly; each table's two-rename swap self-heals after any crash
+    * ([[CommitFiles.healSwap]]). A crash between the fps swap and the
+    * verdicts swap leaves one table compacted and the other not — both
+    * still carry exactly the committed rows, so the state stays
+    * consistent and the next compact finishes the job. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    latestVersion(dir).foreach { v =>
+      Seq("fps", "verdicts").foreach { sub =>
+        val live = Paths.get(dir, sub)
+        CommitFiles.healSwap(live)
+        if (java.nio.file.Files.exists(live)) {
+          val before = CommitFiles.partSet(live)
+          spark.read.parquet(live.toString)
+            .filter(col("batch") <= v).drop("batch")
+            .write.mode("overwrite")
+            .parquet(s"${CommitFiles.staging(live)}/batch=$v")
+          if (CommitFiles.partSet(live) != before) {
+            CommitFiles.rmTree(CommitFiles.staging(live).toFile)
+            throw new IllegalStateException(
+              s"stream_curate: $sub/ changed while compacting (stream still " +
+                "running?) — aborted without swapping; stop the query first")
+          }
+          CommitFiles.swapDir(live)
+        }
+      }
+    }
 
   /** The streaming query: a document stream → incrementally published
     * verdict deltas under `dir`, decontaminated against `benchDir`. The

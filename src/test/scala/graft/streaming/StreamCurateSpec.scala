@@ -117,6 +117,43 @@ class StreamCurateSpec extends SparkSuite {
     assert(dupRows.forall(!_.getBoolean(3)), "a duplicate was kept")
   }
 
+  test("compact folds committed deltas into one partition per table, invisibly to readers") {
+    val out = freshDir("streamcurate_compact")
+    val bench = StreamCurate.benchShingles(spark, sf0001)
+    StreamCurate.applyBatch(spark, out, chunks(0), 0L, bench)
+    StreamCurate.applyBatch(spark, out, chunks(1), 1L, bench)
+    val before = StreamCurate.currentVerdicts(spark, out).get
+      .orderBy(col("doc_id")).collect().toSeq
+    def deltas(sub: String) = new java.io.File(s"$out/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(deltas("fps").size == 2 && deltas("verdicts").size == 2)
+
+    StreamCurate.compact(spark, out)
+    assert(deltas("fps") == Seq("batch=1") && deltas("verdicts") == Seq("batch=1"),
+      s"${deltas("fps")} / ${deltas("verdicts")}")
+    assert(StreamCurate.currentVerdicts(spark, out).get
+      .orderBy(col("doc_id")).collect().toSeq == before,
+      "compaction changed the committed verdicts")
+
+    // the stream continues over the compacted state identically: the
+    // full corpus still ends at the batch oracle
+    StreamCurate.applyBatch(spark, out, chunks(2), 2L, bench)
+    val got = StreamCurate.currentVerdicts(spark, out).get
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("curate_verdict")(spark, sf0001)
+      .collect().toSeq
+    assert(got == want, "post-compaction stream drifted from the batch oracle")
+
+    // a crash between the two swap renames self-heals on the next run
+    val live = Paths.get(out, "fps")
+    Files.move(live, live.resolveSibling("fps_retiring"))
+    StreamCurate.compact(spark, out)
+    assert(StreamCurate.currentVerdicts(spark, out).get
+      .orderBy(col("doc_id")).collect().toSeq == want,
+      "heal lost committed rows after a mid-swap crash")
+    assert(deltas("fps") == Seq("batch=2"))
+  }
+
   test("a different checkpoint against the same output dir fails loudly") {
     val out = freshDir("streamcurate_brand")
     val bench = StreamCurate.benchShingles(spark, sf0001)
