@@ -420,6 +420,123 @@ object TextStats extends QueryGroup {
       |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h_nats
       |FROM tf JOIN lp USING (wh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- BM25 retrieval: probe queries over an inverted index --------------
+  // The classic IR ranking primitive (and the lexical half of hybrid
+  // RAG retrieval): every 100th document becomes a probe query asking its
+  // own top-3 tf-idf terms, and BM25 (k1=1.2, b=0.75, Lucene-style
+  // +1-smoothed idf) ranks the rest of the corpus for each probe.
+  //
+  // Shape: the postings table IS the (doc_id, wh, c) hash aggregation —
+  // an inverted index keyed on 48-bit word hashes (8-byte shuffle keys,
+  // the Dedup.scala rule). The query side collapses to ≤ 3·|probes| rows
+  // of (q_doc, wh, idf) that ride a BROADCAST into the postings join, so
+  // candidate generation scans only the queried terms' posting lists —
+  // never a corpus cross. Per-doc length joins on doc_id (both sides
+  // post-aggregation, one row per doc); corpus stats are a 1-row
+  // broadcast. At 100 TB the missing refinement is WAND/max-score
+  // pruning of long posting lists — the shuffle shape already matches a
+  // distributed inverted index.
+  //
+  // Parity: idf and each per-term contribution round through a decimal
+  // once right after the libm ln() (the text_tfidf rule); the per-doc
+  // score is an exact DECIMAL(20,10) sum — order-free — whose unscaled
+  // value stays ≪ 2^53 (score ≤ ~10²), clear of DuckDB's wide-decimal
+  // double-rounding (operators/Profiling.scala:116). Ranking ties break
+  // on doc_id; term ties on wh.
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val tf = words(T.documents(s, d))
+      .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    // deliberately NOT cached: the four consumers (dl, df, probes,
+    // candidates) do recompute the explode+agg, but it is not the
+    // dominant cost (the join/window shuffles are) and a .cache() here
+    // measured ~8% SLOWER at both sf0.1 and sf1 (in-memory-columnar
+    // materialization + the codegen break outweigh the recompute). At
+    // 100 TB the corpus re-scan would dominate instead: persist the
+    // postings table as a parquet inverted index (the IvfIndex
+    // precedent) rather than caching it per-query.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    // probe side: tiny (probe docs' own vocabulary) — AQE broadcasts it
+    // into the df join; the window ranks within each probe only
+    val tw = Window.partitionBy(col("doc_id")).orderBy(col("tscore").desc, col("wh"))
+    val qidf = tf.filter(col("doc_id") % 100 === 7)
+      .join(df_, Seq("wh")).crossJoin(broadcast(st.select(col("n_docs"))))
+      .withColumn("tscore",
+        (col("c") * log(col("n_docs").cast(DoubleType) / col("df")))
+          .cast(DecimalType(18, 6)))
+      .withColumn("rn", row_number().over(tw))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("q_doc"), col("wh"),
+        log((((col("n_docs") - col("df")).cast(DoubleType) + 0.5) /
+          (col("df").cast(DoubleType) + 0.5)) + 1.0)
+          .cast(DecimalType(18, 6)).as("idf"))
+    val cand = tf.join(broadcast(qidf), Seq("wh"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st.select(col("avgdl"))))
+      .withColumn("contrib",
+        (col("idf").cast(DoubleType) *
+          ((col("c").cast(DoubleType) * 2.2) /
+            (col("c").cast(DoubleType) +
+              lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl").cast(DoubleType) / col("avgdl"))))))
+          .cast(DecimalType(20, 10)))
+    val rw = Window.partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
+    cand.groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_dec"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .withColumn("rn", row_number().over(rw).cast(LongType))
+      .filter(col("rn") <= 10)
+      .select(col("q_doc"), col("rn"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .orderBy(col("q_doc"), col("rn"))
+  }
+
+  private val bm25Sql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY doc_id, wh),
+      |dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT COUNT(*) AS n_docs,
+      |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dfq AS (SELECT wh, COUNT(*) AS df FROM tf GROUP BY wh),
+      |qt AS (
+      |  SELECT doc_id AS q_doc, wh, idf FROM (
+      |    SELECT tf.doc_id, tf.wh,
+      |      CAST(ln(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |        (CAST(df AS DOUBLE) + 0.5)) + 1.0) AS DECIMAL(18,6)) AS idf,
+      |      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |        ORDER BY CAST(c * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) DESC,
+      |                 tf.wh) AS rn
+      |    FROM tf JOIN dfq USING (wh) CROSS JOIN st
+      |    WHERE tf.doc_id % 100 = 7)
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT q_doc, tf.doc_id AS doc_id,
+      |    CAST(CAST(idf AS DOUBLE) *
+      |      ((CAST(c AS DOUBLE) * 2.2) /
+      |        (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+      |      AS DECIMAL(20,10)) AS contrib
+      |  FROM tf JOIN qt USING (wh) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN st
+      |  WHERE tf.doc_id <> q_doc),
+      |sc AS (SELECT q_doc, doc_id, SUM(contrib) AS score_dec,
+      |         CAST(COUNT(*) AS BIGINT) AS n_terms
+      |       FROM cand GROUP BY q_doc, doc_id)
+      |SELECT q_doc, rn, doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM (
+      |  SELECT q_doc, doc_id, n_terms, score_dec,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rn
+      |  FROM sc)
+      |WHERE rn <= 10 ORDER BY q_doc, rn""".stripMargin
+
   // ---- Multimodal: opaque binary column plumbing ------------------------
   // Text bytes stand in for image/audio payloads (the real decode is
   // stubbed — see graft.llm.Multimodal): byte length, hex/base64 prefix
@@ -457,6 +574,7 @@ object TextStats extends QueryGroup {
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
+    "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }

@@ -176,4 +176,50 @@ class QualityOpsSpec extends SparkSuite {
       assert(math.abs(r.getDouble(6)) > 2.5, r.toString)
     }
   }
+
+  test("text_bm25: ranks contiguous, scores non-increasing, probe never retrieves itself") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_doc")).foreach { case (q, rs) =>
+      assert(q % 100 == 7, s"probe $q not from the declared probe set")
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length).toSeq,
+        s"probe $q: ranks not contiguous")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("doc_id") != q, s"probe $q retrieved itself")
+        val nt = r.getAs[Long]("n_terms")
+        assert(nt >= 1 && nt <= 3, r.toString)
+        assert(r.getAs[Double]("score") > 0, r.toString)
+      }
+      val scores = sorted.map(_.getAs[Double]("score"))
+      scores.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-12, s"probe $q: scores not sorted")
+        case _ =>
+      }
+    }
+  }
+
+  test("text_bm25: a doc sharing all the probe's distinctive terms ranks first") {
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.core.Fixtures.path("bm25")
+    // probe 107 (doc_id % 100 == 7) asks its top-3 tf-idf terms — the
+    // distinctive zebra/quagga/okapi, never the everywhere-word "the"
+    // (idf 0). Doc 1 matches all three, doc 2 one, docs 3-4 none.
+    Seq(
+      (107L, "zebra quagga okapi zebra quagga okapi the the", "en", "s", 46L),
+      (1L, "zebra quagga okapi the and some filler words here", "en", "s", 49L),
+      (2L, "zebra the unrelated text with other words", "en", "s", 41L),
+      (3L, "the completely different document about nothing", "en", "s", 47L),
+      (4L, "the another unrelated filler document entirely", "en", "s", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_bm25")(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("q_doc") == 107L), rows.mkString(";"))
+    val byRank = rows.sortBy(_.getAs[Long]("rn"))
+    assert(byRank.head.getAs[Long]("doc_id") == 1L, rows.mkString(";"))
+    assert(byRank.head.getAs[Long]("n_terms") == 3L, rows.mkString(";"))
+    // docs without any query term never enter the candidate set
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L), rows.mkString(";"))
+  }
 }

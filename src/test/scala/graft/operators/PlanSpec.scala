@@ -248,6 +248,19 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_bm25: query terms broadcast into the postings join; top-k is WindowGroupLimit") {
+    val df = SparkEntry.queries("text_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the ≤3·|probes| (q_doc, wh, idf) side must ride a broadcast — the
+    // postings (inverted-index) table never shuffles for candidate gen
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    // per-probe top-10 prunes partially before the final rank
+    assert(finalSection.contains("WindowGroupLimit"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
