@@ -21,13 +21,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as an ERROR in the driver's board,
+    // not silently vanish from it (round 7: 23 broken queries shrank the
+    // board 121→99 with "0 fail"). Two markers, so either driver behavior
+    // catches it: an `_ERROR` file inside the query's output dir (poisons
+    // any parquet read of that dir), and an errors.json sidecar.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] ERROR $name: $msg")
+        errors(name) = msg
+        val qDir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(qDir)
+        Files.writeString(qDir.resolve("_ERROR"), msg)
       }
       // per-query cached intermediates AND localCheckpoint blocks (dedup
       // pipelines, pagerank) die with the query — clearCache() alone
@@ -49,6 +60,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Loud but rc=0: a nonzero exit could make the driver discard the
+    // whole artifact, hiding the queries that DID pass. The _ERROR
+    // markers + errors.json carry the per-query failure signal.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

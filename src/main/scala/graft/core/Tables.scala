@@ -32,22 +32,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf), then convert to a
-    * micros TimestampType via integer division — the fixture's timestamps
-    * are µs-aligned (verified: all ns%1000==0), so this is lossless and
-    * matches DuckDB's TIMESTAMP_NS→TIMESTAMP semantics.
+  /** events.parquet's `ts` encoding is the driver's choice and has already
+    * changed once between fixture generations (TIMESTAMP(NANOS) → µs), so
+    * this loader is schema-ADAPTIVE: it scans the footer schema and
+    * normalizes whatever it finds to a micros TimestampType. The reference
+    * stream source is likewise schema-on-read every tick
+    * (reference scripts/custom-metrics.sh:10-11 — jq never assumes a field
+    * encoding). Handled encodings:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+    *     legacy nanosAsLong conf surfaces it as LongType; ns div 1000 is
+    *     lossless (fixture timestamps are µs-aligned) and matches DuckDB's
+    *     TIMESTAMP_NS→TIMESTAMP semantics.
+    *   - timestamp[us] without tz → Spark reads TIMESTAMP_NTZ; cast to
+    *     TimestampType under the UTC session (all entrypoints pin
+    *     spark.sql.session.timeZone=UTC) yields instants identical to
+    *     DuckDB's read of the same file.
+    *   - timestamp[us] with tz → already TimestampType; pass through.
+    * Anything else fails loudly — a silent mis-decode would poison 20+
+    * downstream operators.
     *
-    * SIDE EFFECT, deliberate: the conf stays set on the session — it must
-    * hold at SCAN time (lazy evaluation), so restoring it after this call
-    * would break the returned DataFrame. Any later read of a DIFFERENT
-    * nanos-timestamp parquet in the same session will also see LongType
-    * instead of the reader error; no other fixture table has nanos
-    * columns, so inside this engine the blast radius is zero. */
+    * SIDE EFFECT, deliberate: the nanosAsLong conf stays set on the
+    * session — it must hold at SCAN time (lazy evaluation), so restoring
+    * it after this call would break the returned DataFrame. It only
+    * affects nanos-unit columns; every other encoding reads identically
+    * with it on, so the blast radius inside this engine is zero. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected nanos-as-long, " +
+        "TIMESTAMP_NTZ, or TIMESTAMP — fixture schema drifted again?")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
