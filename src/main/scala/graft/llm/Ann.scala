@@ -209,6 +209,165 @@ object Ann extends QueryGroup {
   private def ivfTopk(s: SparkSession, d: String): DataFrame =
     ivf(s, d, k = 8, iters = 2, nprobe = 1)
 
+  // ---- Product quantization (PQ) + asymmetric distance (ADC) ------------
+  // The memory-compression half of a production ANN stack (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search"): each vector is
+  // stored as `nsub` small codebook ids instead of `dim` floats — at
+  // dim=64/m=4/ksub=8 that is 64·4 bytes → 4·1 bytes (64×), which is what
+  // lets a 100 TB corpus's index live in executor memory. Search is
+  // ASYMMETRIC: the query stays exact, and per subspace a LUT of
+  // (query-subvector · centroid) terms — |probes|·nsub·ksub rows,
+  // constant-size, broadcast — turns each candidate's distance into nsub
+  // lookups + an exact-decimal sum. IVF prunes candidates; PQ shrinks
+  // them: [[ivfPq]] composes both.
+
+  /** Deterministic PQ model. The subspace grid is data-driven —
+    * `dsub = max(1, dim/m)` over the max surviving-vector length — so a
+    * corpus narrower than `m` dims degrades to scalar quantization
+    * instead of crashing (the EdgeCaseSpec fixture is dim-2). Per
+    * subspace the codebook is the same deterministic k-means as
+    * [[ivfModel]] (init = the ksub lowest surviving vec_ids' sub-vectors,
+    * exact-decimal centroid means, argmin-L2 ties to the lower code), but
+    * run over ALL subspaces at once with `s` as a grouping key — one
+    * distributed job per Lloyd round, not one per subspace. Only the
+    * nsub×ksub×dsub codebook (constant-size) touches the driver.
+    * Returns (codes (vec_id, s, ck), codebook (s, ck, cvec, c_nsq),
+    * dsub, nsub). */
+  private[llm] def pqModel(s: SparkSession, d: String, m: Int, ksub: Int,
+      iters: Int): (DataFrame, DataFrame, Int, Int) = {
+    import s.implicits._
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      s"pqModel: need m >= 1, ksub >= 1, iters >= 0; got m=$m ksub=$ksub iters=$iters")
+    val n = normed(s, d).cache()
+    val dimRow = n.agg(max(size(col("emb")))).collect()(0)
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
+    val dsub = math.max(1, dim / m)
+    val nsub = if (dim == 0) 1 else (dim + dsub - 1) / dsub
+    val subIdx = array((0 until nsub).map(i => lit(i)): _*)
+    val sv = n
+      .select(col("vec_id"), col("emb"), explode(subIdx).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("emb"), col("s") * lit(dsub) + 1, lit(dsub)).as("xs"))
+
+    def centDf(cs: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      cs.toDF("s", "ck", "cvec")
+        .withColumn("c_nsq", dot(col("cvec"), col("cvec")))
+
+    // argmin L2 per (vec, subspace): the x² term is constant per row, so
+    // maximizing 2·<x,c> − c² is the same ordering — argmax via
+    // ordered-struct max (the assignCells shape), ties to the lower code
+    def encode(cdf: DataFrame): DataFrame =
+      sv.join(broadcast(cdf), Seq("s"))
+        .withColumn("score", lit(2.0) * dot(col("xs"), col("cvec")) - col("c_nsq"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max(struct(col("score"), (-col("ck")).as("nck"))).as("m"))
+        .select(col("vec_id"), col("s"), (-col("m.nck")).cast("int").as("ck"))
+
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      n.orderBy(col("vec_id")).limit(ksub)
+        .select(col("emb")).collect().toSeq.zipWithIndex.flatMap {
+          case (r, i) =>
+            val full = r.getSeq[Double](0)
+            (0 until nsub).map { ss =>
+              (ss, i, full.slice(ss * dsub, math.min((ss + 1) * dsub, full.size)))
+            }
+        }
+    (1 to iters).foreach { _ =>
+      val updated = encode(centDf(cents)).join(sv, Seq("vec_id", "s"))
+        .select(col("s"), col("ck"), posexplode(col("xs")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("ck"), col("pos"))
+        // exact-decimal mean: order-independent, so the whole loop is
+        // deterministic and oracle-replayable (the ivfModel rule)
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast(DoubleType) /
+          count(lit(1))).as("c"))
+        .groupBy(col("s"), col("ck"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+        .select(col("s"), col("ck"), transform(col("ps"), p => p.getField("c")).as("cvec"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+      // empty codes keep their previous centroid
+      cents = cents.map { case (ss, ck, c) => (ss, ck, updated.getOrElse((ss, ck), c)) }
+    }
+    val cdf = centDf(cents)
+    (encode(cdf), cdf, dsub, nsub)
+  }
+
+  /** ADC top-k, norm-augmented cosine variant: exact query sub-vectors
+    * meet every candidate's CODES — approx <q, x> = Σ_s <q_s, c_code(x,s)>
+    * — and the EXACT stored norms supply the denominator, so the ranking
+    * metric is the same cosine the whole ANN family (and the q31 ground
+    * truth) uses. Plain L2-ADC would rank by a metric the rest of the
+    * stack does not search under (measured recall 0 vs the cosine truth
+    * on the clustered corpus — magnitude noise dominates direction).
+    * The per-(probe, candidate) dot is an exact DECIMAL(20,10) fold of
+    * once-rounded LUT terms, so ranking is order-free and cross-engine
+    * stable; ties break on the neighbor id. The scan is LINEAR over the
+    * codes (nsub lookups per candidate — PQ compresses, it does not
+    * prune; [[ivfPq]] adds the pruning) but touches ~64× fewer bytes
+    * than the exact q31 scan. */
+  private[llm] def pqAdc(s: SparkSession, d: String, m: Int = 4,
+      ksub: Int = 8, iters: Int = 1, topk: Int = 5): DataFrame = {
+    val (codes, cdf, dsub, nsub) = pqModel(s, d, m, ksub, iters)
+    adcRank(normed(s, d), codes, cdf, dsub, nsub, topk)
+  }
+
+  /** The ADC scoring tail shared by [[pqAdc]] and [[ivfPq]] (`keepCells`
+    * narrows the candidate codes for the IVF-pruned path). */
+  private def adcRank(n: DataFrame, codes: DataFrame, cdf: DataFrame,
+      dsub: Int, nsub: Int, topk: Int): DataFrame = {
+    val subIdx = array((0 until nsub).map(i => lit(i)): _*)
+    val lut = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("nsq").as("q_nsq"),
+        col("emb"), explode(subIdx).as("s"))
+      .select(col("q_id"), col("q_nsq"), col("s"),
+        slice(col("emb"), col("s") * lit(dsub) + 1, lit(dsub)).as("qs"))
+      .join(broadcast(cdf), Seq("s"))
+      .withColumn("term", dot(col("qs"), col("cvec")))
+      .select(col("q_id"), col("q_nsq"), col("s"), col("ck"), col("term"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "ck"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("q_nsq"), col("vec_id"))
+      .agg(sum(col("term").cast(DecimalType(20, 10))).as("adc_dot"))
+      // exact stored norm for the candidate: the index keeps one double
+      // per vector beside its codes — norm-augmented PQ
+      .join(n.select(col("vec_id"), col("nsq")), Seq("vec_id"))
+      .withColumn("adc_cos", col("adc_dot").cast(DoubleType) /
+        (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topk)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("adc_cos").cast(DecimalType(10, 4)).cast(DoubleType).as("adc_cos"),
+        col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** IVF×PQ composition — the production layout: the coarse quantizer
+    * prunes candidates to the probes' nprobe cells, then ADC ranks only
+    * those cells' CODES. Spec-graded ([[graft.llm]] PqSpec asserts it
+    * equals [[pqAdc]] restricted to the same cells, and recall is gated
+    * in AnnRecallSpec); the registry's oracle query is the un-pruned
+    * [[pqAdc]], whose one-iteration SQL replay stays tractable. */
+  private[llm] def ivfPq(s: SparkSession, d: String, k: Int = 8,
+      kmIters: Int = 2, nprobe: Int = 1, m: Int = 4, ksub: Int = 8,
+      pqIters: Int = 1, topk: Int = 5): DataFrame = {
+    val (lists, ivfCdf) = ivfModel(s, d, k, kmIters)
+    val probes = lists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val wanted = probeCells(probes, ivfCdf, nprobe)
+      .select(col("ck").as("cell")).distinct()
+    val (codes, cdf, dsub, nsub) = pqModel(s, d, m, ksub, pqIters)
+    val pruned = codes
+      .join(lists.select(col("vec_id"), col("ck").as("cell")), Seq("vec_id"))
+      .join(broadcast(wanted), Seq("cell"))
+      .select(col("vec_id"), col("s"), col("ck"))
+    adcRank(normed(s, d), pruned, cdf, dsub, nsub, topk)
+  }
+
+  private def pqAdcTopk(s: SparkSession, d: String): DataFrame =
+    pqAdc(s, d)
+
   /** Multi-probe probe set: each probe row fans out to its own bucket
     * plus the `planes` Hamming-1 flips (one sign flip per plane — at the
     * registry's planes=4 the SQL twin is [[multiProbePSql]]'s
@@ -406,6 +565,80 @@ object Ann extends QueryGroup {
       |  FROM lst c JOIN pr ON c.ck = pr.ck AND pr.q_id <> c.vec_id)
       |$lshTopkTail""".stripMargin
 
+  /** The one-iteration PQ build + ADC replay: the data-driven subspace
+    * grid (`dsub = max(1, dim/4)` — mirrors [[pqModel]]'s rule exactly,
+    * including the dim-2 degenerate degradation), init = the 8 lowest
+    * surviving vec_ids' sub-vectors renumbered per subspace, one
+    * assign+update Lloyd round with exact-decimal means, argmin-L2 codes
+    * (ties to the lower code id — the `c² − 2·<x,c>` ordering, constant
+    * x² dropped on both sides), then the LUT join, the exact
+    * DECIMAL(20,10) approximate-dot sum, and the norm-augmented cosine
+    * rank. */
+  private val pqAdcSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    ${Dedup.guardedNsq} AS nsq
+      |  FROM embeddings
+      |  WHERE ${Dedup.guardedNsq} > 0),
+      |x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
+      |dm AS (SELECT GREATEST(1, CAST(MAX(len(emb)) AS BIGINT) // 4) AS dsub
+      |       FROM n),
+      |sv AS (SELECT x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT) AS s,
+      |         list(x.v ORDER BY x.pos) AS xs
+      |       FROM x JOIN n USING (vec_id) CROSS JOIN dm
+      |       GROUP BY x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT)),
+      |ini AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT s,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+      |           AS INT) AS ck,
+      |         xs AS cvec
+      |       FROM sv JOIN ini USING (vec_id)),
+      |a1 AS (SELECT vec_id, s, ck FROM (
+      |    SELECT sv.vec_id, sv.s, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+      |        list_inner_product(c.cvec, c.cvec)
+      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
+      |        c.ck) AS rn
+      |    FROM sv JOIN c0 c USING (s)) WHERE rn = 1),
+      |u1 AS (SELECT a.s, a.ck, x.pos,
+      |    CAST(SUM(CAST(x.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM a1 a JOIN x ON a.vec_id = x.vec_id CROSS JOIN dm
+      |  WHERE CAST((x.pos - 1) // dm.dsub AS INT) = a.s
+      |  GROUP BY a.s, a.ck, x.pos),
+      |c1 AS (SELECT c0.s, c0.ck, COALESCE(u.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT s, ck, list(c ORDER BY pos) AS cvec
+      |                     FROM u1 GROUP BY s, ck) u USING (s, ck)),
+      |enc AS (SELECT vec_id, s, ck FROM (
+      |    SELECT sv.vec_id, sv.s, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+      |        list_inner_product(c.cvec, c.cvec)
+      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
+      |        c.ck) AS rn
+      |    FROM sv JOIN c1 c USING (s)) WHERE rn = 1),
+      |lut AS (SELECT sv.vec_id AS q_id, sv.s, c.ck,
+      |    list_inner_product(sv.xs, c.cvec) AS term
+      |  FROM sv JOIN c1 c USING (s) WHERE sv.vec_id < 5),
+      |adcp AS (SELECT l.q_id, e.vec_id,
+      |    SUM(CAST(l.term AS DECIMAL(20,10))) AS adc_dot
+      |  FROM enc e JOIN lut l ON e.s = l.s AND e.ck = l.ck
+      |    AND e.vec_id <> l.q_id
+      |  GROUP BY l.q_id, e.vec_id),
+      |qn AS (SELECT vec_id AS q_id, nsq AS q_nsq FROM n WHERE vec_id < 5)
+      |SELECT q_id, neighbor_id, adc_cos, rn FROM (
+      |  SELECT a.q_id, a.vec_id AS neighbor_id,
+      |    CAST(CAST(CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
+      |      AS DECIMAL(10,4)) AS DOUBLE) AS adc_cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.q_id
+      |      ORDER BY CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
+      |        DESC, a.vec_id) AS BIGINT) AS rn
+      |  FROM adcp a JOIN qn q USING (q_id)
+      |  JOIN n c ON a.vec_id = c.vec_id)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** Per-cell quota in salted-hash order over the SAME final assignment
     * (`lst`) — the 48-bit '0x'-prefixed md5 key mirrors the engine's
     * conv(md5)/16→10 sample key bit-for-bit. */
@@ -448,6 +681,7 @@ object Ann extends QueryGroup {
     "ann_lsh_multiprobe"     -> QueryDef(lshMultiprobe, Some(lshMultiprobeSql)),
     "ann_hard_negatives"     -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),
+    "ann_pq_adc"             -> QueryDef(pqAdcTopk, Some(pqAdcSql)),
     "sample_cluster_diverse" -> QueryDef(clusterDiverse, Some(clusterDiverseSql)),
     "hll_distinct"           -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )

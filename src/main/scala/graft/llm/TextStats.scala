@@ -443,28 +443,29 @@ object TextStats extends QueryGroup {
   // value stays ≪ 2^53 (score ≤ ~10²), clear of DuckDB's wide-decimal
   // double-rounding (operators/Profiling.scala:116). Ranking ties break
   // on doc_id; term ties on wh.
-  private def bm25(s: SparkSession, d: String): DataFrame = {
-    val tf = words(T.documents(s, d))
+  /** BM25 score table (q_doc, doc_id, score_dec, n_terms) before the
+    * top-k rank — shared by the `text_bm25` output and the hybrid
+    * `retrieval_rrf` fusion so the lexical scores cannot drift between
+    * the two surfaces. */
+  /** The postings/term-frequency table (doc_id, wh, c) — the inverted
+    * index's row set, derived from the corpus. Shared by the inline
+    * BM25 surfaces and `PostingsIndex.build`, so the persisted index
+    * can never hold different rows than the per-query derivation. */
+  private[llm] def termFreqs(docs: DataFrame): DataFrame =
+    words(docs)
       .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
-    // deliberately NOT cached: the four consumers (dl, df, probes,
-    // candidates) do recompute the explode+agg, but it is not the
-    // dominant cost (the join/window shuffles are) and a .cache() here
-    // measured ~8% SLOWER at both sf0.1 and sf1 (in-memory-columnar
-    // materialization + the codegen break outweigh the recompute). At
-    // 100 TB the corpus re-scan would dominate instead: persist the
-    // postings table as a parquet inverted index (the IvfIndex
-    // precedent) rather than caching it per-query.
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(LongType).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("avgdl"))
-    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-    // probe side: tiny (probe docs' own vocabulary) — AQE broadcasts it
-    // into the df join; the window ranks within each probe only
+
+  /** Probe query-term selection: each probe doc's top-3 tf-idf terms with
+    * their Lucene-smoothed BM25 idf. ONE definition for the inline query
+    * and the persisted-index path — the decimal-rounding points and the
+    * (tscore, wh) tie-break are oracle-parity-critical. Inputs: the probe
+    * docs' term counts, the per-term df table, and the 1-row doc count. */
+  private[llm] def topIdfTerms(probeTf: DataFrame, dfTbl: DataFrame,
+      nDocs: DataFrame): DataFrame = {
     val tw = Window.partitionBy(col("doc_id")).orderBy(col("tscore").desc, col("wh"))
-    val qidf = tf.filter(col("doc_id") % 100 === 7)
-      .join(df_, Seq("wh")).crossJoin(broadcast(st.select(col("n_docs"))))
+    probeTf
+      .join(dfTbl, Seq("wh")).crossJoin(broadcast(nDocs))
       .withColumn("tscore",
         (col("c") * log(col("n_docs").cast(DoubleType) / col("df")))
           .cast(DecimalType(18, 6)))
@@ -474,10 +475,20 @@ object TextStats extends QueryGroup {
         log((((col("n_docs") - col("df")).cast(DoubleType) + 0.5) /
           (col("df").cast(DoubleType) + 0.5)) + 1.0)
           .cast(DecimalType(18, 6)).as("idf"))
-    val cand = tf.join(broadcast(qidf), Seq("wh"))
+  }
+
+  /** BM25 candidate scoring (k1=1.2, b=0.75): query terms ride a
+    * BROADCAST into the postings join so candidates are the probed
+    * posting lists only; per-(probe, doc) score is an exact
+    * DECIMAL(20,10) sum. ONE definition shared by `text_bm25`,
+    * `retrieval_rrf`, and `PostingsIndex.search` — the contrib formula
+    * and its single decimal rounding must not drift between them. */
+  private[llm] def bm25Score(postings: DataFrame, qterms: DataFrame,
+      dl: DataFrame, avgdl: DataFrame): DataFrame =
+    postings.join(broadcast(qterms), Seq("wh"))
       .filter(col("doc_id") =!= col("q_doc"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(st.select(col("avgdl"))))
+      .crossJoin(broadcast(avgdl))
       .withColumn("contrib",
         (col("idf").cast(DoubleType) *
           ((col("c").cast(DoubleType) * 2.2) /
@@ -485,10 +496,36 @@ object TextStats extends QueryGroup {
               lit(1.2) * (lit(0.25) + lit(0.75) *
                 (col("dl").cast(DoubleType) / col("avgdl"))))))
           .cast(DecimalType(20, 10)))
-    val rw = Window.partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
-    cand.groupBy(col("q_doc"), col("doc_id"))
+      .groupBy(col("q_doc"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_dec"),
         count(lit(1)).cast(LongType).as("n_terms"))
+
+  private[llm] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val tf = termFreqs(T.documents(s, d))
+    // deliberately NOT cached: the four consumers (dl, df, probes,
+    // candidates) do recompute the explode+agg, but it is not the
+    // dominant cost (the join/window shuffles are) and a .cache() here
+    // measured ~8% SLOWER at both sf0.1 and sf1 (in-memory-columnar
+    // materialization + the codegen break outweigh the recompute). At
+    // 100 TB the corpus re-scan would dominate instead: persist the
+    // postings table as a parquet inverted index — that path now EXISTS
+    // (graft.llm.PostingsIndex, the IvfIndex precedent) and its search
+    // is spec-asserted equal to this inline derivation.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    // probe side: tiny (probe docs' own vocabulary) — AQE broadcasts it
+    // into the df join; the window ranks within each probe only
+    val qidf = topIdfTerms(tf.filter(col("doc_id") % 100 === 7), df_,
+      st.select(col("n_docs")))
+    bm25Score(tf, qidf, dl, st.select(col("avgdl")))
+  }
+
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val rw = Window.partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
+    bm25Scores(s, d)
       .withColumn("rn", row_number().over(rw).cast(LongType))
       .filter(col("rn") <= 10)
       .select(col("q_doc"), col("rn"), col("doc_id"), col("n_terms"),
@@ -496,7 +533,10 @@ object TextStats extends QueryGroup {
       .orderBy(col("q_doc"), col("rn"))
   }
 
-  private val bm25Sql =
+  /** The BM25 CTE chain through the score table `sc` — the shared prefix
+    * of the `text_bm25` and `retrieval_rrf` oracles (mirror of
+    * [[bm25Scores]]). */
+  private val bm25Cte =
     """WITH occ AS (
       |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -529,12 +569,99 @@ object TextStats extends QueryGroup {
       |  WHERE tf.doc_id <> q_doc),
       |sc AS (SELECT q_doc, doc_id, SUM(contrib) AS score_dec,
       |         CAST(COUNT(*) AS BIGINT) AS n_terms
-      |       FROM cand GROUP BY q_doc, doc_id)
+      |       FROM cand GROUP BY q_doc, doc_id)""".stripMargin
+
+  private val bm25Sql = bm25Cte +
+    """
       |SELECT q_doc, rn, doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM (
       |  SELECT q_doc, doc_id, n_terms, score_dec,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
       |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rn
       |  FROM sc)
+      |WHERE rn <= 10 ORDER BY q_doc, rn""".stripMargin
+
+  // ---- retrieval_rrf: hybrid lexical+semantic fusion --------------------
+  // The standard hybrid-RAG retrieval shape: the SAME probe rule
+  // (id % 100 = 7) asks both halves — BM25 over the inverted index
+  // (lexical) and cosine over the embedding table (semantic) — and
+  // reciprocal-rank fusion merges the two top-10 lists:
+  // score = Σ 1/(60 + rank), the rank-only formula that needs no score
+  // normalization across retrievers (Cormack et al., the k=60 standard).
+  //
+  // Shape: both inputs arrive top-k-BOUNDED (≤ 10·|probes| rows each), so
+  // the full-outer fusion join and the final re-rank window cost
+  // O(k·|probes|) regardless of corpus size. The semantic half here is
+  // the brute-force ground-truth scorer (q31's shape — candidate
+  // generation is the one corpus-sized scan); at 100 TB a deployment
+  // swaps it for the bounded ann_lsh_topk / ann_ivf_topk paths, which
+  // produce the same (q_id, neighbor, rank) contract. Fusion arithmetic
+  // is two IEEE divisions of exact integers and one addition —
+  // bit-identical across engines; rank ties break on doc_id.
+  private def rrf(s: SparkSession, d: String): DataFrame = {
+    val lw = Window.partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
+    val lex = bm25Scores(s, d)
+      .withColumn("lex_rn", row_number().over(lw).cast(LongType))
+      .filter(col("lex_rn") <= 10)
+      .select(col("q_doc"), col("doc_id"), col("lex_rn"))
+    val n = Ann.normed(s, d)
+    val q = n.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val sw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val sem = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", graft.functions.DotProduct.dot(col("q_emb"), col("emb")) /
+        (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .withColumn("sem_rn", row_number().over(sw).cast(LongType))
+      .filter(col("sem_rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sem_rn"))
+    def rrfTerm(rn: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(60L) + rn).cast(DoubleType), lit(0.0))
+    val fw = Window.partitionBy(col("q_doc")).orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, lex("q_doc") === sem("q_id") && lex("doc_id") === sem("n_id"),
+        "full_outer")
+      .select(coalesce(col("q_doc"), col("q_id")).as("q_doc"),
+        coalesce(col("doc_id"), col("n_id")).as("doc_id"),
+        col("lex_rn"), col("sem_rn"))
+      .withColumn("rrf_score", rrfTerm(col("lex_rn")) + rrfTerm(col("sem_rn")))
+      .withColumn("rn", row_number().over(fw).cast(LongType))
+      .filter(col("rn") <= 10)
+      .select(col("q_doc"), col("rn"), col("doc_id"), col("lex_rn"),
+        col("sem_rn"), col("rrf_score"))
+      .orderBy(col("q_doc"), col("rn"))
+  }
+
+  private val rrfSql = bm25Cte +
+    s""",
+      |lex AS (SELECT q_doc, doc_id, rn AS lex_rn FROM (
+      |  SELECT q_doc, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rn
+      |  FROM sc) WHERE rn <= 10),
+      |nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    ${Dedup.guardedNsq} AS nsq
+      |  FROM embeddings WHERE ${Dedup.guardedNsq} > 0),
+      |pr AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      |  FROM nv q JOIN nv c ON q.vec_id % 100 = 7 AND q.vec_id <> c.vec_id),
+      |sem AS (SELECT q_id, n_id, rn AS sem_rn FROM (
+      |  SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      |  FROM pr) WHERE rn <= 10),
+      |fused AS (
+      |  SELECT COALESCE(l.q_doc, s.q_id) AS q_doc,
+      |    COALESCE(l.doc_id, s.n_id) AS doc_id, l.lex_rn, s.sem_rn,
+      |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.lex_rn AS DOUBLE),
+      |             CAST(0.0 AS DOUBLE)) +
+      |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + s.sem_rn AS DOUBLE),
+      |             CAST(0.0 AS DOUBLE)) AS rrf_score
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.q_doc = s.q_id AND l.doc_id = s.n_id)
+      |SELECT q_doc, rn, doc_id, lex_rn, sem_rn, rrf_score FROM (
+      |  SELECT q_doc, doc_id, lex_rn, sem_rn, rrf_score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
+      |  FROM fused)
       |WHERE rn <= 10 ORDER BY q_doc, rn""".stripMargin
 
   // ---- Multimodal: opaque binary column plumbing ------------------------
@@ -575,6 +702,7 @@ object TextStats extends QueryGroup {
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
+    "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }

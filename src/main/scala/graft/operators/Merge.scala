@@ -107,6 +107,53 @@ object Merge extends QueryGroup {
       |  UNION ALL SELECT *, 'upsert' AS src FROM ins)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- merge_scd2: change log → SCD Type-2 dimension history ------------
+  // The warehouse-side complement of the SCD-1 upsert above: instead of
+  // overwriting, every state CHANGE opens a dated version row. The event
+  // stream is the change log (user_id = dimension key, event_type = the
+  // tracked attribute); consecutive repeats of the same state collapse
+  // (they are not changes), then each survivor gets
+  // [effective_from, effective_to) validity from its own ts and the next
+  // survivor's ts, open-ended for the current version.
+  //
+  // Scale shape: ONE exchange + sort on (user_id; ts, event_id) feeds all
+  // four window functions — the collapse lag, the version row_number, and
+  // the lead pair — because they share the same WindowSpec ordering, so
+  // Spark reuses the sort across both Window operators (exchange reuse
+  // asserted for the family in PlanSpec's window queries). Per-key state
+  // is a single row; no join, no driver collect; 100 TB = one wide
+  // exchange keyed by the dimension key, exactly what SCD2 requires.
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changed = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changed
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("event_type").as("state"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(w).as("effective_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type FROM events),
+      |chg AS (SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+      |surv AS (SELECT user_id, ts, event_id, event_type FROM chg
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, row_number() OVER w AS version, event_type AS state,
+      |  ts AS effective_from, lead(ts) OVER w AS effective_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM surv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
-    "q47_merge_upsert" -> QueryDef(q47, Some(q47Sql)))
+    "q47_merge_upsert" -> QueryDef(q47, Some(q47Sql)),
+    "merge_scd2" -> QueryDef(scd2, Some(scd2Sql)))
 }
