@@ -172,6 +172,90 @@ object PostingsIndex {
   def search(s: SparkSession, dir: String, qterms: DataFrame,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"search: need k >= 1; got $k")
+    val (post, dl, avgdl) = open(s, dir, qterms)
+    rank(TextStats.bm25Score(post, qterms, dl, avgdl), k)
+  }
+
+  /** Max-score pruned search — the WAND-family refinement for long
+    * posting lists, returning EXACTLY [[search]]'s rows (safe pruning,
+    * spec-asserted). Per probe, each term's score contribution is
+    * bounded above by `ub = idf·(k1+1)` (the c→∞ limit of the BM25 term
+    * saturation); the highest-ub term is the probe's ESSENTIAL term.
+    *
+    *  - Phase 1 fully scores only the essential term's posting list —
+    *    every final top-k member that matches the essential term is
+    *    here — and takes its k-th score as the pruning threshold θ.
+    *  - Phase 2 touches the remaining candidates only through a CHEAP
+    *    pre-aggregation (Σ ub over their matched terms, 8-byte keys, no
+    *    length join, no per-term math) and fully scores just those whose
+    *    upper bound clears θ − ε. A doc that cannot beat the k-th
+    *    essential-list score can never enter the top k, so dropping it
+    *    is exact; ε (1e-9) absorbs the one-ulp double rounding of ub.
+    *
+    * The saving at 100 TB: common low-idf terms have long posting lists
+    * but small ub — their candidates die in the pre-aggregation instead
+    * of reaching the dl join + scoring aggregation + window, which is
+    * where the cost lives. At fixture scale the crafted-corpus spec
+    * proves strict pruning; real savings grow with list-length skew. */
+  def searchMaxScore(s: SparkSession, dir: String, qterms: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"searchMaxScore: need k >= 1; got $k")
+    val (post, dl, avgdl) = open(s, dir, qterms)
+    val (s1, _, surv) = maxScorePhases(post, dl, avgdl, qterms, k)
+    rank(s1.unionByName(TextStats.bm25Score(post, qterms, dl, avgdl,
+      Some(surv))), k)
+  }
+
+  /** The (probe, doc) pairs a search fully scores — the pruning meter
+    * the spec grades: `pruned = false` counts every candidate pair the
+    * plain [[search]] scores, `true` counts the max-score phases'. */
+  def scoredPairs(s: SparkSession, dir: String, qterms: DataFrame,
+      k: Int = 10, pruned: Boolean): DataFrame = {
+    val (post, dl, avgdl) = open(s, dir, qterms)
+    if (!pruned)
+      TextStats.bm25Score(post, qterms, dl, avgdl)
+        .select(col("q_doc"), col("doc_id"))
+    else {
+      val (_, essPairs, surv) = maxScorePhases(post, dl, avgdl, qterms, k)
+      essPairs.unionByName(surv)
+    }
+  }
+
+  /** The two max-score phases shared by [[searchMaxScore]] and the
+    * [[scoredPairs]] meter: (phase-1 scores, essential pairs, phase-2
+    * survivors). */
+  private def maxScorePhases(post: DataFrame, dl: DataFrame,
+      avgdl: DataFrame, qterms: DataFrame,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_doc")).orderBy(col("ub").desc, col("wh"))
+    val qe = qterms
+      .withColumn("ub", col("idf").cast(DoubleType) * lit(2.2))
+      .withColumn("ess", row_number().over(we) === 1)
+    val pre = post.join(broadcast(qe), Seq("wh"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("ub")).as("ub_sum"),
+        max(when(col("ess"), 1).otherwise(0)).as("has_ess"))
+    val essPairs = pre.filter(col("has_ess") === 1)
+      .select(col("q_doc"), col("doc_id"))
+    val s1 = TextStats.bm25Score(post, qterms, dl, avgdl, Some(essPairs))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
+    val theta = s1.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === k)
+      .select(col("q_doc"), col("score_dec").cast(DoubleType).as("theta"))
+    val surv = pre.filter(col("has_ess") === 0)
+      .join(broadcast(theta), Seq("q_doc"), "left")
+      // a probe whose essential list holds fewer than k docs has no
+      // threshold yet — nothing may be pruned for it
+      .filter(col("theta").isNull || col("ub_sum") >= col("theta") - lit(1e-9))
+      .select(col("q_doc"), col("doc_id"))
+    (s1, essPairs, surv)
+  }
+
+  private def open(s: SparkSession, dir: String,
+      qterms: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val (_, avgdl, nBuckets) = readStats(s, dir)
     val wanted = qterms.select(bucket(nBuckets)).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -180,8 +264,10 @@ object PostingsIndex {
       .select(col("doc_id"), col("wh"), col("c"))
     val dl = s.read.parquet(s"$dir/doclen")
     import s.implicits._
-    val scores = TextStats.bm25Score(post, qterms, dl,
-      Seq(avgdl).toDF("avgdl"))
+    (post, dl, Seq(avgdl).toDF("avgdl"))
+  }
+
+  private def rank(scores: DataFrame, k: Int): DataFrame = {
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_doc")).orderBy(col("score_dec").desc, col("doc_id"))
     scores

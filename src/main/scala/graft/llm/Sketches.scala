@@ -243,7 +243,143 @@ object Sketches extends QueryGroup {
       |FROM wrd GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // ---- KMV (k-minimum-values / theta-style) distinct sketch -------------
+  // The sketch family's SET-OPERATION member: per event type, keep the k
+  // smallest 48-bit hashes of the distinct user set; any two sketches
+  // then merge (union the two k-sets, re-take the k smallest) into
+  // estimates of |A∪B| (the classic (k−1)·H/h_(k) estimator, exact when
+  // the merged set has fewer than k members) and |A∩B| (the Jaccard
+  // fraction of the merged k-set present in BOTH input sketches, times
+  // the union estimate) — the intersection-across-segments question HLL
+  // cannot answer without inclusion-exclusion error stacking.
+  //
+  // Scale shape: building the sketches is one distinct + one bounded
+  // per-key top-k (WindowGroupLimit) over the corpus; everything after
+  // operates on ≤ k rows per (pair) — constant-size, broadcast-friendly.
+  // Everything is integer/hash arithmetic until the two final pinned
+  // IEEE divisions, so the ESTIMATES are graded bit-for-bit by the
+  // oracle, not just the exact companions; the error-bound flags
+  // (±50% union at ~4σ for k=64, ±35%·|A∪B| intersection at ~5.6σ)
+  // are additionally asserted TRUE in SketchesSpec.
+  private val kmvK = 64
+  private val kmvPow = 281474976710656L // 2^48: the h48 hash space
+
+  private def kmvSetops(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = T.events(s, d).select(col("event_type"), col("user_id")).distinct()
+    val h = u.select(col("event_type"),
+      Dedup.h48(col("user_id").cast(StringType)).as("h"))
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kmv = h.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= kmvK).select(col("event_type"), col("h"))
+    val ty = u.select(col("event_type")).distinct()
+    val pr = ty.select(col("event_type").as("ta"))
+      .crossJoin(ty.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val mg = pr.join(kmv.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .select(col("ta"), col("tb"), col("h"))
+      .unionByName(pr.join(kmv.withColumnRenamed("event_type", "tb"), Seq("tb"))
+        .select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val inA = kmv.select(col("event_type").as("ta"), col("h"), lit(1).as("ina"))
+    val inB = kmv.select(col("event_type").as("tb"), col("h"), lit(1).as("inb"))
+    val wm = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val ag = mg.join(inA, Seq("ta", "h"), "left").join(inB, Seq("tb", "h"), "left")
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= kmvK)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("m_sz"), max(col("h")).as("kth"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+    val exu = pr.join(u.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .select(col("ta"), col("tb"), col("user_id"))
+      .unionByName(pr.join(u.withColumnRenamed("event_type", "tb"), Seq("tb"))
+        .select(col("ta"), col("tb"), col("user_id")))
+      .groupBy(col("ta"), col("tb"))
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    val exi = pr
+      .join(u.select(col("event_type").as("ta"), col("user_id")), Seq("ta"))
+      .join(u.select(col("event_type").as("tb"), col("user_id")), Seq("tb", "user_id"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_inter"))
+    ag.join(exu, Seq("ta", "tb"))
+      .join(exi, Seq("ta", "tb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("est_union",
+        when(col("m_sz") < kmvK, col("m_sz").cast(DoubleType))
+          .otherwise((lit((kmvK - 1).toLong) * lit(kmvPow)).cast(DoubleType) /
+            col("kth").cast(DoubleType))
+          .cast(DecimalType(18, 4)).cast(DoubleType))
+      .withColumn("est_inter",
+        ((col("n_both").cast(DoubleType) / col("m_sz").cast(DoubleType)) *
+          col("est_union")).cast(DecimalType(18, 4)).cast(DoubleType))
+      .withColumn("union_ok",
+        abs(col("est_union") - col("exact_union").cast(DoubleType)) <=
+          lit(0.5) * col("exact_union").cast(DoubleType))
+      .withColumn("inter_ok",
+        abs(col("est_inter") - col("exact_inter").cast(DoubleType)) <=
+          lit(0.35) * col("exact_union").cast(DoubleType))
+      .select(col("ta"), col("tb"), col("exact_union"), col("exact_inter"),
+        col("est_union"), col("est_inter"), col("union_ok"), col("inter_ok"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val kmvSetopsSql =
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |      AS BIGINT) AS h
+      |  FROM u),
+      |kmv AS (SELECT event_type, h FROM (
+      |    SELECT event_type, h,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |    FROM h) WHERE rn <= $kmvK),
+      |ty AS (SELECT DISTINCT event_type FROM u),
+      |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |mg AS (SELECT DISTINCT ta, tb, h FROM (
+      |    SELECT pr.ta, pr.tb, k.h FROM pr JOIN kmv k ON k.event_type = pr.ta
+      |    UNION ALL
+      |    SELECT pr.ta, pr.tb, k.h FROM pr JOIN kmv k ON k.event_type = pr.tb)),
+      |mk AS (SELECT m.ta, m.tb, m.h,
+      |    CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+      |    CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS inb,
+      |    ROW_NUMBER() OVER (PARTITION BY m.ta, m.tb ORDER BY m.h) AS rn
+      |  FROM mg m
+      |  LEFT JOIN kmv ka ON ka.event_type = m.ta AND ka.h = m.h
+      |  LEFT JOIN kmv kb ON kb.event_type = m.tb AND kb.h = m.h),
+      |ag AS (SELECT ta, tb, COUNT(*) AS m_sz, MAX(h) AS kth,
+      |    SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS n_both
+      |  FROM mk WHERE rn <= $kmvK GROUP BY ta, tb),
+      |exu AS (SELECT ta, tb, COUNT(DISTINCT user_id) AS exact_union FROM (
+      |    SELECT pr.ta, pr.tb, u.user_id FROM pr JOIN u ON u.event_type = pr.ta
+      |    UNION ALL
+      |    SELECT pr.ta, pr.tb, u.user_id FROM pr JOIN u ON u.event_type = pr.tb)
+      |  GROUP BY ta, tb),
+      |exi AS (SELECT pr.ta, pr.tb, COUNT(*) AS exact_inter
+      |  FROM pr JOIN u a ON a.event_type = pr.ta
+      |  JOIN u b ON b.event_type = pr.tb AND b.user_id = a.user_id
+      |  GROUP BY pr.ta, pr.tb)
+      |SELECT ta, tb, exact_union, exact_inter, est_union,
+      |  CAST(CAST((CAST(n_both AS DOUBLE) / CAST(m_sz AS DOUBLE)) * est_union
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS est_inter,
+      |  abs(est_union - CAST(exact_union AS DOUBLE))
+      |    <= 0.5 * CAST(exact_union AS DOUBLE) AS union_ok,
+      |  abs(CAST(CAST((CAST(n_both AS DOUBLE) / CAST(m_sz AS DOUBLE)) * est_union
+      |      AS DECIMAL(18,4)) AS DOUBLE) - CAST(exact_inter AS DOUBLE))
+      |    <= 0.35 * CAST(exact_union AS DOUBLE) AS inter_ok
+      |FROM (
+      |  SELECT ag.ta, ag.tb, exu.exact_union,
+      |    COALESCE(exi.exact_inter, 0) AS exact_inter, ag.m_sz, ag.n_both,
+      |    CAST(CAST(CASE WHEN ag.m_sz < $kmvK THEN CAST(ag.m_sz AS DOUBLE)
+      |      ELSE CAST(${(kmvK - 1).toLong * kmvPow} AS DOUBLE)
+      |        / CAST(ag.kth AS DOUBLE) END
+      |      AS DECIMAL(18,4)) AS DOUBLE) AS est_union
+      |  FROM ag JOIN exu ON ag.ta = exu.ta AND ag.tb = exu.tb
+      |  LEFT JOIN exi ON ag.ta = exi.ta AND ag.tb = exi.tb)
+      |ORDER BY ta, tb""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_kmv_setops" -> QueryDef(kmvSetops, Some(kmvSetopsSql)),
     "sketch_cms" -> QueryDef(cms, Some(cmsSql)),
     "sketch_hll" -> QueryDef(hll, Some(hllSql)),
     "sketch_quantile" -> QueryDef(quantileSketch, Some(quantileSketchSql)),

@@ -484,9 +484,15 @@ object TextStats extends QueryGroup {
     * `retrieval_rrf`, and `PostingsIndex.search` — the contrib formula
     * and its single decimal rounding must not drift between them. */
   private[llm] def bm25Score(postings: DataFrame, qterms: DataFrame,
-      dl: DataFrame, avgdl: DataFrame): DataFrame =
-    postings.join(broadcast(qterms), Seq("wh"))
-      .filter(col("doc_id") =!= col("q_doc"))
+      dl: DataFrame, avgdl: DataFrame,
+      keepPairs: Option[DataFrame] = None): DataFrame =
+    keepPairs.foldLeft(
+      postings.join(broadcast(qterms), Seq("wh"))
+        .filter(col("doc_id") =!= col("q_doc")))(
+      // max-score path: restrict the (probe, doc) pairs BEFORE the
+      // length join and the scoring aggregation — the rows the pruning
+      // saves are exactly the expensive ones
+      (c, keep) => c.join(keep, Seq("q_doc", "doc_id"), "left_semi"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(avgdl))
       .withColumn("contrib",
@@ -579,6 +585,52 @@ object TextStats extends QueryGroup {
       |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rn
       |  FROM sc)
       |WHERE rn <= 10 ORDER BY q_doc, rn""".stripMargin
+
+  // ---- text_classifier: hashing-trick linear scorer ---------------------
+  // The inference shape of a fastText-style quality classifier (the
+  // model-based filter FineWeb/DCLM pipelines run after the heuristic
+  // ones): features = the hashed bag of words (the SAME 48-bit term
+  // hashes the rest of the text family shuffles), weights = a fixed
+  // hash-bucket table looked up per term, score = the length-normalized
+  // weighted sum. The weights here are a deterministic stand-in
+  // (w(h) = (h mod 1009 − 504)/504 — the multimodal stub-codec rule:
+  // REAL plumbing, fake parameters); a trained model ships its bucket
+  // table and the pipeline is unchanged.
+  //
+  // Scale shape: one narrow map over the postings rows + one per-doc
+  // hash aggregation — embarrassingly parallel, no join (the weight
+  // "lookup" is arithmetic; a shipped table would be a broadcast join).
+  // Parity: Σ c·(h mod 1009 − 504) is an exact BIGINT, so the logit is
+  // ONE pinned IEEE division of exact integers; the keep flag compares
+  // the logit to 0 — no libm anywhere. Empty/whitespace-only docs have
+  // no terms and are absent (unscorable), same as the tfidf family.
+  private def classifier(s: SparkSession, d: String): DataFrame =
+    termFreqs(T.documents(s, d))
+      .withColumn("w", pmod(col("wh"), lit(1009L)) - lit(504L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w")).as("wsum"),
+        sum(col("c")).cast(LongType).as("n_tokens"))
+      .withColumn("logit", col("wsum").cast(DoubleType) /
+        (lit(504.0) * col("n_tokens").cast(DoubleType)))
+      .withColumn("keep", col("logit") > lit(0.0))
+      .select(col("doc_id"), col("n_tokens"), col("wsum"), col("logit"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+
+  private val classifierSql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY doc_id, wh)
+      |SELECT doc_id, n_tokens, wsum,
+      |  CAST(wsum AS DOUBLE) / (504.0 * CAST(n_tokens AS DOUBLE)) AS logit,
+      |  CAST(wsum AS DOUBLE) / (504.0 * CAST(n_tokens AS DOUBLE)) > 0.0 AS keep
+      |FROM (
+      |  SELECT doc_id, SUM(c * (wh % 1009 - 504)) AS wsum,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM tf GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- retrieval_rrf: hybrid lexical+semantic fusion --------------------
   // The standard hybrid-RAG retrieval shape: the SAME probe rule
@@ -703,6 +755,7 @@ object TextStats extends QueryGroup {
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),
+    "text_classifier"    -> QueryDef(classifier, Some(classifierSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
 }

@@ -45,6 +45,46 @@ class PostingsIndexSpec extends SparkSuite {
     assert(nWanted <= 15, s"probe terms span $nWanted buckets?")
   }
 
+  test("max-score search returns exactly the plain search's rows") {
+    val dir = Files.createTempDirectory("graft_postings_ms").toString
+    PostingsIndex.build(spark, sf001, dir)
+    val q = PostingsIndex.probeQueryTerms(spark, dir)
+    val plain = PostingsIndex.search(spark, dir, q).collect().toSeq
+    val pruned = PostingsIndex.searchMaxScore(spark, dir, q).collect().toSeq
+    assert(pruned == plain)
+    // the meter never scores MORE pairs than the unpruned path
+    val nPlain = PostingsIndex.scoredPairs(spark, dir, q, pruned = false).count()
+    val nPruned = PostingsIndex.scoredPairs(spark, dir, q, pruned = true).count()
+    assert(nPruned <= nPlain, s"pruned $nPruned > plain $nPlain")
+  }
+
+  test("max-score pruning strictly drops candidates on a skewed corpus") {
+    // crafted regime: each probe's essential term is rare and high-idf
+    // (its own private token), the other query terms are corpus-wide
+    // stopwords with tiny idf — so every stopword-only candidate's upper
+    // bound sits far below the essential list's k-th score and must die
+    // in the pre-aggregation, never reaching the scoring join
+    import spark.implicits._
+    val cdir = graft.core.Fixtures.path("postings_skew")
+    val docs = (0L until 400L).map { i =>
+      val priv = s"tok${i / 4}"          // shared by 4 docs -> short lists
+      val text = (s"$priv " + "the of and a is ") * 3
+      (i, text.trim, "en", s"s$i", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    val dir = Files.createTempDirectory("graft_postings_skew").toString
+    PostingsIndex.build(spark, cdir, dir)
+    val q = PostingsIndex.probeQueryTerms(spark, dir)
+    val plain = PostingsIndex.search(spark, dir, q, k = 3).collect().toSeq
+    val pruned = PostingsIndex.searchMaxScore(spark, dir, q, k = 3).collect().toSeq
+    assert(pruned == plain)
+    val nPlain = PostingsIndex.scoredPairs(spark, dir, q, k = 3, pruned = false).count()
+    val nPruned = PostingsIndex.scoredPairs(spark, dir, q, k = 3, pruned = true).count()
+    assert(nPruned < nPlain,
+      s"no strict pruning on the crafted corpus: $nPruned vs $nPlain")
+  }
+
   test("lifecycle: build half, append the rest, search equals a full build") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val loDir = graft.core.Fixtures.path("postings_lo")
