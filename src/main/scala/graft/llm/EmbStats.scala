@@ -163,7 +163,95 @@ object EmbStats extends QueryGroup {
       |  CAST(len(list_filter(qa, x -> abs(x) = 127)) AS BIGINT) AS n_sat
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---- emb_truncate_recall: Matryoshka truncation sweep -----------------
+  // The dimension-budget question MRL-trained embeddings pose: how much
+  // retrieval quality survives if the pipeline stores only the first
+  // 8/16/32 dims? For each budget, brute-force cosine top-5 on the PREFIX
+  // slices; recall is graded against the largest budget's (full-vector)
+  // top-5. One query answers every budget: the budget list rides an
+  // explode, so the slices, the per-(budget, probe) rank windows, and the
+  // hit counts all share one plan — no per-budget re-derivation.
+  //
+  // Determinism: raw-double cosines over identical prefix slices (the q31
+  // precedent — array-order sums are bit-equal in both engines), integer
+  // hit counts, and ONE final IEEE division. A prefix slice containing a
+  // NULL element or quantizing to zero norm drops that (vector, budget)
+  // row in both engines (null-propagating dot ≡ the guarded-CASE SQL).
+  //
+  // Scale shape: candidate generation per budget is the q31 broadcast
+  // cross (the declared small-scale ground truth — the ANN paths are the
+  // scale story); everything downstream of the rank windows is ≤
+  // 5·|probes| rows per budget.
+  private def truncateRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProduct.dot
+    import org.apache.spark.sql.expressions.Window
+    val budgets = array(Seq(8, 16, 32, 64).map(lit): _*)
+    val sl = T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+      .select(col("vec_id"), explode(budgets).as("budget"), col("emb"))
+      .withColumn("xs", slice(col("emb"), lit(1), col("budget")))
+      .withColumn("nsq", dot(col("xs"), col("xs")))
+      .where(col("nsq") > 0)
+      .select(col("vec_id"), col("budget"), col("xs"), col("nsq"))
+    val q = sl.filter(col("vec_id") < 5)
+      .select(col("budget"), col("vec_id").as("q_id"),
+        col("xs").as("q_xs"), col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("budget"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top5 = sl.join(q, Seq("budget"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("q_xs"), col("xs")) /
+        (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("budget"), col("q_id"), col("vec_id").as("n_id"))
+    val truth = top5.filter(col("budget") === 64)
+      .select(col("q_id"), col("n_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = top5.join(truth, Seq("q_id", "n_id"))
+      .groupBy(col("budget")).agg(count(lit(1)).as("n_hits"))
+    sl.select(col("budget")).distinct()
+      .join(hits, Seq("budget"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall", col("n_hits").cast(DoubleType) /
+        col("n_truth").cast(DoubleType))
+      .select(col("budget"), col("n_truth"), col("n_hits"), col("recall"))
+      .orderBy(col("budget"))
+  }
+
+  private val truncateRecallSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |sl0 AS (SELECT vec_id, budget, list_slice(emb, 1, budget) AS xs
+      |  FROM e CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS budget) b),
+      |sl AS (SELECT vec_id, budget, xs, nsq FROM (
+      |  SELECT vec_id, budget, xs,
+      |    CASE WHEN len(list_filter(xs, v -> v IS NULL)) > 0 THEN NULL
+      |         ELSE list_inner_product(xs, xs) END AS nsq
+      |  FROM sl0) WHERE nsq > 0),
+      |top5 AS (SELECT budget, q_id, n_id FROM (
+      |    SELECT c.budget, q.vec_id AS q_id, c.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.budget, q.vec_id ORDER BY
+      |        list_inner_product(q.xs, c.xs) / (sqrt(q.nsq) * sqrt(c.nsq))
+      |          DESC, c.vec_id) AS rn
+      |    FROM sl c JOIN sl q ON q.budget = c.budget AND q.vec_id < 5
+      |      AND q.vec_id <> c.vec_id)
+      |  WHERE rn <= 5),
+      |tr AS (SELECT q_id, n_id FROM top5 WHERE budget = 64),
+      |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+      |ht AS (SELECT budget, COUNT(*) AS n_hits
+      |       FROM top5 JOIN tr USING (q_id, n_id) GROUP BY budget)
+      |SELECT b.budget, nt.n_truth, COALESCE(ht.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(ht.n_hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+      |    AS recall
+      |FROM (SELECT DISTINCT budget FROM sl) b
+      |LEFT JOIN ht USING (budget) CROSS JOIN nt
+      |ORDER BY budget""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_centroid_stats" -> QueryDef(centroidStats, Some(centroidStatsSql)),
-    "emb_quantize_int8" -> QueryDef(quantizeInt8, Some(quantizeInt8Sql)))
+    "emb_quantize_int8" -> QueryDef(quantizeInt8, Some(quantizeInt8Sql)),
+    "emb_truncate_recall" -> QueryDef(truncateRecall, Some(truncateRecallSql)))
 }

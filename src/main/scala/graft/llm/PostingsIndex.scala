@@ -48,7 +48,7 @@ object PostingsIndex {
         count(lit(1)).cast(DoubleType)).as("avgdl"))
       .withColumn("n_buckets", lit(nBuckets))
 
-  private def bucket(nBuckets: Int) =
+  private[graft] def bucket(nBuckets: Int) =
     pmod(col("wh"), lit(nBuckets.toLong)).cast(IntegerType).as("tb")
 
   /** Build and persist the index for corpus `d` under `dir` (overwrites).
@@ -150,7 +150,15 @@ object PostingsIndex {
     * (q_doc, wh, idf) directly — idf from the term's posting-list length
     * (df) and `stats/`'s n_docs, both cheap pruned reads. */
   def probeQueryTerms(s: SparkSession, dir: String): DataFrame = {
-    val post = s.read.parquet(s"$dir/postings")
+    val (nDocs, _, _) = readStats(s, dir)
+    queryTermsFrom(s, s.read.parquet(s"$dir/postings"), nDocs)
+  }
+
+  /** [[probeQueryTerms]] over an explicit postings relation — shared
+    * with the streaming index, whose postings are a committed-delta
+    * union rather than a directory. */
+  private[graft] def queryTermsFrom(s: SparkSession, post: DataFrame,
+      nDocs: Long): DataFrame = {
     val probeTf = post.filter(col("doc_id") % 100 === 7)
       .select(col("doc_id"), col("wh"), col("c"))
     // df only for the probe vocabulary: the semi join bounds the count
@@ -158,10 +166,15 @@ object PostingsIndex {
     val dfTbl = post
       .join(probeTf.select(col("wh")).distinct(), Seq("wh"), "left_semi")
       .groupBy(col("wh")).agg(count(lit(1)).as("df"))
-    val (nDocs, _, _) = readStats(s, dir)
     import s.implicits._
     TextStats.topIdfTerms(probeTf, dfTbl, Seq(nDocs).toDF("n_docs"))
   }
+
+  /** Score + rank over explicit relations — the search core shared with
+    * the streaming index. */
+  private[graft] def searchFrom(post: DataFrame, dl: DataFrame,
+      avgdl: DataFrame, qterms: DataFrame, k: Int): DataFrame =
+    rank(TextStats.bm25Score(post, qterms, dl, avgdl), k)
 
   /** Top-`k` BM25 results per probe for externally supplied query terms
     * (`qterms`: q_doc, wh, idf — the [[probeQueryTerms]] contract). The

@@ -451,7 +451,7 @@ object TextStats extends QueryGroup {
     * index's row set, derived from the corpus. Shared by the inline
     * BM25 surfaces and `PostingsIndex.build`, so the persisted index
     * can never hold different rows than the per-query derivation. */
-  private[llm] def termFreqs(docs: DataFrame): DataFrame =
+  private[graft] def termFreqs(docs: DataFrame): DataFrame =
     words(docs)
       .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
