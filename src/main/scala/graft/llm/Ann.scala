@@ -310,10 +310,14 @@ object Ann extends QueryGroup {
     adcRank(normed(s, d), codes, cdf, dsub, nsub, topk)
   }
 
-  /** The ADC scoring tail shared by [[pqAdc]] and [[ivfPq]] (`keepCells`
-    * narrows the candidate codes for the IVF-pruned path). */
+  /** The ADC scoring tail shared by [[pqAdc]] and [[ivfPq]]:
+    * `keepPairs` (q_id, vec_id) restricts the scored candidates PER
+    * PROBE for the IVF-pruned path — a union-of-cells filter would let
+    * probe A score probe B's cell members, which is not the IVF
+    * contract. */
   private def adcRank(n: DataFrame, codes: DataFrame, cdf: DataFrame,
-      dsub: Int, nsub: Int, topk: Int): DataFrame = {
+      dsub: Int, nsub: Int, topk: Int,
+      keepPairs: Option[DataFrame] = None): DataFrame = {
     val subIdx = array((0 until nsub).map(i => lit(i)): _*)
     val lut = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("nsq").as("q_nsq"),
@@ -325,8 +329,12 @@ object Ann extends QueryGroup {
       .select(col("q_id"), col("q_nsq"), col("s"), col("ck"), col("term"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_cos").desc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("s", "ck"))
-      .filter(col("vec_id") =!= col("q_id"))
+    keepPairs.foldLeft(
+      codes.join(broadcast(lut), Seq("s", "ck"))
+        .filter(col("vec_id") =!= col("q_id")))(
+      // no broadcast hint: a cell is corpus/k rows — AQE broadcasts the
+      // pair table only while it actually fits
+      (c, keep) => c.join(keep, Seq("q_id", "vec_id"), "left_semi"))
       .groupBy(col("q_id"), col("q_nsq"), col("vec_id"))
       .agg(sum(col("term").cast(DecimalType(20, 10))).as("adc_dot"))
       // exact stored norm for the candidate: the index keeps one double
@@ -355,14 +363,15 @@ object Ann extends QueryGroup {
     val probes = lists.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
-    val wanted = probeCells(probes, ivfCdf, nprobe)
-      .select(col("ck").as("cell")).distinct()
+    // PER-PROBE candidate pairs: each probe meets only its own nprobe
+    // cells' members (the IVF contract) — constant-size probe-cell table
+    // joined against the inverted lists
+    val pairs = probeCells(probes, ivfCdf, nprobe)
+      .select(col("q_id"), col("ck"))
+      .join(lists.select(col("vec_id"), col("ck")), Seq("ck"))
+      .select(col("q_id"), col("vec_id"))
     val (codes, cdf, dsub, nsub) = pqModel(s, d, m, ksub, pqIters)
-    val pruned = codes
-      .join(lists.select(col("vec_id"), col("ck").as("cell")), Seq("vec_id"))
-      .join(broadcast(wanted), Seq("cell"))
-      .select(col("vec_id"), col("s"), col("ck"))
-    adcRank(normed(s, d), pruned, cdf, dsub, nsub, topk)
+    adcRank(normed(s, d), codes, cdf, dsub, nsub, topk, Some(pairs))
   }
 
   private def pqAdcTopk(s: SparkSession, d: String): DataFrame =

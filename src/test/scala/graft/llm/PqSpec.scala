@@ -52,7 +52,7 @@ class PqSpec extends SparkSuite {
     assert(full == plain)
   }
 
-  test("IVF x PQ at nprobe=1 returns bounded candidates that are real codes") {
+  test("IVF x PQ at nprobe=1 scores only the probe's own cell members") {
     val pruned = Ann.ivfPq(spark, sfDir, k = 8, nprobe = 1).collect()
     assert(pruned.nonEmpty)
     // every rank list is still a valid 1..n prefix per probe
@@ -60,6 +60,17 @@ class PqSpec extends SparkSuite {
     byQ.foreach { case (q, rs) =>
       val rns = rs.map(_.getAs[Long]("rn")).sorted.toSeq
       assert(rns == (1L to rns.size), s"probe $q ranks $rns")
+    }
+    // the IVF contract: at nprobe=1 each probe's candidates come from
+    // ITS cell — a union-of-cells filter would leak cross-cell members
+    val (lists, _) = Ann.ivfModel(spark, sfDir, 8, 2)
+    val cell = lists.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("ck")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pruned.foreach { r =>
+      val (q, n) = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(cell(n) == cell(q),
+        s"probe $q (cell ${cell(q)}) scored $n from cell ${cell(n)}")
     }
   }
 }
