@@ -461,7 +461,7 @@ object TextStats extends QueryGroup {
     * and the persisted-index path — the decimal-rounding points and the
     * (tscore, wh) tie-break are oracle-parity-critical. Inputs: the probe
     * docs' term counts, the per-term df table, and the 1-row doc count. */
-  private[llm] def topIdfTerms(probeTf: DataFrame, dfTbl: DataFrame,
+  private[graft] def topIdfTerms(probeTf: DataFrame, dfTbl: DataFrame,
       nDocs: DataFrame): DataFrame = {
     val tw = Window.partitionBy(col("doc_id")).orderBy(col("tscore").desc, col("wh"))
     probeTf
