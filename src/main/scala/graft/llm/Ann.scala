@@ -583,6 +583,65 @@ object Ann extends QueryGroup {
     * x² dropped on both sides), then the LUT join, the exact
     * DECIMAL(20,10) approximate-dot sum, and the norm-augmented cosine
     * rank. */
+  /** The PQ chain from the subspace grid through the probe LUT —
+    * expects `n` and `x` CTEs already defined (both the standalone
+    * `ann_pq_adc` and the composed `ann_ivfpq_topk` share the exact
+    * definitions from [[ivfAssignCtes]]). Aliases are pq-prefixed where
+    * they would collide with the IVF chain's. */
+  private val pqChainCtes =
+    """dm AS (SELECT GREATEST(1, CAST(MAX(len(emb)) AS BIGINT) // 4) AS dsub
+      |       FROM n),
+      |sv AS (SELECT x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT) AS s,
+      |         list(x.v ORDER BY x.pos) AS xs
+      |       FROM x JOIN n USING (vec_id) CROSS JOIN dm
+      |       GROUP BY x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT)),
+      |ini AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8),
+      |pc0 AS (SELECT s,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+      |           AS INT) AS ck,
+      |         xs AS cvec
+      |       FROM sv JOIN ini USING (vec_id)),
+      |pa1 AS (SELECT vec_id, s, ck FROM (
+      |    SELECT sv.vec_id, sv.s, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+      |        list_inner_product(c.cvec, c.cvec)
+      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
+      |        c.ck) AS rn
+      |    FROM sv JOIN pc0 c USING (s)) WHERE rn = 1),
+      |pu1 AS (SELECT a.s, a.ck, x.pos,
+      |    CAST(SUM(CAST(x.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM pa1 a JOIN x ON a.vec_id = x.vec_id CROSS JOIN dm
+      |  WHERE CAST((x.pos - 1) // dm.dsub AS INT) = a.s
+      |  GROUP BY a.s, a.ck, x.pos),
+      |pc1 AS (SELECT pc0.s, pc0.ck, COALESCE(u.cvec, pc0.cvec) AS cvec
+      |  FROM pc0 LEFT JOIN (SELECT s, ck, list(c ORDER BY pos) AS cvec
+      |                     FROM pu1 GROUP BY s, ck) u USING (s, ck)),
+      |enc AS (SELECT vec_id, s, ck FROM (
+      |    SELECT sv.vec_id, sv.s, c.ck,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+      |        list_inner_product(c.cvec, c.cvec)
+      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
+      |        c.ck) AS rn
+      |    FROM sv JOIN pc1 c USING (s)) WHERE rn = 1),
+      |lut AS (SELECT sv.vec_id AS q_id, sv.s, c.ck,
+      |    list_inner_product(sv.xs, c.cvec) AS term
+      |  FROM sv JOIN pc1 c USING (s) WHERE sv.vec_id < 5)""".stripMargin
+
+  /** The norm-augmented ADC rank tail shared by both PQ oracles; `adcp`
+    * must provide (q_id, vec_id, adc_dot). */
+  private val adcTailSql =
+    """qn AS (SELECT vec_id AS q_id, nsq AS q_nsq FROM n WHERE vec_id < 5)
+      |SELECT q_id, neighbor_id, adc_cos, rn FROM (
+      |  SELECT a.q_id, a.vec_id AS neighbor_id,
+      |    CAST(CAST(CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
+      |      AS DECIMAL(10,4)) AS DOUBLE) AS adc_cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.q_id
+      |      ORDER BY CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
+      |        DESC, a.vec_id) AS BIGINT) AS rn
+      |  FROM adcp a JOIN qn q USING (q_id)
+      |  JOIN n c ON a.vec_id = c.vec_id)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   private val pqAdcSql =
     s"""WITH n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -594,59 +653,31 @@ object Ann extends QueryGroup {
       |         generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings
       |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
-      |dm AS (SELECT GREATEST(1, CAST(MAX(len(emb)) AS BIGINT) // 4) AS dsub
-      |       FROM n),
-      |sv AS (SELECT x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT) AS s,
-      |         list(x.v ORDER BY x.pos) AS xs
-      |       FROM x JOIN n USING (vec_id) CROSS JOIN dm
-      |       GROUP BY x.vec_id, CAST((x.pos - 1) // dm.dsub AS INT)),
-      |ini AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8),
-      |c0 AS (SELECT s,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
-      |           AS INT) AS ck,
-      |         xs AS cvec
-      |       FROM sv JOIN ini USING (vec_id)),
-      |a1 AS (SELECT vec_id, s, ck FROM (
-      |    SELECT sv.vec_id, sv.s, c.ck,
-      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
-      |        list_inner_product(c.cvec, c.cvec)
-      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
-      |        c.ck) AS rn
-      |    FROM sv JOIN c0 c USING (s)) WHERE rn = 1),
-      |u1 AS (SELECT a.s, a.ck, x.pos,
-      |    CAST(SUM(CAST(x.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
-      |  FROM a1 a JOIN x ON a.vec_id = x.vec_id CROSS JOIN dm
-      |  WHERE CAST((x.pos - 1) // dm.dsub AS INT) = a.s
-      |  GROUP BY a.s, a.ck, x.pos),
-      |c1 AS (SELECT c0.s, c0.ck, COALESCE(u.cvec, c0.cvec) AS cvec
-      |  FROM c0 LEFT JOIN (SELECT s, ck, list(c ORDER BY pos) AS cvec
-      |                     FROM u1 GROUP BY s, ck) u USING (s, ck)),
-      |enc AS (SELECT vec_id, s, ck FROM (
-      |    SELECT sv.vec_id, sv.s, c.ck,
-      |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
-      |        list_inner_product(c.cvec, c.cvec)
-      |          - 2 * list_inner_product(sv.xs, c.cvec) ASC,
-      |        c.ck) AS rn
-      |    FROM sv JOIN c1 c USING (s)) WHERE rn = 1),
-      |lut AS (SELECT sv.vec_id AS q_id, sv.s, c.ck,
-      |    list_inner_product(sv.xs, c.cvec) AS term
-      |  FROM sv JOIN c1 c USING (s) WHERE sv.vec_id < 5),
+      |$pqChainCtes,
       |adcp AS (SELECT l.q_id, e.vec_id,
       |    SUM(CAST(l.term AS DECIMAL(20,10))) AS adc_dot
       |  FROM enc e JOIN lut l ON e.s = l.s AND e.ck = l.ck
       |    AND e.vec_id <> l.q_id
       |  GROUP BY l.q_id, e.vec_id),
-      |qn AS (SELECT vec_id AS q_id, nsq AS q_nsq FROM n WHERE vec_id < 5)
-      |SELECT q_id, neighbor_id, adc_cos, rn FROM (
-      |  SELECT a.q_id, a.vec_id AS neighbor_id,
-      |    CAST(CAST(CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
-      |      AS DECIMAL(10,4)) AS DOUBLE) AS adc_cos,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.q_id
-      |      ORDER BY CAST(a.adc_dot AS DOUBLE) / (sqrt(q.q_nsq) * sqrt(c.nsq))
-      |        DESC, a.vec_id) AS BIGINT) AS rn
-      |  FROM adcp a JOIN qn q USING (q_id)
-      |  JOIN n c ON a.vec_id = c.vec_id)
-      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      |$adcTailSql""".stripMargin
+
+  /** The composed production layout, oracle-graded: the 2-iteration IVF
+    * coarse quantizer ([[ivfAssignCtes]] — `lst` is the final inverted
+    * lists) prunes candidates to each probe's OWN cell (nprobe=1), and
+    * the PQ chain ranks only those members by ADC. Mirrors
+    * [[ivfPq]]'s per-probe pair restriction exactly. */
+  private val ivfPqSql =
+    s"""$ivfAssignCtes,
+      |$pqChainCtes,
+      |prc AS (SELECT vec_id AS q_id, ck AS pck FROM lst WHERE vec_id < 5),
+      |cand AS (SELECT prc.q_id, c.vec_id FROM lst c
+      |  JOIN prc ON c.ck = prc.pck AND c.vec_id <> prc.q_id),
+      |adcp AS (SELECT ca.q_id, e.vec_id,
+      |    SUM(CAST(l.term AS DECIMAL(20,10))) AS adc_dot
+      |  FROM cand ca JOIN enc e ON e.vec_id = ca.vec_id
+      |  JOIN lut l ON l.q_id = ca.q_id AND l.s = e.s AND l.ck = e.ck
+      |  GROUP BY ca.q_id, e.vec_id),
+      |$adcTailSql""".stripMargin
 
   /** Per-cell quota in salted-hash order over the SAME final assignment
     * (`lst`) — the 48-bit '0x'-prefixed md5 key mirrors the engine's
@@ -691,6 +722,7 @@ object Ann extends QueryGroup {
     "ann_hard_negatives"     -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),
     "ann_pq_adc"             -> QueryDef(pqAdcTopk, Some(pqAdcSql)),
+    "ann_ivfpq_topk"         -> QueryDef((s, d) => ivfPq(s, d), Some(ivfPqSql)),
     "sample_cluster_diverse" -> QueryDef(clusterDiverse, Some(clusterDiverseSql)),
     "hll_distinct"           -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )
