@@ -329,8 +329,74 @@ object Analytics extends QueryGroup {
       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---- q55_session_stats: per-session analytics -------------------------
+  // What q42's sessionization is FOR: each (user, session) rolled up to
+  // the metrics a product pipeline reads — event count, actual span
+  // (first→last event, not the window's +gap tail), distinct event
+  // types, exact value sum, and a conversion flag. Built on the
+  // PORTABLE lag-flag + running-sum sessionization (the q42 oracle's
+  // idiom) rather than session_window, because the session ordinal
+  // (`session_seq`) and the true span need the per-row session id.
+  //
+  // Scale shape: ONE exchange on user_id feeds both window passes (the
+  // gap flag and the running session id share the (ts, event_id) sort)
+  // and the final per-(user, session) hash aggregation — no join, no
+  // self-join, per-key state is one sort run. Gap arithmetic is integer
+  // microseconds with the strict-> rule (q42's empirically-verified
+  // boundary: an exact-gap pair still merges).
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    T.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("ns",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wc))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(T.dec(col("value"))).cast(DoubleType).as("value_sum"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_purchase"))
+      .select(col("user_id"), col("sid").as("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_us"),
+        col("n_types"), col("value_sum"), col("has_purchase"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val q55Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flag AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag)
+      |SELECT user_id, sid AS session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum,
+      |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS has_purchase
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_seq""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
+    "q55_session_stats" -> QueryDef(q55, Some(q55Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
     "q35_percentile_argmax" -> QueryDef(q35, Some(q35Sql)),
     "q40_decimal_canary" -> QueryDef(q40, Some(q40Sql)),

@@ -94,6 +94,28 @@ class StreamIndexSpec extends SparkSuite {
     assert(err.getMessage.contains("already indexed"))
   }
 
+  test("compact self-heals every crash state a previous compact can leave") {
+    val out = freshDir("streamindex_heal")
+    StreamIndex.applyBatch(spark, out, chunks(0), 0L)
+    StreamIndex.applyBatch(spark, out, chunks(1), 1L)
+    val truth = StreamIndex.searchLive(spark, out).collect().toSeq
+    val live = Paths.get(out, "postings")
+    val old = Paths.get(out, "postings_retiring")
+    // crash BETWEEN the two swap renames: postings/ missing, retiring live
+    Files.move(live, old)
+    StreamIndex.compact(spark, out)
+    assert(StreamIndex.searchLive(spark, out).collect().toSeq == truth,
+      "heal lost rows after a mid-swap crash")
+    // crash AFTER the swap but before cleanup: stale retiring + staging
+    Files.createDirectories(old)
+    Files.createDirectories(Paths.get(out, "postings_compacting"))
+    StreamIndex.compact(spark, out)
+    assert(!Files.exists(old) &&
+      !Files.exists(Paths.get(out, "postings_compacting")))
+    assert(StreamIndex.searchLive(spark, out).collect().toSeq == truth,
+      "heal lost rows after a post-swap crash")
+  }
+
   test("compact folds deltas to one partition per table, invisibly to search") {
     val out = freshDir("streamindex_compact")
     StreamIndex.applyBatch(spark, out, chunks(0), 0L)
