@@ -261,6 +261,32 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("merge_scd2 / q55: one user_id exchange feeds every window and the agg") {
+    // the SCD2 history and the session rollup each claim a single wide
+    // exchange: the collapse/gap windows, the running ids, and (for q55)
+    // the per-(user, session) aggregation all reuse the user_id
+    // partitioning — only the presentation range-exchange may follow
+    Seq("merge_scd2", "q55_session_stats").foreach { name =>
+      val p = physical(name)
+      val hashEx = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1, s"$name has $hashEx hash exchanges:\n$p")
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+    }
+  }
+
+  test("retrieval_rrf: rank prunes push down; fusion never goes cartesian") {
+    val df = SparkEntry.queries("retrieval_rrf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // every top-10 rank filter (lexical, semantic, fused) runs as a
+    // two-phase WindowGroupLimit, so the fusion join sees only bounded
+    // inputs; the probe-side cross is the one declared broadcast
+    assert(finalSection.contains("WindowGroupLimit"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
