@@ -77,7 +77,19 @@ object PostingsIndex {
     * one file set per call inside each bucket partition — run
     * [[compact]] in ingest pauses. `stats/` is refreshed from the
     * post-append doclen so idf/avgdl reflect the grown corpus
-    * immediately. */
+    * immediately.
+    *
+    * CRASH WINDOW, documented not hidden: the three writes (postings,
+    * doclen, stats) are not atomic. A crash after the postings append
+    * but before the doclen append leaves postings rows whose doc_ids the
+    * clash probe (which reads doclen) cannot see — RETRYING the same
+    * slice would then double those postings silently. Treat a crashed
+    * append as poison: rebuild, or diff `postings/` doc_ids against
+    * `doclen/` to find and drop the orphans. Ingest that must survive
+    * crashes mid-append belongs on the streaming twin
+    * ([[graft.streaming.StreamIndex]]), whose per-batch delta
+    * partitions + commit pointer make replay exactly-once by
+    * construction. */
   def append(s: SparkSession, d: String, dir: String): Unit = {
     val (_, _, nBuckets) = readStats(s, dir)
     val docs = T.documents(s, d)
