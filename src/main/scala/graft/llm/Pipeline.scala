@@ -756,6 +756,186 @@ object Pipeline extends QueryGroup {
        |  FROM documents)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- sample_importance: DSIR-style importance resampling --------------
+  // Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score every raw document by how much more likely
+  // its hashed-n-gram features are under a TARGET distribution than under
+  // the RAW distribution, then keep the top slice. The paper's target is
+  // an external trusted corpus; here it is a pinned keyword distribution
+  // ([[dsirTarget]], uniform over query-domain terms) — the same shape
+  // an external corpus reduces to after the paper's hashed-n-gram trick:
+  // a fixed-width count vector over [[dsirBuckets]] buckets. (The
+  // fixture's lang/source sub-corpora all share one word distribution —
+  // measured KL ≈ 0.001 — so deriving the target from a subset would
+  // score noise; an explicit target keeps the operator honest.)
+  //
+  // Scale shape (the reason DSIR works at 100 TB): the model is two
+  // 256-row count vectors. One word-explode pass with a map-side partial
+  // agg produces the raw one (one shuffle of 256×32 partial rows); the
+  // target one is constant. The per-bucket log-ratio table is then
+  // BROADCAST, so scoring is the per-doc (doc_id, bucket) count agg — a
+  // doc-keyed shuffle that AQE coalesces — plus a broadcast hash join
+  // and one more doc-keyed sum. Nothing joins corpus-to-corpus; the
+  // final top-k is a TakeOrdered (per-partition heap, no global sort).
+  //
+  // Cross-engine determinism: each libm ln() is rounded through
+  // DECIMAL(18,6) immediately (the text_tfidf rule), per-bucket ratios
+  // subtract exactly in decimal, and the per-doc score Σ c·lr is an
+  // exact order-free decimal sum, so Spark and DuckDB order identical
+  // score values; doc_id breaks any remaining tie.
+  private val dsirBuckets = 256L
+  private val dsirTarget =
+    Seq("join", "query", "scan", "index", "sort", "merge", "filter", "hash")
+
+  private def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def bucket(c: org.apache.spark.sql.Column) =
+      (h48(concat(lit("dsir:"), c)) % dsirBuckets).as("b")
+    val w = Dedup.words(T.documents(s, d))
+      .select(col("doc_id"), bucket(col("word")))
+    val raw = w.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgt = dsirTarget.toDF("word")
+      .select(bucket(col("word")))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val totals = raw.agg(sum(col("c_r")).as("n_r"),
+      lit(dsirTarget.size.toLong).as("n_t"))
+    def logp(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      log((c + 1).cast(DoubleType) /
+        (n + dsirBuckets).cast(DoubleType)).cast(DecimalType(18, 6))
+    val lr = raw.join(broadcast(tgt), Seq("b"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (logp(col("c_t"), col("n_t")) - logp(col("c_r"), col("n_r"))).as("lr"))
+    // Score = MEAN per-word log-ratio, not the raw sum: document lengths
+    // vary 10×, and the unnormalized Σ c·lr measures length as much as
+    // domain fit (a long neutral doc out-scores a short on-target one).
+    // The decimal Σ is exact/order-free; the single double divide that
+    // normalizes it is one IEEE op, identical in both engines.
+    w.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lr")).as("logw_dec"),
+        sum(col("c")).as("n_words"))
+      .withColumn("logw",
+        col("logw_dec").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_words"), col("logw"))
+  }
+
+  private val sampleImportanceSql = {
+    val tgtValues = dsirTarget.map(w => s"('$w')").mkString(", ")
+    s"""WITH wrd AS (
+       |  SELECT doc_id,
+       |    CAST('0x'||substring(md5('dsir:'||word),1,12) AS BIGINT) % $dsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) WHERE word <> ''),
+       |raw AS (SELECT b, COUNT(*) AS c_r FROM wrd GROUP BY b),
+       |tgt AS (
+       |  SELECT CAST('0x'||substring(md5('dsir:'||word),1,12) AS BIGINT) % $dsirBuckets AS b,
+       |    COUNT(*) AS c_t
+       |  FROM (VALUES $tgtValues) AS t(word) GROUP BY b),
+       |tot AS (SELECT SUM(c_r) AS n_r, ${dsirTarget.size} AS n_t FROM raw),
+       |lr AS (
+       |  SELECT raw.b AS b,
+       |    CAST(ln(CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) / CAST(n_t + $dsirBuckets AS DOUBLE)) AS DECIMAL(18,6))
+       |  - CAST(ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + $dsirBuckets AS DOUBLE)) AS DECIMAL(18,6)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+       |dc AS (SELECT doc_id, b, COUNT(*) AS c FROM wrd GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |  CAST(SUM(c * lr) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS logw
+       |FROM dc JOIN lr USING (b)
+       |GROUP BY doc_id
+       |ORDER BY CAST(SUM(c * lr) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
+  // ---- curate_gopher_rules: published rule-battery quality filter -------
+  // The Gopher rule filter (Rae et al. 2021, arXiv:2112.11446 App. A,
+  // reused by RefinedWeb/FineWeb): a document passes only if EVERY
+  // hard rule holds; failures are reported as a bitmask so downstream
+  // curation can inspect WHICH rule fired, not just that one did.
+  // Thresholds are the published ones where the fixture can exercise
+  // them (mean word length 3..10, ≥2 distinct stopwords, ≥80% alphabetic
+  // words, most-common-word fraction ≤0.2); the word-count band rescales
+  // the paper's 50..100k to this corpus's 10..99-word documents (20..80)
+  // so the rule actually discriminates at test scale.
+  //
+  // Scale shape: one word-explode with a two-level doc-keyed agg — the
+  // (doc_id, word-hash) count feeds both the top-word fraction and the
+  // distinct-stopword count map-side, so the whole battery is two
+  // doc-keyed shuffles and a narrow final projection. No joins, no
+  // corpus-wide state: the filter is embarrassingly parallel, which is
+  // what lets the published pipelines run it before dedup at web scale.
+  private val gopherStop = Seq("the", "a", "of", "and", "is")
+
+  private def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(gopherStop.map(lit): _*)
+    val wc = Dedup.words(T.documents(s, d))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      sum(col("c") * length(col("word"))).as("n_word_chars"),
+      // wc is one row per distinct (doc, word), so counting stopword ROWS
+      // counts DISTINCT stopwords — the rule as published
+      count(when(array_contains(stopArr, col("word")), true)).as("stop_distinct"),
+      sum(when(col("word").rlike("^[a-z]+$"), col("c")).otherwise(0L)).as("n_alpha"),
+      max(col("c")).as("top_c"))
+    perDoc
+      .withColumn("avg_wlen",
+        col("n_word_chars").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("top_word_frac",
+        col("top_c").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("alpha_frac",
+        col("n_alpha").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("flags",
+        (when(col("n_words") < 20 || col("n_words") > 80, 1L).otherwise(0L) +
+         when(col("avg_wlen") < 3.0 || col("avg_wlen") > 10.0, 2L).otherwise(0L) +
+         when(col("stop_distinct") < 2, 4L).otherwise(0L) +
+         when(col("alpha_frac") < 0.8, 8L).otherwise(0L) +
+         when(col("top_word_frac") > 0.2, 16L).otherwise(0L)).cast(LongType))
+      .withColumn("keep", col("flags") === 0L)
+      .select(col("doc_id"), col("n_words"), col("avg_wlen"),
+        col("stop_distinct"), col("top_word_frac"), col("flags"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherRulesSql = {
+    val stopList = gopherStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY doc_id, word),
+       |pd AS (
+       |  SELECT doc_id, SUM(c) AS n_words,
+       |    SUM(c * length(word)) AS n_word_chars,
+       |    COUNT(CASE WHEN word IN ($stopList) THEN 1 END) AS stop_distinct,
+       |    SUM(CASE WHEN regexp_matches(word, '^[a-z]+$$') THEN c ELSE 0 END) AS n_alpha,
+       |    MAX(c) AS top_c
+       |  FROM wc GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_wlen,
+       |  CAST(stop_distinct AS BIGINT) AS stop_distinct,
+       |  CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       |  CAST((CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+       |             OR CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 2 ELSE 0 END) +
+       |       (CASE WHEN stop_distinct < 2 THEN 4 ELSE 0 END) +
+       |       (CASE WHEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.8 THEN 8 ELSE 0 END) +
+       |       (CASE WHEN CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2 THEN 16 ELSE 0 END)
+       |    AS BIGINT) AS flags,
+       |  ((CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END) +
+       |   (CASE WHEN CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+       |         OR CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 2 ELSE 0 END) +
+       |   (CASE WHEN stop_distinct < 2 THEN 4 ELSE 0 END) +
+       |   (CASE WHEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.8 THEN 8 ELSE 0 END) +
+       |   (CASE WHEN CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2 THEN 16 ELSE 0 END)) = 0
+       |    AS keep
+       |FROM pd ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
@@ -771,5 +951,7 @@ object Pipeline extends QueryGroup {
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
     "curate_verdict" -> QueryDef(curateVerdict, Some(curateVerdictSql)),
     "ingest_dedup_incremental" -> QueryDef(ingestDedup, Some(ingestDedupSql)),
+    "sample_importance" -> QueryDef(sampleImportance, Some(sampleImportanceSql)),
+    "curate_gopher_rules" -> QueryDef(gopherRules, Some(gopherRulesSql)),
   )
 }

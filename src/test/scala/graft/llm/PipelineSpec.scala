@@ -154,6 +154,58 @@ class PipelineSpec extends SparkSuite {
       .map(_.getLong(0)).toSet == expectDup)
   }
 
+  test("importance resampling: score tracks target-keyword density") {
+    // independent per-doc target-term density, straight off the raw text
+    val tgt = Seq("join", "query", "scan", "index", "sort", "merge",
+      "filter", "hash")
+    val density = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg((sum(when(col("w").isInCollection(tgt), 1).otherwise(0)) /
+        count(lit(1))).as("dens"))
+    val scored = run("sample_importance").cache()
+    try {
+      val joined = scored.join(density, "doc_id")
+        .select("doc_id", "logw", "dens").collect()
+        .sortBy(-_.getAs[Double]("logw"))
+      val k = joined.length / 4
+      val top = joined.take(k).map(_.getAs[Double]("dens")).sum / k
+      val bot = joined.takeRight(k).map(_.getAs[Double]("dens")).sum / k
+      // log p_target/p_raw with a keyword target ⇒ keyword-dense docs
+      // must out-rank keyword-sparse ones — the signal DSIR exists for
+      assert(top > bot, s"top-quartile density $top not above bottom $bot")
+      // and the weight ordering itself is what the query returned
+      assert(joined.map(_.getLong(0)).take(5).toSeq ===
+        scored.limit(5).collect().map(_.getLong(0)).toSeq)
+      // deterministic across recomputation
+      val again = run("sample_importance").select("logw").as[Double].collect()
+      assert(scored.select("logw").as[Double].collect().toSeq === again.toSeq)
+    } finally scored.unpersist()
+  }
+
+  test("gopher rules: keep iff no flag, bits match their rules, full coverage") {
+    val df = run("curate_gopher_rules").cache()
+    try {
+      assert(df.count() ===
+        graft.core.Tables.documents(spark, sfDir).count())
+      assert(df.where(col("keep") =!= (col("flags") === 0L)).count() === 0)
+      // only the five defined bits may ever be set
+      assert(df.where(col("flags") >= 32L || col("flags") < 0L).count() === 0)
+      // bit 1 = word-count band, recomputed independently from the output
+      assert(df.where(
+        (col("flags").bitwiseAND(1L) =!= 0L) =!=
+          (col("n_words") < 20 || col("n_words") > 80)).count() === 0)
+      // bit 4 = stopword rule
+      assert(df.where(
+        (col("flags").bitwiseAND(4L) =!= 0L) =!=
+          (col("stop_distinct") < 2)).count() === 0)
+      // the battery must discriminate on this corpus, not rubber-stamp it
+      val kept = df.where(col("keep")).count()
+      assert(kept > 0 && kept < df.count(), s"kept $kept of ${df.count()}")
+    } finally df.unpersist()
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {

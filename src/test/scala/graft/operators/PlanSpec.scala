@@ -287,6 +287,28 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("sample_importance: log-ratio model broadcasts; top-k is TakeOrdered") {
+    val df = SparkEntry.queries("sample_importance")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the 256-row log-ratio table joins the per-doc bucket counts as a
+    // broadcast — the corpus side never shuffles for the model join
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    // final slice is a per-partition heap, not a global sort
+    assert(finalSection.contains("TakeOrderedAndProject"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("curate_gopher_rules: join-free — two doc-keyed aggs and a projection") {
+    val p = physical("curate_gopher_rules")
+    assert(!p.contains("Join"), p)
+    // (doc_id, word) count then doc_id rollup: the second agg reuses the
+    // doc_id-prefixed partitioning, so ONE hash exchange runs the battery
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"gopher rules has $hashEx hash exchanges:\n$p")
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
