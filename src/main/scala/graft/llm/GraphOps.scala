@@ -103,6 +103,79 @@ object GraphOps extends QueryGroup {
        |SELECT node, rank AS rank_scaled FROM i3
        |ORDER BY rank_scaled DESC, node""".stripMargin
 
+  // ---- graph_triangles: degree-ordered triangle counting ----------------
+  // Per-node triangle counts over the same similarity graph as PageRank —
+  // the local-clustering signal (a doc in many triangles sits in a dense
+  // near-dup community; one in none is a chance pairing). Exact integer
+  // counts, so cross-engine determinism is free.
+  //
+  // Scale shape — the MapReduce triangle-counting design (Suri &
+  // Vassilvitskii 2011, WWW): orient every undirected edge from its
+  // lower-(degree, id) endpoint to the higher one. The orientation makes
+  // the edge set a DAG whose max out-degree is O(√m), so the wedge join
+  // (e ⋈ e on the source) generates O(m^1.5) candidates TOTAL instead of
+  // Σ deg² — a hub with a million neighbors contributes nothing from its
+  // own wedge list because all its edges point INTO it. Each triangle
+  // then closes exactly once, at its minimum corner. Three joins on
+  // 8-byte ids; the edge pipeline itself is the stop-shingle-capped
+  // linear build shared with PageRank (never all-pairs), and the oriented
+  // edge set is materialized once ([[Materialize.cut]]) since the wedge
+  // join reads it from both sides plus the closing probe.
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(s, d).filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val deg = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val e = Materialize.cut(pairs
+      .join(deg.select(col("node").as("doc_a"), col("dg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("dg").as("db")), Seq("doc_b"))
+      .select(
+        when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("v")))
+    // wedges at u close iff (x, y) is itself an oriented edge; exactly one
+    // of the (x, y)/(y, x) wedge orders can match, so each triangle counts
+    // once — no /3, no distinct
+    val wedges = e.select(col("u"), col("v").as("x"))
+      .join(e.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") =!= col("y"))
+    val tri = wedges.join(e.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+  }
+
+  private val trianglesSql =
+    s"""${Dedup.jaccardCte},
+       |prs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.3),
+       |deg AS (SELECT node, COUNT(*) AS dg FROM (
+       |  SELECT doc_a AS node FROM prs UNION ALL SELECT doc_b FROM prs) GROUP BY node),
+       |e AS (SELECT
+       |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND doc_a < doc_b)
+       |    THEN doc_a ELSE doc_b END AS u,
+       |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND doc_a < doc_b)
+       |    THEN doc_b ELSE doc_a END AS v
+       |  FROM prs
+       |  JOIN deg da ON da.node = doc_a
+       |  JOIN deg db ON db.node = doc_b),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.u = e1.u AND e1.v <> e2.v
+       |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |corners AS (SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT node, COUNT(*) AS n_tri FROM corners
+       |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
-    "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)))
+    "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
+    "graph_triangles" -> QueryDef(triangles, Some(trianglesSql)))
 }

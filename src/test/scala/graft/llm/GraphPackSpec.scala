@@ -32,6 +32,45 @@ class GraphPackSpec extends SparkSuite {
     assert(nodes == pairNodes)
   }
 
+  test("triangles: per-node counts equal a brute-force enumeration") {
+    // sf0.001's pair graph may hold no triangle; grade on sf0.01 where
+    // near-dup clusters of >= 3 docs exist (3 corner rows verified)
+    val dir = "/root/testdata/sf0.01"
+    val edges = Dedup.jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    val expected = collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges
+      c <- adj(a) if c > b && edges.contains((b, c))
+    } Seq(a, b, c).foreach(n => expected(n) = expected.getOrElse(n, 0L) + 1L)
+    val got = SparkEntry.queries("graph_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap, s"got $got expected $expected")
+    assert(got.nonEmpty, "fixture grew no triangles — test lost its teeth")
+  }
+
+  test("profile_drift: halves partition the stream, psi terms non-negative") {
+    val df = SparkEntry.queries("profile_drift")(spark, sfDir).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // (p_b − p_a) and ln(p_b/p_a) always share a sign, so every PSI
+      // term is >= 0 — a negative one means the formula desynced
+      assert(rows.forall(_.getAs[Double]("psi_term") >= 0.0))
+      // the two halves partition the events exactly
+      val total = rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+      assert(total === graft.core.Tables.events(spark, sfDir).count())
+      // smoothed probabilities are distributions: each side sums to 1
+      val sa = rows.map(_.getAs[Double]("p_a")).sum
+      val sb = rows.map(_.getAs[Double]("p_b")).sum
+      assert(math.abs(sa - 1.0) < 1e-9 && math.abs(sb - 1.0) < 1e-9, (sa, sb))
+    } finally df.unpersist()
+  }
+
   test("pack_sequences: contiguous offsets, conserved tokens, stable ids") {
     val rows = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_tokens")).sum
