@@ -535,8 +535,10 @@ object Dedup extends QueryGroup {
   /** `nPlanes` is the scale knob: cells = labels × 2^nPlanes, so a
     * deployment holds per-cell population constant by raising it with
     * log2 of the corpus size. The registry pins 4 for oracle stability. */
-  private[llm] def embCosinePairs(s: SparkSession, d: String,
-      nPlanes: Int): DataFrame = {
+  /** Guarded vectors with their (label, SRP-bucket) cell: the shared
+    * blocking relation for the embedding near-dup family (pair mining and
+    * SemDeDup survivor selection read the same cells). */
+  private def srpCells(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
     // zero-norm guard — same rationale and oracle mirror as q31. The nsq
@@ -544,11 +546,16 @@ object Dedup extends QueryGroup {
     // the bucket is computed directly on the surviving rows — ONE scan,
     // no separate bucket table to shuffle-join back on vec_id. The dim
     // guard stays loud, as in lshInput.
-    val n = e.withColumn("nsq", dot(col("emb"), col("emb")))
+    e.withColumn("nsq", dot(col("emb"), col("emb")))
       .where(col("nsq") > 0)
       .where(fitsPlaneMatrix(col("emb")))
       .withColumn("bucket",
         graft.functions.LshProject.bucket(col("emb"), lshDirs, nPlanes))
+  }
+
+  private[llm] def embCosinePairs(s: SparkSession, d: String,
+      nPlanes: Int): DataFrame = {
+    val n = srpCells(s, d, nPlanes)
     val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
@@ -591,6 +598,179 @@ object Dedup extends QueryGroup {
       |FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
       |  AND a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
+
+  // ---- dedup_semdedup: centroid-guided semantic dedup (SemDeDup) --------
+  // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+  // embedding space, call within-cluster pairs above a cosine threshold
+  // semantic duplicates, and for each duplicate pair KEEP the member
+  // farther from the cluster centroid (the paper's finding: the
+  // low-centroid-similarity member is the more informative example).
+  // Clusters here are the family's deterministic (label, SRP-bucket)
+  // cells — the same seeded construction embCosinePairs blocks with —
+  // instead of k-means, so the operator is reproducible and
+  // oracle-mirrorable; the dup threshold is pinned at 0.35, calibrated to
+  // the synthetic corpus whose intra-label cosines top out near 0.47
+  // (real deployments with genuinely duplicated embeddings run the same
+  // plan at ~0.95).
+  //
+  // Output is the per-label damage report: vectors considered, cells,
+  // dup pairs found, vectors dropped, vectors kept.
+  //
+  // Determinism: pair cosines are the embCosinePairs construction
+  // (raw-double dot, DECIMAL(10,4) at the edge); centroid similarity is
+  // exact-integer — q6-quantized components, per-cell component sums in
+  // DECIMAL(38,0)/HUGEINT (an int64 would wrap at sf1 populations), so
+  // cos(v, centroid) = dotq / (sqrt(vq2)·sqrt(cq2)) is one IEEE division
+  // of identical doubles, rounded DECIMAL(10,4) BEFORE the survivor
+  // comparison; ties break on vec_id. A vector quantizing to zero norm
+  // (or a cell whose sum cancels to zero) gets a null centroid-cos and
+  // its pairs are ignored — defined, mirrored, loud in the report.
+  //
+  // Scale shape: cells bound the pair join exactly as embCosinePairs
+  // (population per cell is the knob nPlanes holds constant); the
+  // centroid pass is one explode + per-(cell,pos) hash agg + broadcast
+  // of cell sums (cells × dims rows, corpus-size-independent) + one
+  // per-vector agg — no all-pairs, no driver math.
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    def q6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast(LongType)
+    val n = srpCells(s, d, nPlanes = 4)
+    val comp = n.select(col("vec_id"), col("label"), col("bucket"),
+        posexplode(col("emb")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("label"), col("bucket"), col("pos"),
+        q6(col("v0")).as("qv"))
+    val cellSum = comp.groupBy(col("label"), col("bucket"), col("pos"))
+      .agg(sum(col("qv").cast(dec38)).as("sc"))
+    val cellNorm = cellSum.groupBy(col("label"), col("bucket"))
+      .agg(sum(col("sc") * col("sc")).cast(dec38).as("cq2"))
+    val perVec = comp.join(broadcast(cellSum), Seq("label", "bucket", "pos"))
+      .groupBy(col("label"), col("bucket"), col("vec_id"))
+      .agg(sum(col("qv").cast(dec38) * col("sc")).cast(dec38).as("dotq"),
+        sum((col("qv") * col("qv")).cast(dec38)).as("vq2"))
+    val cosc = perVec.join(broadcast(cellNorm), Seq("label", "bucket"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        when(col("vq2") > 0 && col("cq2") > 0,
+          (col("dotq").cast(DoubleType) /
+            (sqrt(col("vq2").cast(DoubleType)) * sqrt(col("cq2").cast(DoubleType))))
+            .cast(DecimalType(10, 4))).as("cosc"))
+    val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
+      col("emb").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = n.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
+      col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    val pairs = a.join(b, Seq("label", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", (dot(col("emb_a"), col("emb_b")) /
+        (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).cast(DecimalType(10, 4)))
+      .filter(col("cos") >= 0.35)
+      .select(col("label"), col("bucket"), col("vec_a"), col("vec_b"))
+    val judged = pairs
+      .join(cosc.select(col("label"), col("bucket"),
+        col("vec_id").as("vec_a"), col("cosc").as("cosc_a")),
+        Seq("label", "bucket", "vec_a"))
+      .join(cosc.select(col("label"), col("bucket"),
+        col("vec_id").as("vec_b"), col("cosc").as("cosc_b")),
+        Seq("label", "bucket", "vec_b"))
+      .where(col("cosc_a").isNotNull && col("cosc_b").isNotNull)
+      // the loser (dropped member) sits CLOSER to the centroid; ties on
+      // the rounded decimal break toward the higher vec_id
+      .select(col("label"),
+        when(col("cosc_a") > col("cosc_b"), col("vec_a"))
+          .otherwise(col("vec_b")).as("drop_id"))
+    val base = n.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("bucket")).as("n_cells"))
+    val pairAgg = pairs.groupBy(col("label")).agg(count(lit(1)).as("n_dup_pairs"))
+    val dropAgg = judged.select(col("label"), col("drop_id")).distinct()
+      .groupBy(col("label")).agg(count(lit(1)).as("n_dropped"))
+    base.join(pairAgg, Seq("label"), "left")
+      .join(dropAgg, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("n_cells"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  private val semDedupSql =
+    s"""WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
+      |          SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) AS proj
+      |  FROM x CROSS JOIN (SELECT unnest(range(4)) AS p)
+      |  GROUP BY vec_id, p),
+      |bkt AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (
+      |  SELECT e.vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    $guardedNsq AS nsq, b.bucket
+      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
+      |  WHERE $guardedNsq > 0),
+      |comp AS (
+      |  SELECT n.vec_id, label, bucket,
+      |    generate_subscripts(emb, 1) AS pos,
+      |    CAST(floor(unnest(emb) * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM n),
+      |cellsum AS (
+      |  SELECT label, bucket, pos, SUM(CAST(qv AS HUGEINT)) AS sc
+      |  FROM comp GROUP BY label, bucket, pos),
+      |cellnorm AS (
+      |  SELECT label, bucket, SUM(sc * sc) AS cq2
+      |  FROM cellsum GROUP BY label, bucket),
+      |pervec AS (
+      |  SELECT comp.label, comp.bucket, vec_id,
+      |    SUM(CAST(qv AS HUGEINT) * sc) AS dotq,
+      |    SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS vq2
+      |  FROM comp JOIN cellsum ON comp.label = cellsum.label
+      |    AND comp.bucket = cellsum.bucket AND comp.pos = cellsum.pos
+      |  GROUP BY comp.label, comp.bucket, vec_id),
+      |cosc AS (
+      |  SELECT vec_id, pv.label, pv.bucket,
+      |    CASE WHEN vq2 > 0 AND cq2 > 0 THEN
+      |      CAST(CAST(dotq AS DOUBLE) /
+      |        (sqrt(CAST(vq2 AS DOUBLE)) * sqrt(CAST(cq2 AS DOUBLE)))
+      |        AS DECIMAL(10,4)) END AS cosc
+      |  FROM pervec pv JOIN cellnorm cn
+      |    ON pv.label = cn.label AND pv.bucket = cn.bucket),
+      |pairs AS (
+      |  SELECT a.label, a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_inner_product(a.emb, b.emb) /
+      |      (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(10,4)) >= 0.35),
+      |judged AS (
+      |  SELECT p.label,
+      |    CASE WHEN ca.cosc > cb.cosc THEN p.vec_a ELSE p.vec_b END
+      |      AS drop_id
+      |  FROM pairs p
+      |  JOIN cosc ca ON ca.label = p.label AND ca.bucket = p.bucket
+      |    AND ca.vec_id = p.vec_a
+      |  JOIN cosc cb ON cb.label = p.label AND cb.bucket = p.bucket
+      |    AND cb.vec_id = p.vec_b
+      |  WHERE ca.cosc IS NOT NULL AND cb.cosc IS NOT NULL),
+      |base AS (
+      |  SELECT label, COUNT(*) AS n_vecs, COUNT(DISTINCT bucket) AS n_cells
+      |  FROM n GROUP BY label),
+      |pagg AS (
+      |  SELECT label, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY label),
+      |dagg AS (
+      |  SELECT label, COUNT(*) AS n_dropped
+      |  FROM (SELECT DISTINCT label, drop_id FROM judged) GROUP BY label)
+      |SELECT base.label AS label, n_vecs, n_cells,
+      |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+      |  COALESCE(n_dropped, 0) AS n_dropped,
+      |  n_vecs - COALESCE(n_dropped, 0) AS n_kept
+      |FROM base LEFT JOIN pagg ON base.label = pagg.label
+      |LEFT JOIN dagg ON base.label = dagg.label
+      |ORDER BY label""".stripMargin
 
   // ---- Near-dup clustering: converging label propagation ----------------
   // The dedup endgame: connected components over the near-dup pair graph
@@ -825,6 +1005,7 @@ object Dedup extends QueryGroup {
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
+    "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
     "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
   )

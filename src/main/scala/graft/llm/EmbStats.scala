@@ -250,8 +250,89 @@ object EmbStats extends QueryGroup {
       |LEFT JOIN ht USING (budget) CROSS JOIN nt
       |ORDER BY budget""".stripMargin
 
+  // ---- emb_outlier_zscore: per-dimension z-score outlier report ----------
+  // The embedding sanity filter a curation run applies before ANN
+  // indexing: per dimension, corpus mean/variance; per vector, the worst
+  // absolute z-score across dimensions and how many dimensions sit beyond
+  // 3σ. Vectors topping the report are the mis-encoded / corrupted rows
+  // you quarantine before they poison centroid training.
+  //
+  // Determinism: with μ = s1/(n·1e6) and σ = sqrt(n·s2 − s1²)/(n·1e6)
+  // over q6-quantized components, the z-score ALGEBRAICALLY reduces to
+  //     z = |n·qv − s1| / sqrt(n·s2 − s1²)
+  // — an exact-integer numerator (DECIMAL(38,0) here ≡ HUGEINT in the
+  // oracle; n·s2 ≤ ~1e24 would silently wrap an int64 at sf1, hence the
+  // wide type), ONE sqrt, ONE division, both on correctly-rounded doubles
+  // → bit-identical engines. z rounds through DECIMAL(10,4) at the edge
+  // (the family's cosine rule) BEFORE max/comparisons, so ordering and
+  // the 3σ test see identical decimals. A zero-variance dimension yields
+  // a DEFINED null z (constant dimension says nothing about outliers).
+  //
+  // Scale shape: one explode + per-pos hash agg (64 rows out), stats
+  // broadcast back (dims × 24 bytes at ANY corpus size), per-vector agg,
+  // TakeOrderedAndProject top-50 — a single wide exchange at 100 TB.
+  private def outlierZscore(s: SparkSession, d: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val comp = T.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos"),
+        q6(col("v0").cast(DoubleType)).as("qv"))
+    val st = comp.groupBy(col("pos")).agg(
+      count(lit(1)).as("n"),
+      sum(col("qv").cast(dec38)).as("s1"),
+      sum((col("qv") * col("qv")).cast(dec38)).as("s2"))
+      .select(col("pos"), col("n"), col("s1"),
+        (col("n").cast(dec38) * col("s2") - col("s1") * col("s1"))
+          .cast(dec38).as("varnum"))
+    comp.join(broadcast(st), Seq("pos"))
+      .select(col("vec_id"),
+        when(col("varnum") > 0,
+          (abs(col("n").cast(dec38) * col("qv").cast(dec38) - col("s1"))
+            .cast(DoubleType) / sqrt(col("varnum").cast(DoubleType)))
+            .cast(DecimalType(10, 4))).as("zd"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("zd")).as("max_zd"),
+        sum(when(col("zd") > 3.0, 1L).otherwise(0L)).cast(LongType)
+          .as("n_extreme"))
+      .where(col("max_zd").isNotNull)
+      .orderBy(col("max_zd").desc, col("vec_id")).limit(50)
+      .select(col("vec_id"), col("max_zd").cast(DoubleType).as("max_z"),
+        col("n_extreme"))
+  }
+
+  private val outlierZscoreSql =
+    """WITH comp AS (
+      |  SELECT vec_id, pos,
+      |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM (
+      |    SELECT vec_id, unnest(embedding) AS v,
+      |      generate_subscripts(embedding, 1) - 1 AS pos
+      |    FROM embeddings)),
+      |st AS (
+      |  SELECT pos, COUNT(*) AS n,
+      |    SUM(CAST(qv AS HUGEINT)) AS s1,
+      |    SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS s2
+      |  FROM comp GROUP BY pos),
+      |z AS (
+      |  SELECT vec_id,
+      |    CASE WHEN n * s2 - s1 * s1 > 0 THEN
+      |      CAST(CAST(abs(CAST(n AS HUGEINT) * CAST(qv AS HUGEINT) - s1)
+      |          AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |        AS DECIMAL(10,4)) END AS zd
+      |  FROM comp JOIN st USING (pos)),
+      |agg AS (
+      |  SELECT vec_id, MAX(zd) AS max_zd,
+      |    CAST(SUM(CASE WHEN zd > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_extreme
+      |  FROM z GROUP BY vec_id)
+      |SELECT vec_id, CAST(max_zd AS DOUBLE) AS max_z, n_extreme
+      |FROM agg WHERE max_zd IS NOT NULL
+      |ORDER BY max_zd DESC, vec_id LIMIT 50""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_centroid_stats" -> QueryDef(centroidStats, Some(centroidStatsSql)),
+    "emb_outlier_zscore" -> QueryDef(outlierZscore, Some(outlierZscoreSql)),
     "emb_quantize_int8" -> QueryDef(quantizeInt8, Some(quantizeInt8Sql)),
     "emb_truncate_recall" -> QueryDef(truncateRecall, Some(truncateRecallSql)))
 }

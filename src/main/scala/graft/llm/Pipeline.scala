@@ -946,8 +946,66 @@ object Pipeline extends QueryGroup {
        |FROM pd ORDER BY doc_id""".stripMargin
   }
 
+  // ---- sample_cap_per_source: domain frequency capping --------------------
+  // The C4/CCNet-style anti-domination rule: no source (crawl host, site,
+  // book series) may contribute more than CAP documents to the training
+  // mix, and when a source is over cap the LONGEST documents win (length
+  // as the cheap quality proxy; ties break on doc_id for determinism).
+  // Differs from sample_stratified in both intent and output: that query
+  // SELECTS k rows per stratum by seeded hash (uniform sampling); this one
+  // ENFORCES a ceiling by rank and reports the per-source damage — the
+  // rollup a curation run logs so an operator can see which domains were
+  // actually truncated and how many chars survived.
+  //
+  // Scale shape: ONE sort-exchange on source end to end — the damage
+  // report needs every row's rank (dropped rows are counted, not
+  // discarded), so this is a full window pass, and the rollup reuses the
+  // window's source partitioning with map-side partials. A selection-only
+  // variant (emit just the survivors) would instead filter rn≤cap and
+  // plan as WindowGroupLimit, never fully sorting a pathological
+  // million-doc source — sample_stratified demonstrates that plan shape.
+  private val sourceCap = 150
+  private def capPerSource(s: SparkSession, d: String): DataFrame = {
+    val ranked = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id")))
+        .cast(LongType))
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= sourceCap, 1L).otherwise(0L)).cast(LongType)
+          .as("n_kept"),
+        sum(when(col("rn") > sourceCap, 1L).otherwise(0L)).cast(LongType)
+          .as("n_dropped"),
+        sum(when(col("rn") <= sourceCap, col("n_chars")).otherwise(0L))
+          .cast(LongType).as("kept_chars"),
+        min(when(col("rn") <= sourceCap, col("n_chars"))).cast(LongType)
+          .as("min_kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val capPerSourceSql =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= $sourceCap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN rn > $sourceCap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(SUM(CASE WHEN rn <= $sourceCap THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS kept_chars,
+      |  CAST(MIN(CASE WHEN rn <= $sourceCap THEN n_chars END) AS BIGINT)
+      |    AS min_kept_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
+    "sample_cap_per_source" -> QueryDef(capPerSource, Some(capPerSourceSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_split_by_source" -> QueryDef(splitBySource, Some(splitBySourceSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),

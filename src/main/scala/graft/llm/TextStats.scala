@@ -742,8 +742,62 @@ object TextStats extends QueryGroup {
       |  CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS fake_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text_vocab_coverage: fixed-vocab build + OOV-rate report ----------
+  // The tokenizer-sizing question: if the pipeline freezes a top-V word
+  // vocabulary from this corpus, what out-of-vocabulary rate does each
+  // language eat? Vocab = the 500 most frequent words corpus-wide (ties
+  // break on the word itself, so the boundary is deterministic in both
+  // engines); the report per language counts tokens, OOV tokens, the OOV
+  // rate (one IEEE division of exact BIGINTs), and how many documents
+  // contain at least one OOV token.
+  //
+  // Scale shape: word counting is the family's standard hash agg; the
+  // top-500 plans as TakeOrderedAndProject (per-partition top-K partials,
+  // only K rows cross to the final sort — never a global full sort); the
+  // vocab then joins BACK as a broadcast (500 rows at any corpus size),
+  // so the coverage pass is scan + broadcast-probe + per-lang agg: one
+  // wide exchange total at 100 TB.
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val w = words(T.documents(s, d))
+    val vocab = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(500)
+      .select(col("word"), lit(1).as("in_vocab"))
+    w.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast(LongType)
+          .as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("doc_id")))
+          .as("n_docs_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("oov_rate"),
+        col("n_docs_oov"))
+      .orderBy(col("lang"))
+  }
+
+  private val vocabCoverageSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, word FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) WHERE word <> ''),
+      |vocab AS (
+      |  SELECT word FROM (
+      |    SELECT word, COUNT(*) AS cnt FROM wrd GROUP BY word
+      |    ORDER BY cnt DESC, word LIMIT 500))
+      |SELECT lang, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+      |  COUNT(DISTINCT CASE WHEN vocab.word IS NULL THEN doc_id END)
+      |    AS n_docs_oov
+      |FROM wrd LEFT JOIN vocab ON wrd.word = vocab.word
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q32_text_stats"     -> QueryDef(q32, Some(q32Sql)),
+    "text_vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "text_langid"        -> QueryDef(langId, Some(langIdSql)),
     "text_quality"       -> QueryDef(quality, Some(qualitySql)),
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),

@@ -158,8 +158,54 @@ object EventAnalytics extends QueryGroup {
       |          ORDER BY CAST(ts AS TIMESTAMP), event_id) > 5000000, TRUE) AS is_kept
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- q56_transition_matrix: event-type Markov transitions --------------
+  // The sequence-model prep step (and the product-analytics "what do users
+  // do next" table): adjacent event pairs within each user's timeline, and
+  // the empirical transition probability P(to | from). A lead() window per
+  // user — the SAME user_id shuffle key the rest of the family uses, with
+  // per-user sorts bounded by per-user event counts — then a tiny
+  // (|types|², here ≤ 25-row) aggregation; at 100 TB the wide exchange is
+  // the one user_id shuffle, everything after is broadcast-sized.
+  // Determinism: ts ties break on event_id; prob is ONE IEEE division of
+  // exact BIGINTs (the family rule), so values are bit-identical.
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).cast(LongType).as("n_from"))
+    pairs.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_from").cast(org.apache.spark.sql.types.DoubleType)).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q56Sql =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      |  FROM cnt GROUP BY from_type)
+      |SELECT cnt.from_type AS from_type, to_type, n_trans,
+      |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS prob
+      |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "events_dedup_window" -> QueryDef(eventsDedupWindow, Some(eventsDedupWindowSql)),
+    "q56_transition_matrix" -> QueryDef(q56, Some(q56Sql)),
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),
     "q50_funnel" -> QueryDef(q50, Some(q50Sql)),
     "q51_user_growth" -> QueryDef(q51, Some(q51Sql)))
