@@ -98,6 +98,66 @@ object Ann extends QueryGroup {
   private def lshTopk(s: SparkSession, d: String): DataFrame =
     lshTopkAt(s, d, planes = 4, multiProbe = false)
 
+  // ---- retrieval_eval_ndcg: MRR / nDCG@5 grading of the ANN path ---------
+  // The retrieval-quality scorecard: grade the production candidate path
+  // (ann_lsh_topk's bucketed top-5) against brute-force cosine truth, per
+  // probe — reciprocal rank of the first true neighbor, DCG@5 over the
+  // hits, and nDCG against the ideal ranking. This is the recall gate
+  // AnnRecallSpec enforces, promoted to an oracle-graded relation with
+  // rank-position-aware credit (recall treats rank 1 and rank 5 alike;
+  // nDCG does not).
+  //
+  // Determinism: rank gains 1/r and 1/log2(r+1) are IRRATIONAL, and
+  // summing them as doubles is addition-order-dependent — the one thing
+  // the family rules ban. So the 5 gains live in a literal lookup table
+  // (exact DECIMAL(12,8) constants, identical text in both engines),
+  // sums run in exact decimal, and the ONLY floating-point steps are the
+  // final casts and one IEEE division by the ideal DCG constant.
+  //
+  // Scale shape: the system side is the ann_lsh_topk plan unchanged; the
+  // truth side is the declared small-scale brute-force ground truth (the
+  // q31 convention — at real scale you grade against a slower
+  // higher-recall configuration instead, same relation shape). Both
+  // arrive top-5-bounded, so everything downstream is ≤ 5·|probes| rows;
+  // the 5-row gains table broadcasts.
+  private def evalNdcg(s: SparkSession, d: String): DataFrame = {
+    val gains = {
+      import s.implicits._
+      Seq((1L, "1.00000000", "1.00000000"),
+          (2L, "0.50000000", "0.63092975"),
+          (3L, "0.33333333", "0.50000000"),
+          (4L, "0.25000000", "0.43067656"),
+          (5L, "0.20000000", "0.38685281"))
+        .toDF("rn", "rr0", "gain0")
+        .select(col("rn"), col("rr0").cast(DecimalType(12, 8)).as("rr"),
+          col("gain0").cast(DecimalType(12, 8)).as("gain"))
+    }
+    // idcg@5 = the gain column's sum — kept as a literal so the division
+    // is one engine-identical IEEE op, not a cross-row double sum
+    val idcg5 = 2.94845912
+    val n = normed(s, d).withColumn("ck", lit(1))
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("ck"))
+    val truth = rerank(n, probes, "ck").select(col("q_id"), col("neighbor_id"))
+    val sys = lshTopkAt(s, d, planes = 4, multiProbe = false)
+      .select(col("q_id"), col("neighbor_id"), col("rn"))
+    val per = sys.join(truth, Seq("q_id", "neighbor_id"))
+      .join(broadcast(gains), Seq("rn"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("rr")).as("rrm"),
+        sum(col("gain")).as("dcgd"))
+    probes.select(col("q_id"))
+      .join(per, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("rrm").cast(DoubleType), lit(0.0)).as("rr"),
+        coalesce(col("dcgd").cast(DoubleType), lit(0.0)).as("dcg"),
+        (coalesce(col("dcgd").cast(DoubleType), lit(0.0)) / lit(idcg5))
+          .as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** IVF ANN: coarse quantizer = deterministic k-means (init = the `k`
     * lowest vec_ids, `iters` Lloyd rounds). Each iteration is a
     * distributed narrow aggregation; only the k×dim centroid table
@@ -495,6 +555,50 @@ object Ann extends QueryGroup {
       |  JOIN n c ON q.vec_id < 5 AND xor(q.bucket, CAST(f AS BIGINT)) = c.bucket
       |    AND q.vec_id <> c.vec_id$extraPred)""".stripMargin
 
+  private val evalNdcgSql =
+    s"""$lshCtes,
+      |sys AS (
+      |  SELECT q_id, neighbor_id, rn FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq))
+      |          DESC, c.vec_id) AS BIGINT) AS rn
+      |    FROM n q JOIN n c ON q.vec_id < 5 AND q.bucket = c.bucket
+      |      AND q.vec_id <> c.vec_id)
+      |  WHERE rn <= 5),
+      |tr AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq))
+      |          DESC, c.vec_id) AS rn
+      |    FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      |  WHERE rn <= 5),
+      |gains(rn, rr, gain) AS (VALUES
+      |  (CAST(1 AS BIGINT), CAST('1.00000000' AS DECIMAL(12,8)),
+      |   CAST('1.00000000' AS DECIMAL(12,8))),
+      |  (2, CAST('0.50000000' AS DECIMAL(12,8)),
+      |   CAST('0.63092975' AS DECIMAL(12,8))),
+      |  (3, CAST('0.33333333' AS DECIMAL(12,8)),
+      |   CAST('0.50000000' AS DECIMAL(12,8))),
+      |  (4, CAST('0.25000000' AS DECIMAL(12,8)),
+      |   CAST('0.43067656' AS DECIMAL(12,8))),
+      |  (5, CAST('0.20000000' AS DECIMAL(12,8)),
+      |   CAST('0.38685281' AS DECIMAL(12,8)))),
+      |per AS (
+      |  SELECT sys.q_id, COUNT(*) AS n_hits, MAX(rr) AS rrm,
+      |    SUM(gain) AS dcgd
+      |  FROM sys JOIN tr USING (q_id, neighbor_id)
+      |  JOIN gains ON sys.rn = gains.rn
+      |  GROUP BY sys.q_id)
+      |SELECT p.q_id AS q_id,
+      |  COALESCE(n_hits, 0) AS n_hits,
+      |  COALESCE(CAST(rrm AS DOUBLE), 0.0) AS rr,
+      |  COALESCE(CAST(dcgd AS DOUBLE), 0.0) AS dcg,
+      |  COALESCE(CAST(dcgd AS DOUBLE), 0.0) / 2.94845912 AS ndcg
+      |FROM (SELECT DISTINCT q_id FROM tr) p
+      |LEFT JOIN per USING (q_id) ORDER BY q_id""".stripMargin
+
   private val lshMultiprobeSql =
     s"$lshCtes,\n${multiProbePSql("")}\n$lshTopkTail"
 
@@ -718,6 +822,7 @@ object Ann extends QueryGroup {
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
+    "retrieval_eval_ndcg"    -> QueryDef(evalNdcg, Some(evalNdcgSql)),
     "ann_lsh_multiprobe"     -> QueryDef(lshMultiprobe, Some(lshMultiprobeSql)),
     "ann_hard_negatives"     -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),

@@ -592,6 +592,85 @@ object Pipeline extends QueryGroup {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- text_dup_span_merge: maximal duplicated-span report ---------------
+  // The exact-substring-dedup bookkeeping step (the output format of
+  // Lee et al. 2022's suffix-array dedup, arXiv:2107.06499, re-expressed
+  // over shingle coverage): positions covered by any cross-document
+  // duplicated 5-gram — the same coverage relation text_dedup_spans cuts
+  // out — merged into MAXIMAL contiguous spans via gaps-and-islands
+  // (pos − row_number() is constant exactly within a consecutive run).
+  // Where text_dedup_spans emits the cleaned text, this emits the span
+  // inventory a curation run logs and thresholds on ("drop docs whose
+  // longest duplicated span exceeds K"): per document, span count,
+  // covered words, longest span, first span start.
+  //
+  // Scale shape: the coverage build is the dedup_spans pipeline (hash
+  // agg on 48-bit shingle keys, dup side distinct → 1 row/key); the
+  // islands window and both rollups all ride ONE doc_id exchange.
+  private def dupSpanMerge(s: SparkSession, d: String): DataFrame = {
+    val hsh = Dedup.shingles(T.documents(s, d))
+      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
+      .cache() // read twice: dup-key derivation + coverage join
+    val dup = hsh.select(col("doc_id"), col("shh")).distinct()
+      .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("shh"))
+    val cov = hsh.join(dup, Seq("shh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
+      .distinct()
+    val spans = cov
+      .withColumn("grp",
+        col("pos") - row_number()
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("span_len"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).cast(LongType).as("n_covered"),
+        max(col("span_len")).cast(LongType).as("max_span_len"),
+        min(col("span_start")).cast(LongType).as("first_span_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupSpanMergeSql =
+    """WITH wrd0 AS (
+      |  SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |wrd AS (
+      |  SELECT doc_id, word, CAST(row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos
+      |  FROM wrd0),
+      |shg AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos,
+      |      string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sh,
+      |      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
+      |    FROM wrd) WHERE n_in = 5),
+      |hsh AS (SELECT doc_id, pos,
+      |          CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS shh
+      |        FROM shg),
+      |dup AS (SELECT shh FROM (SELECT DISTINCT doc_id, shh FROM hsh)
+      |        GROUP BY shh HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT h.doc_id, h.pos + o AS pos
+      |        FROM hsh h JOIN dup USING (shh)
+      |        CROSS JOIN (SELECT unnest(range(5)) AS o)),
+      |spans AS (
+      |  SELECT doc_id, grp, MIN(pos) AS span_start, COUNT(*) AS span_len
+      |  FROM (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |            AS grp
+      |        FROM cov)
+      |  GROUP BY doc_id, grp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(span_len) AS BIGINT) AS n_covered,
+      |  CAST(MAX(span_len) AS BIGINT) AS max_span_len,
+      |  CAST(MIN(span_start) AS BIGINT) AS first_span_start
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- ingest_dedup_incremental: new batch vs corpus fingerprints -------
   // The ingest-time twin of q30's batch dedup: an incoming batch (the
   // doc_id % 4 == 0 slice as the deterministic stand-in) resolves each
@@ -1017,6 +1096,7 @@ object Pipeline extends QueryGroup {
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
+    "text_dup_span_merge" -> QueryDef(dupSpanMerge, Some(dupSpanMergeSql)),
     "curate_verdict" -> QueryDef(curateVerdict, Some(curateVerdictSql)),
     "ingest_dedup_incremental" -> QueryDef(ingestDedup, Some(ingestDedupSql)),
     "sample_importance" -> QueryDef(sampleImportance, Some(sampleImportanceSql)),

@@ -203,9 +203,69 @@ object EventAnalytics extends QueryGroup {
       |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q57_attribution: last-touch purchase attribution ------------------
+  // The marketing-analytics classic: credit each purchase to the LAST
+  // non-purchase event preceding it in the user's timeline ('direct' when
+  // nothing precedes), then roll up purchases, revenue, and share per
+  // channel. The carry-forward is a last(ignoreNulls) over a
+  // rows-to-1-PRECEDING frame — the q45 gap-fill machinery pointed at a
+  // conditional — so the whole attribution pass is the event family's ONE
+  // user_id sort-exchange, no join; the rollup output is |event types|
+  // rows and the purchase total joins back as a 1-row broadcast.
+  // Determinism: exact counts, exact DECIMAL(12,4) revenue sums (the
+  // family's money rule) cast to double at the edge, share = one IEEE
+  // division.
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val back = W.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val touched = T.events(s, d)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(back))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        col("value"))
+    val agg = touched.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(T.dec(col("value"))).as("vd"))
+    val tot = agg.agg(sum(col("n_purchases")).cast(LongType).as("nt"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"),
+        col("vd").cast(org.apache.spark.sql.types.DoubleType)
+          .as("total_value"),
+        (col("n_purchases").cast(org.apache.spark.sql.types.DoubleType) /
+          col("nt").cast(org.apache.spark.sql.types.DoubleType)).as("share"))
+      .orderBy(col("channel"))
+  }
+
+  private val q57Sql =
+    """WITH a AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS channel
+      |  FROM events),
+      |p AS (
+      |  SELECT COALESCE(channel, 'direct') AS channel, value
+      |  FROM a WHERE event_type = 'purchase'),
+      |agg AS (
+      |  SELECT channel, COUNT(*) AS n_purchases,
+      |    SUM(CAST(value AS DECIMAL(12,4))) AS vd
+      |  FROM p GROUP BY channel),
+      |tot AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS nt FROM agg)
+      |SELECT channel, n_purchases, CAST(vd AS DOUBLE) AS total_value,
+      |  CAST(n_purchases AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+      |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "events_dedup_window" -> QueryDef(eventsDedupWindow, Some(eventsDedupWindowSql)),
     "q56_transition_matrix" -> QueryDef(q56, Some(q56Sql)),
+    "q57_attribution" -> QueryDef(q57, Some(q57Sql)),
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),
     "q50_funnel" -> QueryDef(q50, Some(q50Sql)),
     "q51_user_growth" -> QueryDef(q51, Some(q51Sql)))

@@ -309,6 +309,69 @@ class PlanSpec extends SparkSuite {
     assert(hashEx <= 2, s"gopher rules has $hashEx hash exchanges:\n$p")
   }
 
+  test("text_vocab_coverage: vocab is TakeOrdered top-k and broadcasts into the probe") {
+    val df = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // top-500 vocab: per-partition heaps, never a global sort of the
+    // word-count table
+    assert(finalSection.contains("TakeOrderedAndProject"), p)
+    // the 500-row vocab meets the token stream as a broadcast — the
+    // corpus side never shuffles for the membership probe
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
+
+  test("emb_outlier_zscore: dims-row stats broadcast; top-50 is TakeOrdered") {
+    val df = SparkEntry.queries("emb_outlier_zscore")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(finalSection.contains("TakeOrderedAndProject"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_semdedup: cell-blocked joins only — no cartesian, cell sums broadcast") {
+    val df = SparkEntry.queries("dedup_semdedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // every join is keyed ((label,bucket[,pos]) or vec-id equi) — the
+    // pair mining and the centroid passes must never degenerate to a
+    // cross of the vector table with itself
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
+    // the cells×dims centroid tables ride broadcasts into the per-vector
+    // passes
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sample_cap_per_source: rollup reuses the window's source exchange") {
+    val df = SparkEntry.queries("sample_cap_per_source")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // rank + rollup share ONE hashpartitioning(source) exchange; the
+    // final orderBy adds a range exchange — nothing else may shuffle
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"cap_per_source has $hashEx hash exchanges:\n$p")
+    assert(!finalSection.contains("Join"), p)
+  }
+
+  test("q56_transition_matrix: one user_id exchange; transition agg never re-sorts events") {
+    val df = SparkEntry.queries("q56_transition_matrix")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), p)
+    // the from-totals join is over the |types|²-row transition table —
+    // broadcast-sized at any corpus size
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
