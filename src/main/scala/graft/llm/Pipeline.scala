@@ -1082,9 +1082,79 @@ object Pipeline extends QueryGroup {
       |    AS min_kept_chars
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- sample_token_budget: sharded greedy selection to a token budget ---
+  // Real training mixes are specified in TOKENS, not documents: "at most B
+  // tokens of language L". The selection must also be deterministic and
+  // append-stable, so membership is decided by seeded-hash order (the
+  // sample_hash_split rule), greedily prefix-summed until the budget.
+  //
+  // Scale design — the reason this is SHARDED: a single per-language
+  // prefix scan is a sequential bottleneck (|langs| concurrent tasks, one
+  // sort each, at any cluster size). The budget instead splits evenly
+  // over 16 hash shards per language (budget/16 each) and every
+  // (lang, shard) runs its own window — 16× the parallelism, same
+  // determinism, and the realized total can undershoot the global budget
+  // by at most (shards × max-doc-tokens), which the utilization column
+  // makes visible. A doc whose tokens alone exceed the shard budget
+  // blocks its shard's tail (greedy prefix contract — monotone cum never
+  // re-descends); production picks shards so budget/shards ≫ max doc.
+  // The rollup reuses the window's partitioning prefix, so the whole
+  // report is ONE wide exchange.
+  private val tokenShards = 16
+  private val shardBudget = 312L // per (lang, shard); ×16 ≈ 5k tokens/lang
+  private def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val t = T.documents(s, d).select(col("doc_id"), col("lang"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast(LongType)
+        .as("n_tokens"),
+      (h48(concat(lit("tbs:"), col("doc_id").cast(StringType))) % tokenShards)
+        .as("shard"),
+      h48(concat(lit("tbo:"), col("doc_id").cast(StringType))).as("h"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= shardBudget, 1L).otherwise(0L))
+          .cast(LongType).as("n_kept"),
+        sum(when(col("cum") <= shardBudget, col("n_tokens")).otherwise(0L))
+          .cast(LongType).as("kept_tokens"))
+      .withColumn("budget", lit(shardBudget * tokenShards))
+      .withColumn("utilization",
+        col("kept_tokens").cast(DoubleType) / col("budget").cast(DoubleType))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS n_tokens,
+      |    CAST('0x'||substring(md5('tbs:'||CAST(doc_id AS VARCHAR)),1,12)
+      |      AS BIGINT) % $tokenShards AS shard,
+      |    CAST('0x'||substring(md5('tbo:'||CAST(doc_id AS VARCHAR)),1,12)
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN cum <= $shardBudget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN cum <= $shardBudget THEN n_tokens ELSE 0 END)
+      |    AS BIGINT) AS kept_tokens,
+      |  CAST(${shardBudget * tokenShards} AS BIGINT) AS budget,
+      |  CAST(SUM(CASE WHEN cum <= $shardBudget THEN n_tokens ELSE 0 END)
+      |      AS DOUBLE) /
+      |    CAST(${shardBudget * tokenShards} AS DOUBLE) AS utilization
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_cap_per_source" -> QueryDef(capPerSource, Some(capPerSourceSql)),
+    "sample_token_budget" -> QueryDef(tokenBudget, Some(tokenBudgetSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
     "sample_split_by_source" -> QueryDef(splitBySource, Some(splitBySourceSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),

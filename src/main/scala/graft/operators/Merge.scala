@@ -153,7 +153,69 @@ object Merge extends QueryGroup {
       |FROM surv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // ---- q58_pit_join: point-in-time join against SCD2 history -------------
+  // The feature-store correctness primitive: each purchase event resolves
+  // to the dimension VERSION that was valid at the purchase instant
+  // ([effective_from, effective_to) interval semantics over the
+  // merge_scd2 history above) — never the current row, which would leak
+  // the future into training features.
+  //
+  // Scale-first formulation: NOT an interval join (Spark plans range
+  // predicates on big tables as shuffled range joins at best). Version
+  // opens and purchases union onto one (user_id; time) axis and a
+  // last(ignoreNulls) carry-forward picks each purchase's governing
+  // version — the as-of shape, ONE exchange + sort keyed by user_id, no
+  // join at all. At equal timestamps version rows sort BEFORE purchases
+  // (`kind` in the ordering) and by version number, so a purchase at an
+  // exact boundary takes the version opening at that instant and
+  // zero-length versions (two changes at one instant) are skipped over —
+  // exactly the [from, to) semantics. The ORACLE, by contrast, runs the
+  // DECLARATIVE interval join — the point of the query: the linear
+  // carry-forward must equal interval semantics row for row.
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val versions = scd2(s, d)
+      .select(col("user_id"), col("effective_from").as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        struct(col("version"), col("state")).as("ver"))
+    val purchases = T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast(versions.schema("ver").dataType).as("ver"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("ver.version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(purchases)
+      .withColumn("gov", last(col("ver"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("gov.version").as("version"), col("gov.state").as("state"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q58Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type FROM events),
+      |chg AS (SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+      |surv AS (SELECT user_id, ts, event_id, event_type FROM chg
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |scd AS (SELECT user_id, row_number() OVER w AS version,
+      |    event_type AS state, ts AS effective_from,
+      |    lead(ts) OVER w AS effective_to
+      |  FROM surv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT user_id, ts, event_id FROM ev
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CAST(s.version AS BIGINT) AS version, s.state
+      |FROM p JOIN scd s ON p.user_id = s.user_id
+      |  AND s.effective_from <= p.ts
+      |  AND (s.effective_to IS NULL OR p.ts < s.effective_to)
+      |ORDER BY p.event_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q47_merge_upsert" -> QueryDef(q47, Some(q47Sql)),
-    "merge_scd2" -> QueryDef(scd2, Some(scd2Sql)))
+    "merge_scd2" -> QueryDef(scd2, Some(scd2Sql)),
+    "q58_pit_join" -> QueryDef(q58, Some(q58Sql)))
 }
