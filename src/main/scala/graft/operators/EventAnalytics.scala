@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.{QueryDef, QueryGroup, Tables => T}
 
@@ -262,8 +262,80 @@ object EventAnalytics extends QueryGroup {
       |  CAST(n_purchases AS DOUBLE) / CAST(nt AS DOUBLE) AS share
       |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin
 
+  // ---- events_late_report: out-of-order arrival profile ------------------
+  // The measurement a watermark delay should be DERIVED from, instead of
+  // guessed: how late do events actually arrive? Arrival order is the
+  // event_id ingest sequence; an event is late when its ts precedes the
+  // max event-time of any EARLIER arrival, and its lateness is that
+  // running max minus its own ts — exactly the slack a
+  // `withWatermark(delay)` needs to cover to not drop it (the streaming
+  // twins' watermark knobs cite this report).
+  //
+  // Scale shape: deliberately NOT one global running-max window (a
+  // single-partition sort — the classic sequential bottleneck). Arrivals
+  // collapse into 100-event blocks first; the running max runs over the
+  // BLOCK SUMMARY (arrivals/100 rows — tiny at any volume), which then
+  // broadcasts back onto the events for an exact prior-block comparison.
+  // Within-block disorder is invisible to this estimate, which UNDERSTATES
+  // lateness by at most one block span — the fidelity/parallelism knob is
+  // the block size, and the watermark consumer rounds up anyway. Rollup to
+  // per-type rows: n, late count/share, max and mean lateness.
+  private def lateReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("tus"),
+      expr("event_id div 100").as("block"))
+    val wb = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = ev.groupBy(col("block")).agg(max(col("tus")).as("bmax"))
+      .withColumn("prior_max", max(col("bmax")).over(wb))
+      .select(col("block"), col("prior_max"))
+    ev.join(broadcast(blocks), Seq("block"))
+      .withColumn("late_us",
+        when(col("prior_max") > col("tus"), col("prior_max") - col("tus"))
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).cast(LongType)
+          .as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).cast(LongType).as("sum_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        (col("n_late").cast(DoubleType) / col("n_events")).as("late_share"),
+        col("max_late_us"),
+        when(col("n_late") > 0,
+          col("sum_late_us").cast(DoubleType) / col("n_late"))
+          .as("avg_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val lateReportSql =
+    """WITH ev AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    event_id // 100 AS block FROM events),
+      |b AS (SELECT block, max(tus) AS bmax FROM ev GROUP BY block),
+      |pb AS (SELECT block, max(bmax) OVER (ORDER BY block
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      |  FROM b),
+      |l AS (SELECT ev.event_type,
+      |    CASE WHEN pb.prior_max > ev.tus THEN pb.prior_max - ev.tus
+      |         ELSE 0 END AS late_us
+      |  FROM ev JOIN pb USING (block))
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS late_share,
+      |  max(late_us) AS max_late_us,
+      |  CASE WHEN sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(sum(late_us) AS DOUBLE) /
+      |      sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+      |    ELSE NULL END AS avg_late_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "events_dedup_window" -> QueryDef(eventsDedupWindow, Some(eventsDedupWindowSql)),
+    "events_late_report" -> QueryDef(lateReport, Some(lateReportSql)),
     "q56_transition_matrix" -> QueryDef(q56, Some(q56Sql)),
     "q57_attribution" -> QueryDef(q57, Some(q57Sql)),
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),

@@ -214,8 +214,78 @@ object Merge extends QueryGroup {
       |  AND (s.effective_to IS NULL OR p.ts < s.effective_to)
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- merge_cdc_fold: raw multi-change-per-key log → fold → apply -------
+  // Real CDC streams (Debezium, binlog tailers) deliver MANY changes per
+  // key per batch; q47 above covers the already-compacted regime. This is
+  // the other half: last-writer-wins log compaction (row_number desc on
+  // the (ts, event_id) sequence per key) down to one change per key, then
+  // the same broadcast-friendly anti-join apply — `applyChanges` with
+  // `preFolded = true`, because the fold IS the uniqueness proof and the
+  // eager duplicate-key re-check would be a wasted extra pass over the
+  // log lineage.
+  //
+  // Deterministic fixture mapping (no extra table needed): events with
+  // event_id % 3 ≠ 0 replay into the base snapshot (their own last-wins
+  // fold — "yesterday's compacted state"); event_id % 3 = 0 is today's
+  // changelog, where an `error` event means DELETE the key, a `signup`
+  // event registers a NEW key (user_id + 1e6 → exercises the insert
+  // path), and everything else is a full-row upsert.
+  //
+  // Scale shape: both folds are one window each on the user_id exchange;
+  // the apply side never shuffles the base (AQE broadcast anti-join —
+  // see applyChanges). 100 TB base + bounded daily log = the log pays
+  // two small exchanges, the base pays zero.
+  private def cdcFold(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lastWins(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn", "ts", "event_id")
+    }
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val base = lastWins(ev.filter(col("event_id") % 3 =!= 0))
+      .withColumnRenamed("event_type", "state")
+    val log = ev.filter(col("event_id") % 3 === 0)
+      .select(
+        when(col("event_type") === "signup", col("user_id") + 1000000L)
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type").as("state"), col("value"),
+        col("ts"), col("event_id"))
+    applyChanges(base, lastWins(log), "user_id", preFolded = true)
+      .orderBy(col("user_id"))
+      .select(col("user_id"), col("state"), col("value"), col("src"))
+  }
+
+  private val cdcFoldSql =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |    event_type, value FROM events),
+      |b0 AS (SELECT user_id, event_type AS state, value, row_number()
+      |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev WHERE event_id % 3 <> 0),
+      |base AS (SELECT user_id, state, value FROM b0 WHERE rn = 1),
+      |l0 AS (SELECT CASE WHEN event_type = 'signup' THEN user_id + 1000000
+      |      ELSE user_id END AS user_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    event_type AS state, value, ts, event_id
+      |  FROM ev WHERE event_id % 3 = 0),
+      |l1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM l0),
+      |chg AS (SELECT user_id, op, state, value FROM l1 WHERE rn = 1)
+      |SELECT user_id, state, value, src FROM (
+      |  SELECT b.user_id, b.state, b.value, 'base' AS src FROM base b
+      |    WHERE b.user_id NOT IN (SELECT user_id FROM chg)
+      |  UNION ALL
+      |  SELECT user_id, state, value, 'upsert' AS src FROM chg
+      |    WHERE op <> 'D')
+      |ORDER BY user_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q47_merge_upsert" -> QueryDef(q47, Some(q47Sql)),
     "merge_scd2" -> QueryDef(scd2, Some(scd2Sql)),
-    "q58_pit_join" -> QueryDef(q58, Some(q58Sql)))
+    "q58_pit_join" -> QueryDef(q58, Some(q58Sql)),
+    "merge_cdc_fold" -> QueryDef(cdcFold, Some(cdcFoldSql)))
 }

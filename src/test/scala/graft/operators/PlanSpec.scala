@@ -372,6 +372,58 @@ class PlanSpec extends SparkSuite {
     assert(finalSection.contains("BroadcastHashJoin"), p)
   }
 
+  test("merge_cdc_fold: base side is never shuffled (broadcast anti-join apply)") {
+    val df = SparkEntry.queries("merge_cdc_fold")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the 100 TB contract: the touched-key anti-join broadcasts (AQE
+    // picks it from the runtime size of the folded log), so the base
+    // lineage pays only its own fold exchange
+    assert(finalSection.contains("BroadcastHashJoin") &&
+      finalSection.contains("LeftAnti"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("profile_join_skew: top-10 is TakeOrdered over the collapsed histogram") {
+    val df = SparkEntry.queries("profile_join_skew")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // totals (1 row) and bucket rollup (32 rows) broadcast back onto the
+    // key histogram; the top-10 must never plan as a global sort
+    assert(finalSection.contains("TakeOrderedAndProject"), p)
+    assert(finalSection.contains("BroadcastHashJoin") ||
+      finalSection.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q59_compaction_plan: manifest plan costs at most two hash exchanges") {
+    val df = SparkEntry.queries("q59_compaction_plan")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // file-grain agg on (event_type, file_id), then the prefix-sum window
+    // re-keys to event_type; the bin rollup MUST ride the window's
+    // partitioning (subset-of-grouping-keys clustering), not re-shuffle
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"compaction plan has $hashEx hash exchanges:\n$p")
+    assert(!finalSection.contains("Join"), p)
+  }
+
+  test("events_late_report: block summary broadcasts; no global event sort") {
+    val df = SparkEntry.queries("events_late_report")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the running max runs over the tiny block table only; the events
+    // side takes it as a broadcast — a single-partition window over raw
+    // events (the sequential formulation) would show here as an Exchange
+    // SinglePartition feeding a Window over the full scan
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
