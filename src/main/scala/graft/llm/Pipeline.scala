@@ -1151,8 +1151,56 @@ object Pipeline extends QueryGroup {
       |    CAST(${shardBudget * tokenShards} AS DOUBLE) AS utilization
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- sample_epoch_order: deterministic interleaved training order ------
+  // The epoch-shuffle primitive: a training run needs a REPRODUCIBLE
+  // global order that (a) is pseudo-random within each source (seeded
+  // hash, same determinism rule as sample_hash_split) and (b) interleaves
+  // sources round-robin so no source forms long runs — the
+  // gradient-staleness failure mode of naive per-source concatenation.
+  // global_pos = (rank_within_source − 1)·|sources| + source_index is a
+  // collision-free interleave; changing the seed string re-shuffles every
+  // epoch without touching the data.
+  //
+  // Scale shape: one window per source partition assigns ranks (one
+  // hash exchange on source); the source→index map is a |sources|-row
+  // broadcast (its global window runs on the DISTINCT source list — tiny
+  // by construction, never the corpus). The top-200 preview plans as
+  // TakeOrderedAndProject — a full epoch manifest would write
+  // partitionBy(global_pos div chunk) instead of limiting.
+  private def epochOrder(s: SparkSession, d: String): DataFrame = {
+    val srcW = Window.orderBy(col("source"))
+    val srcs = T.documents(s, d).select(col("source")).distinct()
+      .select(col("source"), row_number().over(srcW).as("src_idx"),
+        count(lit(1)).over().as("n_src"))
+    val posW = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        h48(concat(lit("eo1:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("pos", row_number().over(posW))
+      .join(broadcast(srcs), Seq("source"))
+      .select(((col("pos") - 1).cast(LongType) * col("n_src") +
+        col("src_idx") - 1).as("global_pos"), col("source"), col("doc_id"))
+      .orderBy(col("global_pos")).limit(200)
+  }
+
+  private val epochOrderSql =
+    """WITH s AS (SELECT source,
+      |    row_number() OVER (ORDER BY source) AS src_idx,
+      |    count(*) OVER () AS n_src
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |d AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |    ORDER BY CAST('0x' || substring(md5('eo1:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id) AS pos
+      |  FROM documents)
+      |SELECT CAST((d.pos - 1) AS BIGINT) * s.n_src + s.src_idx - 1
+      |    AS global_pos, d.source, d.doc_id
+      |FROM d JOIN s USING (source)
+      |ORDER BY global_pos LIMIT 200""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
+    "sample_epoch_order" -> QueryDef(epochOrder, Some(epochOrderSql)),
     "sample_cap_per_source" -> QueryDef(capPerSource, Some(capPerSourceSql)),
     "sample_token_budget" -> QueryDef(tokenBudget, Some(tokenBudgetSql)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitSql)),
