@@ -73,7 +73,7 @@ object RagDemo {
     // real query flow: query text -> terms -> idf from the index served
     val probeTf = TextStats.termFreqs(
       graft.core.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 100 === 7))
+        .filter(TextStats.isProbe(col("doc_id"))))
     val post = spark.read.parquet(s"$idxDir/postings")
     val dfTbl = post
       .join(probeTf.select(col("wh")).distinct(), Seq("wh"), "left_semi")

@@ -796,6 +796,73 @@ object Pipeline extends QueryGroup {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  // ---- curate_funnel: stage-attrition report over the verdict ------------
+  // The observability output every curation run ships to its dashboard:
+  // how many documents does each stage drop, in pipeline order? Each
+  // dropped doc is attributed to its FIRST failing stage (the stage that
+  // would actually have removed it in a sequential pipeline) — the first
+  // element of curate_verdict's reasons list, whose order IS the declared
+  // stage order. n_enter chains by a running subtraction over the 4-row
+  // stage table, so survivors of stage k are exactly stage k+1's input.
+  //
+  // Scale shape: everything rides the verdict derivation (already-proven
+  // components); the funnel itself is one count-by-first-fail agg plus a
+  // window over a FOUR-row literal table — free at any corpus size.
+  private val funnelStages =
+    Seq("contaminated", "duplicate", "too_short", "repetitive")
+
+  private def curateFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstFail = curateVerdict(s, d)
+      .select(when(!col("keep"), split(col("reasons"), ",")(0))
+        .as("first_fail"))
+    val drops = firstFail.groupBy(col("first_fail"))
+      .agg(count(lit(1)).as("n"))
+    val total = firstFail.agg(count(lit(1)).as("total"))
+    val stages = funnelStages.zipWithIndex
+      .map { case (st, i) => (st, (i + 1).toLong) }.toDF("stage", "stage_idx")
+    val wPrior = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages
+      .join(drops, col("stage") === col("first_fail"), "left")
+      .select(col("stage"), col("stage_idx"),
+        coalesce(col("n"), lit(0L)).as("n_drop"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_enter",
+        col("total") - coalesce(sum(col("n_drop")).over(wPrior), lit(0L)))
+      .select(col("stage"), col("stage_idx"), col("n_enter"), col("n_drop"),
+        (col("n_enter") - col("n_drop")).as("n_survive"),
+        (col("n_drop").cast(DoubleType) / col("n_enter")).as("drop_share"))
+      .orderBy(col("stage_idx"))
+  }
+
+  private lazy val curateFunnelSql = {
+    val verdictNoOrder = curateVerdictSql.stripSuffix("\nORDER BY doc_id")
+    require(verdictNoOrder.length < curateVerdictSql.length,
+      "curate_verdict SQL shape changed; fix the funnel's reuse")
+    s"""WITH v AS ($verdictNoOrder),
+       |f AS (SELECT CASE WHEN NOT keep
+       |    THEN string_split(reasons, ',')[1] END AS first_fail FROM v),
+       |c AS (SELECT first_fail, count(*) AS n FROM f
+       |  WHERE first_fail IS NOT NULL GROUP BY first_fail),
+       |stages(stage, stage_idx) AS (VALUES
+       |  ('contaminated', CAST(1 AS BIGINT)), ('duplicate', 2),
+       |  ('too_short', 3), ('repetitive', 4)),
+       |t AS (SELECT count(*) AS total FROM f),
+       |d AS (SELECT s.stage, s.stage_idx,
+       |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_drop
+       |  FROM stages s LEFT JOIN c ON s.stage = c.first_fail),
+       |e AS (SELECT d.stage, d.stage_idx, d.n_drop,
+       |    t.total - CAST(COALESCE(sum(d.n_drop) OVER (ORDER BY d.stage_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_enter
+       |  FROM d CROSS JOIN t)
+       |SELECT stage, stage_idx, n_enter, n_drop,
+       |  n_enter - n_drop AS n_survive,
+       |  CAST(n_drop AS DOUBLE) / n_enter AS drop_share
+       |FROM e ORDER BY stage_idx""".stripMargin
+  }
+
   // ---- chunk: fixed-width overlapping windows ---------------------------
   // Context-window chunking — the step between curation and tokenization:
   // every document becomes ceil-div(len, stride) chunks of up to
@@ -1216,6 +1283,7 @@ object Pipeline extends QueryGroup {
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
     "text_dup_span_merge" -> QueryDef(dupSpanMerge, Some(dupSpanMergeSql)),
     "curate_verdict" -> QueryDef(curateVerdict, Some(curateVerdictSql)),
+    "curate_funnel" -> QueryDef(curateFunnel, Some(curateFunnelSql)),
     "ingest_dedup_incremental" -> QueryDef(ingestDedup, Some(ingestDedupSql)),
     "sample_importance" -> QueryDef(sampleImportance, Some(sampleImportanceSql)),
     "curate_gopher_rules" -> QueryDef(gopherRules, Some(gopherRulesSql)),

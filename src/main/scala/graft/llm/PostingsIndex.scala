@@ -171,7 +171,7 @@ object PostingsIndex {
     * union rather than a directory. */
   private[graft] def queryTermsFrom(s: SparkSession, post: DataFrame,
       nDocs: Long): DataFrame = {
-    val probeTf = post.filter(col("doc_id") % 100 === 7)
+    val probeTf = post.filter(TextStats.isProbe(col("doc_id")))
       .select(col("doc_id"), col("wh"), col("c"))
     // df only for the probe vocabulary: the semi join bounds the count
     // to the probed terms' posting lists instead of the whole index

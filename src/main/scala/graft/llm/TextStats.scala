@@ -456,6 +456,19 @@ object TextStats extends QueryGroup {
       .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
 
+  /** The retrieval probe rule, ONE definition for every surface (inline
+    * BM25, RRF's two halves, the persisted postings index, the RAG demo):
+    * every 100th id probes, capped at the sf0.1 id range. The cap is the
+    * scale-honesty knob: probe QPS is EXTERNAL to corpus size in a real
+    * deployment, so the 10× scale sweep must grow the corpus, not the
+    * query workload — without it the probed-candidate volume grows
+    * ~quadratically in the sweep and misreads as an engine regression.
+    * At the driver's sf0.001–0.1 fixtures every id is < 5000, so the cap
+    * is vacuous there (boards and oracles unchanged). */
+  private[graft] val probeIdCap = 5000L
+  private[graft] def isProbe(id: org.apache.spark.sql.Column) =
+    id % 100 === 7 && id < probeIdCap
+
   /** Probe query-term selection: each probe doc's top-3 tf-idf terms with
     * their Lucene-smoothed BM25 idf. ONE definition for the inline query
     * and the persisted-index path — the decimal-rounding points and the
@@ -524,7 +537,7 @@ object TextStats extends QueryGroup {
     val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
     // probe side: tiny (probe docs' own vocabulary) — AQE broadcasts it
     // into the df join; the window ranks within each probe only
-    val qidf = topIdfTerms(tf.filter(col("doc_id") % 100 === 7), df_,
+    val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
       st.select(col("n_docs")))
     bm25Score(tf, qidf, dl, st.select(col("avgdl")))
   }
@@ -562,7 +575,7 @@ object TextStats extends QueryGroup {
       |        ORDER BY CAST(c * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) DESC,
       |                 tf.wh) AS rn
       |    FROM tf JOIN dfq USING (wh) CROSS JOIN st
-      |    WHERE tf.doc_id % 100 = 7)
+      |    WHERE tf.doc_id % 100 = 7 AND tf.doc_id < 5000)
       |  WHERE rn <= 3),
       |cand AS (
       |  SELECT q_doc, tf.doc_id AS doc_id,
@@ -656,7 +669,7 @@ object TextStats extends QueryGroup {
       .filter(col("lex_rn") <= 10)
       .select(col("q_doc"), col("doc_id"), col("lex_rn"))
     val n = Ann.normed(s, d)
-    val q = n.filter(col("vec_id") % 100 === 7)
+    val q = n.filter(isProbe(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
     val sw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -695,7 +708,8 @@ object TextStats extends QueryGroup {
       |  FROM embeddings WHERE ${Dedup.guardedNsq} > 0),
       |pr AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
-      |  FROM nv q JOIN nv c ON q.vec_id % 100 = 7 AND q.vec_id <> c.vec_id),
+      |  FROM nv q JOIN nv c ON q.vec_id % 100 = 7 AND q.vec_id < 5000
+      |    AND q.vec_id <> c.vec_id),
       |sem AS (SELECT q_id, n_id, rn AS sem_rn FROM (
       |  SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
       |      ORDER BY cos DESC, n_id) AS BIGINT) AS rn
