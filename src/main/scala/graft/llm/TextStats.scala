@@ -420,6 +420,51 @@ object TextStats extends QueryGroup {
       |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h_nats
       |FROM tf JOIN lp USING (wh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_entropy: per-doc unigram self-entropy ------------------------
+  // The information-density quality signal complementary to
+  // text_perplexity: perplexity scores each doc under the CORPUS unigram
+  // model (is this doc unusual?), self-entropy scores it under its OWN
+  // word distribution (is this doc internally repetitive?). Low H on a
+  // long doc is the keyword-stuffing / template-spam signature that
+  // uniq_frac alone misses (uniq_frac cannot see a skewed-but-nonzero
+  // distribution). H = −Σ (c/n)·ln(c/n) in nats.
+  //
+  // Shape: the (doc_id, wh, c) counts shuffle once on hashed words (the
+  // 48-bit rule), the per-doc total comes from a doc_id window on the
+  // re-keyed counts, and the entropy sum rides that same exchange — two
+  // hash exchanges total, both on 8-byte-dominated rows. Portability:
+  // each term's ln(c/n) rounds through DECIMAL(18,6) once (the
+  // text_tfidf/perplexity libm rule); c·logp sums exactly in decimal and
+  // ONE IEEE division closes the formula.
+  private def entropy(s: SparkSession, d: String): DataFrame = {
+    val tf = termFreqs(T.documents(s, d))
+    val tw = Window.partitionBy(col("doc_id"))
+    tf.withColumn("n", sum(col("c")).over(tw).cast(LongType))
+      .withColumn("logp",
+        log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_words"),
+        (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
+          max(col("n")).cast(DoubleType)).as("h_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val entropySql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY doc_id, wh),
+      |wn AS (SELECT doc_id, wh, c,
+      |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf),
+      |lp AS (SELECT doc_id, c, n,
+      |    CAST(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,6))
+      |      AS logp FROM wn)
+      |SELECT doc_id, MAX(n) AS n_words,
+      |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_nats
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- BM25 retrieval: probe queries over an inverted index --------------
   // The classic IR ranking primitive (and the lexical half of hybrid
   // RAG retrieval): every 100th document becomes a probe query asking its
@@ -821,6 +866,7 @@ object TextStats extends QueryGroup {
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
+    "text_entropy"       -> QueryDef(entropy, Some(entropySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),
     "text_classifier"    -> QueryDef(classifier, Some(classifierSql)),
