@@ -685,7 +685,7 @@ object TextStats extends QueryGroup {
       |  CAST(wsum AS DOUBLE) / (504.0 * CAST(n_tokens AS DOUBLE)) AS logit,
       |  CAST(wsum AS DOUBLE) / (504.0 * CAST(n_tokens AS DOUBLE)) > 0.0 AS keep
       |FROM (
-      |  SELECT doc_id, SUM(c * (wh % 1009 - 504)) AS wsum,
+      |  SELECT doc_id, CAST(SUM(c * (wh % 1009 - 504)) AS BIGINT) AS wsum,
       |    CAST(SUM(c) AS BIGINT) AS n_tokens
       |  FROM tf GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin

@@ -384,7 +384,7 @@ object Analytics extends QueryGroup {
       |    ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flag)
-      |SELECT user_id, sid AS session_seq, COUNT(*) AS n_events,
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_seq, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
       |  COUNT(DISTINCT event_type) AS n_types,

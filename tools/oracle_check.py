@@ -32,6 +32,27 @@ def rows_of(cols, names):
     n = len(cols[0]) if cols else 0
     return [tuple(canon(cols[i][r]) for i in order) for r in range(n)]
 
+# Types the driver's canonicalizer is known to render differently from
+# their portable cousins (HUGEINT vs BIGINT bit the round-8 board): any
+# oracle whose DuckDB relation surfaces one of these — at top level or
+# nested inside a LIST/STRUCT — must CAST it away.  This lint runs on
+# the *planned* relation, so it catches the bug class before the driver.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
+                "UINTEGER", "UBIGINT")
+
+def type_lint(con, name, sql):
+    """Return list of 'col: TYPE' offenders in the oracle's output schema."""
+    import re
+    rel = con.sql(sql)  # plans only; no execution
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        for b in BANNED_TYPES:
+            if re.search(r"\b" + b + r"\b", t):
+                bad.append(f"{col}: {t}")
+                break
+    return bad
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -50,6 +71,12 @@ def main():
         mine_names = tbl.column_names
         mine = rows_of([tbl.column(i).to_pylist() for i in range(tbl.num_columns)], mine_names)
         try:
+            offenders = type_lint(con, name, sql)
+            if offenders:
+                print(f"FAIL {name}: non-portable oracle types {offenders} "
+                      f"(CAST to the portable surface: BIGINT/INTEGER/DOUBLE/"
+                      f"DECIMAL/VARCHAR/BOOLEAN/TIMESTAMP/DATE/BLOB)")
+                n_fail += 1;  continue
             cur = con.execute(sql)
             theirs_names = [d[0] for d in cur.description]
             data = cur.fetchall()
