@@ -72,6 +72,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
       "deflate_ratio", exprs => DeflateRatio(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "bpe_token_count", exprs => BpeTokenCount(exprs(0)), "built-in")
     r.createOrReplaceTempFunction("bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
@@ -126,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (exprs: Seq[Expression]) => DeflateRatio(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),

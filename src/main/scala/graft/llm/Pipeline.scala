@@ -414,6 +414,57 @@ object Pipeline extends QueryGroup {
        |  "offset" // $packBudget AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- pack_sequences_bpe: the same packer, subword-token-priced --------
+  // pack_sequences with the length measure a trainer actually bills by:
+  // greedy-BPE subword counts (functions/Bpe.scala) instead of whitespace
+  // words. Whitespace counts under-price every doc by its subword blowup,
+  // so whitespace-packed sequences systematically overflow a real token
+  // budget — this twin is what you'd ship. Same distributed two-phase
+  // prefix-sum shape (per-bucket cumsum + broadcast 256-row offsets);
+  // the token counter is a codegen'd narrow map, so the plan gains no
+  // shuffle over the whitespace packer. A distinct hash salt ("packb:")
+  // gives the twin its own deterministic stream order. Zero-token docs
+  // (impossible in the corpus, present in the degenerate fixture) carry
+  // no tokens and are excluded, matching the oracle's word-join.
+  private def packSequencesBpe(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d).select(col("doc_id"),
+      graft.functions.BpeTokenCount.bpeTokenCount(col("text")).as("n_tokens"),
+      md5(concat(lit("packb:"), col("doc_id").cast(StringType))).as("h"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast(LongType))
+    val inBucket = toks.withColumn("cum_in",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff",
+        coalesce(sum(col("btok")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("offset", col("boff") + col("cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr(s"offset div $packBudget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packSequencesBpeSql =
+    s"""WITH RECURSIVE
+       |${graft.functions.BpeUtil.bpeCtes},
+       |t AS (SELECT doc_id, bpe_tokens AS n_tokens,
+       |  md5('packb:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM bpedoc WHERE bpe_tokens > 0),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |    AS BIGINT) AS "offset"
+       |  FROM t)
+       |SELECT doc_id, n_tokens, "offset",
+       |  "offset" // $packBudget AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- decontaminate: benchmark n-gram overlap flags --------------------
   // The eval-set decontamination step every training pipeline runs before
   // a model sees the corpus: flag any document sharing an 8-gram with the
@@ -1279,6 +1330,7 @@ object Pipeline extends QueryGroup {
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
+    "pack_sequences_bpe" -> QueryDef(packSequencesBpe, Some(packSequencesBpeSql)),
     "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
     "text_dup_span_merge" -> QueryDef(dupSpanMerge, Some(dupSpanMergeSql)),

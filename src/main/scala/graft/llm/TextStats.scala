@@ -854,12 +854,43 @@ object TextStats extends QueryGroup {
       |FROM wrd LEFT JOIN vocab ON wrd.word = vocab.word
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- text_bpe_tokens: subword token counts via pinned greedy BPE ------
+  // The counter the whitespace family only approximates: greedy BPE over
+  // graft.functions.BpeUtil.Merges (algorithm + parity argument there).
+  // Plan: ONE narrow codegen'd projection over the documents scan — no
+  // explode, no distinct-word shuffle, no join — then the output sort.
+  // The oracle replays the identical algorithm in a DuckDB recursive CTE
+  // over DISTINCT words (the relational form of the encoder's memo
+  // cache), generated from the same merges table so the two sides cannot
+  // drift. blowup = bpe_tokens / ws_tokens is one IEEE division of exact
+  // longs. Zero-word docs (none in the corpus, present in the degenerate
+  // fixture) are unscorable and absent on both sides.
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      size(array_remove(split(col("text"), " "), "")).cast(LongType)
+        .as("ws_tokens"),
+      graft.functions.BpeTokenCount.bpeTokenCount(col("text"))
+        .as("bpe_tokens"))
+      .filter(col("ws_tokens") > 0L)
+      .withColumn("blowup", col("bpe_tokens").cast(DoubleType) /
+        col("ws_tokens").cast(DoubleType))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensSql =
+    s"""WITH RECURSIVE
+       |${graft.functions.BpeUtil.bpeCtes}
+       |SELECT doc_id, ws_tokens, bpe_tokens,
+       |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS blowup
+       |FROM bpedoc ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q32_text_stats"     -> QueryDef(q32, Some(q32Sql)),
     "text_vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "text_langid"        -> QueryDef(langId, Some(langIdSql)),
     "text_quality"       -> QueryDef(quality, Some(qualitySql)),
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
+    "text_bpe_tokens"    -> QueryDef(bpeTokens, Some(bpeTokensSql)),
     "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
     "text_rare_words"    -> QueryDef(rareWords, Some(rareWordsSql)),
     "text_edit_distance" -> QueryDef(editDistance, Some(editDistanceSql)),

@@ -424,6 +424,34 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("text_bpe_tokens: one narrow codegen'd pass — no explode, join, or hash exchange") {
+    // the subword counter's 100 TB claim: scan → project(bpe_token_count)
+    // → filter, all in one whole-stage-codegen span; the ONLY exchange is
+    // the presentation-order range partitioning
+    val df = SparkEntry.queries("text_bpe_tokens")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange hashpartitioning"), p)
+    assert(!finalSection.contains("Generate"), p)
+    assert(!finalSection.contains("Join"), p)
+    val projLine = finalSection.linesIterator.find(_.contains("bpe_token_count"))
+    assert(projLine.exists(_.contains("*(")), p)
+  }
+
+  test("pack_sequences_bpe: same exchange shape as the whitespace packer") {
+    // the bpe counter must not add work to the two-phase prefix sum: one
+    // bucket exchange for the cumsum window, the 256-row offsets ride a
+    // broadcast, no cartesian
+    val df = SparkEntry.queries("pack_sequences_bpe")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
