@@ -796,12 +796,17 @@ object Ann extends QueryGroup {
       |WHERE rank <= 25 ORDER BY ck, rank""".stripMargin
 
   /** HLL approximate distinct (Spark-native approx_count_distinct, rsd 2%)
-    * alongside the exact count — the raw surface for `AnnRecallSpec`. */
+    * alongside the exact count — the raw surface for `AnnRecallSpec`.
+    * Pre-deduplicated (lang, word) input, same rationale as
+    * `Sketches.hllRaw`: HLL++ is duplicate-insensitive and exact becomes
+    * a plain count, so the distinct-rewrite Expand never sees the raw
+    * token stream. */
   private[llm] def hllDistinctRaw(s: SparkSession, d: String): DataFrame =
     Dedup.words(T.documents(s, d))
+      .select(col("lang"), col("word")).distinct()
       .groupBy(col("lang"))
       .agg(approx_count_distinct(col("word"), 0.02).as("approx_words"),
-        countDistinct(col("word")).as("exact_words"))
+        count(lit(1)).as("exact_words"))
 
   /** Registry surface: exact count graded by the oracle; `acd_ok` asserts
     * the HLL++ estimate sits within 10% of exact. */

@@ -62,12 +62,23 @@ object Sketches extends QueryGroup {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** DataSketches HLL distinct words per language (register merges are
-    * commutative → deterministic estimate), alongside the exact count. */
+    * commutative → deterministic estimate), alongside the exact count.
+    *
+    * Both aggregates run over PRE-DEDUPLICATED (lang, word) pairs, not
+    * the raw token stream: HLL state is duplicate-insensitive, so the
+    * sketch (and its estimate) is identical either way, and the exact
+    * count becomes a plain count. Aggregating them together over the raw
+    * stream planned countDistinct's distinct-rewrite Expand, which
+    * DOUBLED the exploded token stream before the shuffle — the 10×
+    * sweep showed it as this query's linear wall growth. The dedup agg
+    * map-side-combines to vocabulary size per partition, so the shuffle
+    * carries |vocab × lang| rows no matter the corpus. */
   private[llm] def hllRaw(s: SparkSession, d: String): DataFrame =
     Dedup.words(T.documents(s, d))
+      .select(col("lang"), col("word")).distinct()
       .groupBy(col("lang"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(word))").as("hll_words"),
-        countDistinct(col("word")).as("exact_words"))
+        count(lit(1)).as("exact_words"))
 
   /** Registry surface: exact count graded by the oracle; `hll_ok` asserts
     * the estimate sits within 5% of exact. */
@@ -218,6 +229,13 @@ object Sketches extends QueryGroup {
   // graded by the oracle; the in-query flag asserts the HLL++ estimate
   // within 10% at every rollup level. Sort order pins NULLS FIRST on both
   // sides (the engines' ASC defaults disagree).
+  // The rollup, too, aggregates PRE-DEDUPLICATED (lang, source, wh)
+  // triples (the finest grouping grain): dedup at the fine grain
+  // preserves every coarser level's distinct set, countDistinct stays
+  // necessary at the rolled-up levels (a word can recur across sources)
+  // but HLL++ partials are duplicate-insensitive — so the rollup Expand
+  // and the distinct-rewrite Expand multiply a vocabulary-sized input,
+  // not the raw token stream (the same sweep finding as sketch_hll).
   private def hllRollup(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("lang"), col("source"),
@@ -225,6 +243,7 @@ object Sketches extends QueryGroup {
       .filter(col("w") =!= "")
       .select(col("lang"), col("source"),
         Dedup.h48(col("w")).as("wh"))
+      .distinct()
       .rollup(col("lang"), col("source"))
       .agg(countDistinct(col("wh")).as("exact_words"),
         approx_count_distinct(col("wh"), 0.02).as("approx"))
