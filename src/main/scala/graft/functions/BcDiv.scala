@@ -74,6 +74,8 @@ object GraftFunctions {
       "deflate_ratio", exprs => DeflateRatio(exprs(0)), "built-in")
     r.createOrReplaceTempFunction(
       "bpe_token_count", exprs => BpeTokenCount(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
@@ -132,6 +134,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (exprs: Seq[Expression]) => BpeTokenCount(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),

@@ -33,13 +33,11 @@ object Sketches extends QueryGroup {
         sum(when(col("user_id") === 7L, 1L).otherwise(0L)).as("probe_exact"))
 
   /** Deserialize + point-query the CMS — the consumer side of the sketch
-    * column. A UDF is fine here: it runs on the aggregated (tiny) result,
-    * never on base-table rows. */
-  private val cmsEstimate = udf((hexStr: String, key: Long) => {
-    val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-    org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key)
-  })
+    * column (codegen'd `functions.CmsEstimate`; runs on the aggregated
+    * group-count-sized result, never on base-table rows). */
+  private def cmsEstimate(hex: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column) =
+    graft.functions.CmsEstimate.cmsEstimate(hex, key)
 
   /** Registry surface: sketch built AND consumed in one query. `cms_ok`
     * checks the CMS guarantee on the probe key (never under-estimates;
