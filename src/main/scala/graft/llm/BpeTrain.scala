@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Materialize, QueryDef, QueryGroup, Tables => T}
+
+/** BPE tokenizer TRAINING as a distributed job — the learn side of the
+  * `functions/Bpe.scala` encode side: learn the top-N merges from the
+  * corpus by the classic Sennrich et al. 2016 loop (count adjacent token
+  * pairs weighted by word frequency; merge the most frequent pair
+  * everywhere; repeat).
+  *
+  * Scale shape — the shape every published BPE trainer uses: training
+  * runs over the WORD-FREQUENCY table, not the corpus. The one
+  * corpus-sized pass is the word count (a hash agg whose map-side
+  * combine collapses each partition to its vocabulary); every round
+  * after that is vocabulary-bounded — a narrow pair-explode over the
+  * tokenized vocab, a pair-count hash agg (map-side combined), and a
+  * 1-row argmax collect (the same bounded-collect contract as the
+  * IvfIndex/PostingsIndex stats rows; a global argmax per round is
+  * inherent to BPE). Per-round state is [[Materialize.cut]] so round N's
+  * plan doesn't nest N-1 replace chains.
+  *
+  * Token state is the SAME double-U+0001-delimited string the encoder
+  * uses, and the merge application is the same single literal replace —
+  * one classic left-to-right non-overlapping pass (see Bpe.scala for
+  * the equivalence argument). Pair counting counts every adjacent
+  * POSITION (overlapping, like Sennrich's `get_stats`: "aaa" has two
+  * (a,a) adjacencies); ties break deterministically by (count DESC, x
+  * ASC, y ASC). All counts are exact BIGINTs, so the DuckDB oracle —
+  * the identical loop unrolled into per-round CTE stages generated from
+  * the same constants (the `ann_pq_adc` k-means precedent) — is graded
+  * bit-for-bit. When pairs run out before N rounds, both sides emit the
+  * same gap-free prefix of merges.
+  */
+object BpeTrain extends QueryGroup {
+
+  /** Rounds to learn. Small and pinned so the unrolled oracle stays
+    * readable; a production run raises it (the per-round cost is
+    * vocabulary-bounded, so rounds scale linearly). */
+  private[llm] val TrainRounds = 8
+
+  private val D = "\u0001"
+  private val B = D + D
+
+  /** Distinct words with occurrence counts, char-tokenized into the
+    * double-delimited state. The split regex matches only BETWEEN two
+    * characters (lookbehind + lookahead), because Spark's split keeps
+    * trailing empties (limit −1) and a plain `(?!^)` also matches at
+    * end-of-string — which would seed every word with a phantom empty
+    * token. */
+  private def initState(docs: DataFrame): DataFrame =
+    Dedup.words(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit(B), array_join(split(col("word"), "(?<=.)(?=.)"), B), lit(B)))
+
+  private[llm] def learn(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    var st = Materialize.cut(initState(T.documents(s, d)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < TrainRounds && !done) {
+      val toks = st
+        .withColumn("t", expr(s"slice(split(s, '$B'), 2, size(split(s, '$B')) - 2)"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS x, t[i] AS y))")).as("p"))
+        .select(col("cnt"), col("p.x").as("x"), col("p.y").as("y"))
+      val best = pairs.groupBy(col("x"), col("y"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), col("x"), col("y"))
+        .limit(1).collect() // 1 bounded row per round — the argmax
+      if (best.isEmpty) done = true
+      else {
+        val (x, y, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, x, y, pc))
+        val (pat, rep) = (s"$D$x$B$y$D", s"$D$x$y$D")
+        st = Materialize.cut(st.withColumn("s",
+          call_function("replace", col("s"), lit(pat), lit(rep))))
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Registry surface: the learned merges table — (rank, x, y, xy,
+    * pair_count) — the artifact a trained tokenizer ships. */
+  private def train(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    learn(s, d).map { case (r, x, y, pc) => (r, x, y, x + y, pc) }
+      .toDF("rank", "x", "y", "xy", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** Per-round oracle stage r: tokenize state r, count adjacent pairs,
+    * argmax with the pinned tie-break, apply the merge. */
+  private def stageSql(r: Int): String =
+    s"""tok$r AS (
+       |  SELECT word, cnt, list_slice(string_split(s, chr(1)||chr(1)), 2,
+       |      len(string_split(s, chr(1)||chr(1))) - 1) AS t
+       |  FROM st$r),
+       |pc$r AS (
+       |  SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+       |    SELECT word, cnt, t[i] AS x, t[i+1] AS y
+       |    FROM tok$r, LATERAL UNNEST(generate_series(1, len(t)-1)) AS u(i))
+       |  GROUP BY x, y),
+       |best$r AS (SELECT x, y, pc FROM pc$r ORDER BY pc DESC, x, y LIMIT 1),
+       |st${r + 1} AS (
+       |  SELECT word, cnt,
+       |    replace(s, chr(1)||b.x||chr(1)||chr(1)||b.y||chr(1),
+       |      chr(1)||b.x||b.y||chr(1)) AS s
+       |  FROM st$r, best$r b)""".stripMargin
+
+  private val trainSql = {
+    val stages = (0 until TrainRounds).map(stageSql).mkString(",\n")
+    val union = (0 until TrainRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, x, y, x||y AS xy, pc AS pair_count FROM best$r")
+      .mkString(" UNION ALL ")
+    s"""WITH st0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    repeat(chr(1),2) ||
+       |      array_to_string(string_split(word, ''), repeat(chr(1),2)) ||
+       |      repeat(chr(1),2) AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |$stages
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "bpe_train" -> QueryDef(train, Some(trainSql)),
+  )
+}
