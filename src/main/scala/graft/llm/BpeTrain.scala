@@ -96,6 +96,68 @@ object BpeTrain extends QueryGroup {
       .orderBy(col("rank"))
   }
 
+  // ---- bpe_train_tokens: encode the corpus with the TRAINED merges ------
+  // The learn→apply composition a real pipeline runs: token counts (and
+  // fertility, tokens per character — the standard tokenizer-quality
+  // metric) under the merges just learned from THIS corpus, not the
+  // pinned table. The learned merges arrive as ≤TrainRounds driver-side
+  // constants (the bounded argmax collects), so application is the same
+  // narrow shape as encoding: per DISTINCT word, TrainRounds chained
+  // literal replaces on the delimited state (each a classic left-to-right
+  // pass — Bpe.scala's equivalence argument applies verbatim since
+  // learned constituents are, by construction, chars or earlier outputs),
+  // then a broadcast-joinable word→count map back onto the corpus. The
+  // oracle reuses the training CTE chain: state st{N} IS the encoded
+  // vocabulary, so parity holds by construction.
+  private def trainTokens(s: SparkSession, d: String): DataFrame = {
+    val learned = learn(s, d)
+    val wrd = Dedup.words(T.documents(s, d))
+    var vocab = wrd.groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("st",
+        concat(lit(B), array_join(split(col("word"), "(?<=.)(?=.)"), B), lit(B)))
+    learned.foreach { case (_, x, y, _) =>
+      vocab = vocab.withColumn("st",
+        call_function("replace", col("st"), lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D")))
+    }
+    val perWord = vocab.select(col("word"),
+      ((length(col("st")) - length(call_function("replace", col("st"), lit(D), lit("")))) / 2 - 1)
+        .cast(LongType).as("n_bpe"))
+    wrd.join(perWord, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_bpe")).as("bpe_tokens"),
+        sum(length(col("word"))).as("word_chars"))
+      .select(col("doc_id"), col("ws_tokens"),
+        col("bpe_tokens").cast(LongType).as("bpe_tokens"),
+        (col("bpe_tokens").cast(DoubleType) /
+          col("word_chars").cast(DoubleType)).as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val trainTokensSql = {
+    val n = TrainRounds
+    val stages = (0 until n).map(stageSql).mkString(",\n")
+    s"""WITH st0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    repeat(chr(1),2) ||
+       |      array_to_string(string_split(word, ''), repeat(chr(1),2)) ||
+       |      repeat(chr(1),2) AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |$stages,
+       |enc AS (SELECT word,
+       |    CAST((len(s) - len(replace(s, chr(1), ''))) / 2 - 1 AS BIGINT) AS n_bpe
+       |  FROM st$n),
+       |wrd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) WHERE word <> '')
+       |SELECT w.doc_id AS doc_id, COUNT(*) AS ws_tokens,
+       |  CAST(SUM(e.n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(e.n_bpe) AS DOUBLE) / CAST(SUM(length(w.word)) AS DOUBLE)
+       |    AS fertility
+       |FROM wrd w JOIN enc e ON w.word = e.word
+       |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-round oracle stage r: tokenize state r, count adjacent pairs,
     * argmax with the pinned tie-break, apply the merge. */
   private def stageSql(r: Int): String =
@@ -111,9 +173,9 @@ object BpeTrain extends QueryGroup {
        |best$r AS (SELECT x, y, pc FROM pc$r ORDER BY pc DESC, x, y LIMIT 1),
        |st${r + 1} AS (
        |  SELECT word, cnt,
-       |    replace(s, chr(1)||b.x||chr(1)||chr(1)||b.y||chr(1),
-       |      chr(1)||b.x||b.y||chr(1)) AS s
-       |  FROM st$r, best$r b)""".stripMargin
+       |    COALESCE(replace(s, chr(1)||b.x||chr(1)||chr(1)||b.y||chr(1),
+       |      chr(1)||b.x||b.y||chr(1)), s) AS s
+       |  FROM st$r LEFT JOIN best$r b ON TRUE)""".stripMargin
 
   private val trainSql = {
     val stages = (0 until TrainRounds).map(stageSql).mkString(",\n")
@@ -133,5 +195,6 @@ object BpeTrain extends QueryGroup {
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "bpe_train" -> QueryDef(train, Some(trainSql)),
+    "bpe_train_tokens" -> QueryDef(trainTokens, Some(trainTokensSql)),
   )
 }

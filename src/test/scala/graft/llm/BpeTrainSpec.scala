@@ -92,6 +92,27 @@ class BpeTrainSpec extends SparkSuite {
     assert(got.length < BpeTrain.TrainRounds)
   }
 
+  test("bpe_train_tokens encodes with the learned merges through exhaustion") {
+    // crafted corpus exhausts at 7 merges; every word then encodes to ONE
+    // token except the single-char stragglers — values cross-checked
+    // against the oracle SQL's LEFT JOIN fallback chain in DuckDB
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "aaab aaab aaab the the zz", "en", "s1"),
+      (2L, "the he yy", "en", "s1"),
+      (3L, "a b c", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val dir = graft.core.Fixtures.path("bpetraintok")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("bpe_train_tokens")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 6L, 6L, 0.3),
+      (2L, 3L, 3L, 3.0 / 7.0),
+      (3L, 3L, 3L, 1.0)), rows.toSeq)
+  }
+
   test("single-char and empty vocabularies exhaust immediately") {
     val sess = spark
     import sess.implicits._
