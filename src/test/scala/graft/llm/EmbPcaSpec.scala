@@ -1,0 +1,94 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Embedding covariance + top-PC power iteration (llm/EmbPca.scala):
+  * the exact integer covariance must equal an independent in-memory
+  * recompute, and the k-step iteration must actually recover the top
+  * principal component (|cos| vs a long-run double-precision reference)
+  * on a corpus WITH a dominant direction — the regime the operator
+  * exists for. */
+class EmbPcaSpec extends SparkSuite {
+
+  /** Crafted corpus: 40 vectors in dim 6 = strong direction d1 with
+    * ±noise on the others. λ1 ≫ λ2, so 8 rounds converge hard. */
+  private def craftedDir(): String = {
+    val sess = spark
+    import sess.implicits._
+    val d1 = Array(0.6f, 0.5f, 0.4f, 0.3f, 0.2f, 0.1f)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val scale = (rng.nextDouble() * 4 - 2).toFloat
+      val v = d1.map(_ * scale)
+      // small orthogonal-ish jitter
+      val jit = Array.fill(6)((rng.nextDouble() * 0.1 - 0.05).toFloat)
+      (i.toLong, v.zip(jit).map { case (a, b) => a + b }, i % 3)
+    }
+    val dir = graft.core.Fixtures.path("pca")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Independent reference: quantize like the engine, exact integer
+    * covariance, then 500 double-precision power iterations. */
+  private def reference(dir: String): (Map[(Int, Int), Long], Array[Double]) = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong))
+    val dim = vecs.head.length
+    val n = vecs.length.toLong
+    val t = Array.ofDim[Long](dim)
+    vecs.foreach(v => (0 until dim).foreach(j => t(j) += v(j)))
+    val qm = t.map(tj => math.floor(tj.toDouble / n + 0.5).toLong)
+    val cov = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (j <- 0 until dim; k <- j until dim) {
+      var s = 0L
+      vecs.foreach(v => s += v(j) * v(k))
+      cov((j, k)) = s - qm(j) * t(k) - qm(k) * t(j) + n * qm(j) * qm(k)
+    }
+    // long-run power iteration in plain doubles on cov/n
+    val c = Array.tabulate(dim, dim) { (j, k) =>
+      cov((math.min(j, k), math.max(j, k))).toDouble / n
+    }
+    var v = Array.fill(dim)(1.0)
+    (1 to 500).foreach { _ =>
+      val w = Array.tabulate(dim)(j => (0 until dim).map(k => c(j)(k) * v(k)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    (cov.toMap, v)
+  }
+
+  test("exact covariance matches the independent integer recompute") {
+    val dir = craftedDir()
+    val (covRef, _) = reference(dir)
+    val got = graft.SparkEntry.queries("emb_covariance")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == covRef, s"covariance mismatch")
+  }
+
+  test("top-PC recovered on a dominant-direction corpus; unit norm") {
+    val dir = craftedDir()
+    val (_, vRef) = reference(dir)
+    val pc = graft.SparkEntry.queries("emb_top_pc")(spark, dir)
+      .orderBy(col("pos")).collect().map(_.getDouble(2))
+    val norm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"|pc| = $norm")
+    val cos = math.abs(pc.zip(vRef).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"cos(pc, reference) = $cos")
+  }
+
+  test("degenerate constant embeddings yield the zero vector, not NaN") {
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.core.Fixtures.path("pcaconst")
+    (0 until 5).map(i => (i.toLong, Array(1.0f, 1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pc = graft.SparkEntry.queries("emb_top_pc")(spark, dir)
+      .collect().map(_.getDouble(2))
+    assert(pc.toSeq == Seq(0.0, 0.0, 0.0), pc.toSeq)
+  }
+}
