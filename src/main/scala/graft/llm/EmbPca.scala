@@ -109,9 +109,9 @@ object EmbPca extends QueryGroup {
           (col("n").cast(DoubleType) * lit(1.0e12))).as("cov"))
       .orderBy(col("j"), col("k"))
 
-  /** Top principal component by [[PowerIters]] rounds of power iteration
-    * on the 1e6-scaled per-n covariance, starting from all-ones. */
-  private def topPc(s: SparkSession, d: String): DataFrame = {
+  /** The iterated 1e9-scaled eigvec estimate (k, v9), shared by
+    * [[topPc]] and [[removeTopPc]]. */
+  private def iteratedVec(s: SparkSession, d: String): DataFrame = {
     val covq = covarianceDf(s, d)
     // 1e6-scaled covariance per observation
     val cd = covq.select(col("j"), col("k"),
@@ -143,15 +143,56 @@ object EmbPca extends QueryGroup {
           .otherwise(lit(0L)).as("v9"), col("j").as("k"))
         .select(col("k"), col("v9"))
     }
+    v
+  }
+
+  /** Per-dim quantized mean (k, qm) at 1e6 scale. */
+  private def meanVec(s: SparkSession, d: String): DataFrame = {
     val (sums, _) = moments(s, d)
-    val qm = sums.select(col("j").as("k"), // mean at 1e6 scale, for removal
+    sums.select(col("j").as("k"),
       floor(col("tj").cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
         .cast(LongType).as("qm"))
-    v.join(qm, Seq("k"))
+  }
+
+  /** Top principal component by [[PowerIters]] rounds of power iteration
+    * on the 1e6-scaled per-n covariance, starting from all-ones. */
+  private def topPc(s: SparkSession, d: String): DataFrame =
+    iteratedVec(s, d).join(meanVec(s, d), Seq("k"))
       .select(col("k").as("pos"),
         (col("qm").cast(DoubleType) / lit(1.0e6)).as("mean_v"),
         (col("v9").cast(DoubleType) / lit(1.0e9)).as("pc"))
       .orderBy(col("pos"))
+
+  /** The all-but-the-top application: per vector, the projection
+    * coefficient onto the iterated direction and the cosine with it —
+    * the two numbers the removal x′ = (x−μ) − proj·v̂ needs, plus the
+    * centered norm. Dots and norms are EXACT integer sums (centered
+    * components ⩽1e7-scale × v9 ⩽1e9-scale fit longs at dim ⩽512); the
+    * real-valued outputs are fixed single-IEEE chains of those exact
+    * integers. Zero-norm vectors (or a zero iterate) get a DEFINED null
+    * cosine — the family's degenerate contract. */
+  private def removeTopPc(s: SparkSession, d: String): DataFrame = {
+    val comp = quantized(s, d)
+      .select(col("vec_id"), posexplode(col("qa")).as(Seq("k", "qv")))
+    val centered = comp.join(broadcast(meanVec(s, d)), Seq("k"))
+      .select(col("vec_id"), col("k"), (col("qv") - col("qm")).as("cv"))
+    val vec = graft.core.Materialize.cut(iteratedVec(s, d))
+    val vn2 = vec.select(
+      sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
+        .as("vn2"))
+    centered.join(broadcast(vec), Seq("k"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("cv") * col("v9")).as("dot15"),
+        sum(col("cv") * col("cv")).as("cn2"))
+      .crossJoin(broadcast(vn2))
+      .select(col("vec_id"),
+        (col("dot15").cast(DoubleType) / lit(1.0e15)).as("proj"),
+        (sqrt(col("cn2").cast(DoubleType)) / lit(1.0e6)).as("norm_c"),
+        when(col("cn2") > 0 && col("vn2") > 0,
+          col("dot15").cast(DoubleType) /
+            (sqrt(col("cn2").cast(DoubleType)) * sqrt(col("vn2").cast(DoubleType))))
+          .as("cos_pc"))
+      .orderBy(col("vec_id"))
   }
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -173,11 +214,11 @@ object EmbPca extends QueryGroup {
       |    CAST(floor(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
       |      AS BIGINT) AS qm
       |  FROM comp GROUP BY j),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.j AS j, b.j AS k, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
       |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.j <= b.j
       |  GROUP BY a.j, b.j),
-      |covq AS (
+      |covq AS MATERIALIZED (
       |  SELECT p.j, p.k,
       |    p.s - mj.qm * mk.tj - mk.qm * mj.tj + mj.n * mj.qm * mk.qm AS cov_q,
       |    mj.n AS n
@@ -192,13 +233,13 @@ object EmbPca extends QueryGroup {
        |FROM covq ORDER BY j, k""".stripMargin
 
   private def iterSql(r: Int): String =
-    s"""w$r AS (
+    s"""w$r AS MATERIALIZED (
        |  SELECT c.j,
        |    CAST(floor(CAST(SUM(c.c * v.v9) AS DOUBLE) / 1.0e6 + 0.5) AS BIGINT)
        |      AS w9
        |  FROM cfull c JOIN v${r - 1} v ON v.k = c.k GROUP BY c.j),
        |n$r AS (SELECT SUM(CAST(w9 AS HUGEINT) * w9) AS n2 FROM w$r),
-       |v$r AS (
+       |v$r AS MATERIALIZED (
        |  SELECT w.j AS k,
        |    CASE WHEN n.n2 > 0 THEN
        |      CAST(floor(CAST(w.w9 AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) *
@@ -209,12 +250,12 @@ object EmbPca extends QueryGroup {
   private val topPcSql = {
     val iters = (1 to PowerIters).map(iterSql).mkString(",\n")
     s"""WITH $momentsCtes,
-       |cd AS (
+       |cd AS MATERIALIZED (
        |  SELECT j, k,
        |    CAST(floor(CAST(cov_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 + 0.5)
        |      AS BIGINT) AS c
        |  FROM covq),
-       |cfull AS (
+       |cfull AS MATERIALIZED (
        |  SELECT j, k, c FROM cd
        |  UNION ALL
        |  SELECT k AS j, j AS k, c FROM cd WHERE j <> k),
@@ -227,8 +268,43 @@ object EmbPca extends QueryGroup {
        |ORDER BY pos""".stripMargin
   }
 
+  private val removeTopPcSql = {
+    val iters = (1 to PowerIters).map(iterSql).mkString(",\n")
+    s"""WITH $momentsCtes,
+       |cd AS MATERIALIZED (
+       |  SELECT j, k,
+       |    CAST(floor(CAST(cov_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 + 0.5)
+       |      AS BIGINT) AS c
+       |  FROM covq),
+       |cfull AS MATERIALIZED (
+       |  SELECT j, k, c FROM cd
+       |  UNION ALL
+       |  SELECT k AS j, j AS k, c FROM cd WHERE j <> k),
+       |v0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM cfull),
+       |$iters,
+       |vn AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS vn2 FROM v$PowerIters),
+       |ctr AS MATERIALIZED (
+       |  SELECT c.vec_id, c.j AS k, c.qv - s.qm AS cv
+       |  FROM comp c JOIN sums s ON s.j = c.j),
+       |agg AS (
+       |  SELECT ctr.vec_id,
+       |    CAST(SUM(ctr.cv * v.v9) AS BIGINT) AS dot15,
+       |    CAST(SUM(ctr.cv * ctr.cv) AS BIGINT) AS cn2
+       |  FROM ctr JOIN v$PowerIters v ON v.k = ctr.k
+       |  GROUP BY ctr.vec_id)
+       |SELECT vec_id,
+       |  CAST(dot15 AS DOUBLE) / 1.0e15 AS proj,
+       |  sqrt(CAST(cn2 AS DOUBLE)) / 1.0e6 AS norm_c,
+       |  CASE WHEN cn2 > 0 AND vn.vn2 > 0 THEN
+       |    CAST(dot15 AS DOUBLE) /
+       |      (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(vn.vn2 AS DOUBLE)))
+       |  END AS cos_pc
+       |FROM agg, vn ORDER BY vec_id""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_covariance" -> QueryDef(covariance, Some(covarianceSql)),
     "emb_top_pc" -> QueryDef(topPc, Some(topPcSql)),
+    "emb_remove_top_pc" -> QueryDef(removeTopPc, Some(removeTopPcSql)),
   )
 }

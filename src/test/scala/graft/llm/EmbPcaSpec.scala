@@ -80,6 +80,21 @@ class EmbPcaSpec extends SparkSuite {
     assert(cos > 0.999, s"cos(pc, reference) = $cos")
   }
 
+  test("remove_top_pc: projections center to ~0 and align on a dominant-direction corpus") {
+    val dir = craftedDir()
+    val rows = graft.SparkEntry.queries("emb_remove_top_pc")(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 40)
+    // centered data: projections sum to ~0 (exact up to mean rounding)
+    val projSum = rows.map(_._1).sum
+    assert(math.abs(projSum) < 0.01, s"sum proj = $projSum")
+    // the corpus IS one direction + jitter: most vectors align hard
+    val meanAbsCos = rows.map(r => math.abs(r._3)).sum / rows.length
+    assert(meanAbsCos > 0.9, s"mean |cos| = $meanAbsCos")
+    // |proj| can never exceed the centered norm
+    rows.foreach { case (p, n, _) => assert(math.abs(p) <= n + 1e-9, s"($p, $n)") }
+  }
+
   test("degenerate constant embeddings yield the zero vector, not NaN") {
     val sess = spark
     import sess.implicits._
