@@ -953,6 +953,47 @@ object Pipeline extends QueryGroup {
        |  FROM documents)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- sample_weighted: deterministic weighted sampling (ES) ------------
+  // Efraimidis-Spirakis weighted sampling without replacement (the
+  // standard one-pass distributed algorithm): each item draws a uniform
+  // u and the k largest keys u^(1/w) are the sample — inclusion odds
+  // rise with weight, no sequential state, embarrassingly parallel.
+  // Here u is a pure hash function of doc_id (the engine's seeded-hash
+  // sampling rule: deterministic, replayable, re-runs pick the same
+  // sample), the weight is n_chars (sample long documents preferentially
+  // — a real token-budget curation move), and the rank key is the
+  // monotone-equivalent ln(u)/w. ln rounds once through DECIMAL(18,6)
+  // (the tfidf/perplexity libm rule); the key is then ONE IEEE division
+  // of that decimal by the integer weight, so ordering is engine-stable.
+  // Top-k is orderBy+limit — TakeOrderedAndProject per-partition heaps,
+  // never a global sort. Zero-weight docs can never be sampled
+  // (u^(1/0) is ill-defined) and are filtered, matching ES semantics.
+  private[llm] val wresK = 100
+
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("weight"),
+        h48(concat(lit("wres:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("lnu",
+        log((col("h").cast(DoubleType) + lit(1.0)) / lit(281474976710656.0))
+          .cast(DecimalType(18, 6)))
+      .select(col("doc_id"), col("weight"),
+        (col("lnu").cast(DoubleType) / col("weight").cast(DoubleType))
+          .as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(wresK)
+
+  private val sampleWeightedSql =
+    s"""SELECT doc_id, weight,
+       |  CAST(lnu AS DOUBLE) / CAST(weight AS DOUBLE) AS es_key
+       |FROM (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |    CAST(ln((CAST(CAST('0x'||substring(md5('wres:'||CAST(doc_id AS VARCHAR)),1,12)
+       |          AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0)
+       |      AS DECIMAL(18,6)) AS lnu
+       |  FROM documents WHERE n_chars > 0)
+       |ORDER BY es_key DESC, doc_id LIMIT $wresK""".stripMargin
+
   // ---- sample_importance: DSIR-style importance resampling --------------
   // Data Selection via Importance Resampling (Xie et al. 2023,
   // arXiv:2302.03169): score every raw document by how much more likely
@@ -1325,6 +1366,7 @@ object Pipeline extends QueryGroup {
     "sample_split_by_source" -> QueryDef(splitBySource, Some(splitBySourceSql)),
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),
+    "sample_weighted" -> QueryDef(sampleWeighted, Some(sampleWeightedSql)),
     "sample_mix_temperature" -> QueryDef(sampleMixTemperature, Some(sampleMixTemperatureSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),

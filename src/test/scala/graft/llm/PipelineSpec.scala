@@ -206,6 +206,34 @@ class PipelineSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("weighted sampling: matches the in-memory ES reference; favors heavy docs") {
+    // independent reference: same hash-uniform + ln/w key over collected
+    // rows, plain Scala sort
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    def h48(sk: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sk.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val ref = docs.filter(_._2 > 0).map { case (id, w) =>
+      val lnu = BigDecimal(math.log((h48(s"wres:$id").toDouble + 1.0) / 281474976710656.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+      (id, w, lnu.toDouble / w.toDouble)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(Pipeline.wresK)
+    val got = run("sample_weighted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == ref.toSeq,
+      s"first diff: ${got.toSeq.zip(ref.toSeq).find { case (a, b) => a != b }}")
+    // inclusion odds rise with weight: the sample skews heavier than the corpus
+    val corpusMeanW = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMeanW = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMeanW > corpusMeanW, s"$sampleMeanW vs $corpusMeanW")
+    // plan: top-k must be per-partition heaps, not a global sort
+    val p = run("sample_weighted").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
