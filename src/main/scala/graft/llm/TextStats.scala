@@ -420,6 +420,83 @@ object TextStats extends QueryGroup {
       |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h_nats
       |FROM tf JOIN lp USING (wh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_bigram_lm: interpolated bigram cross-entropy -----------------
+  // The order-2 upgrade of text_perplexity (the CCNet-style quality
+  // filter): score each doc under an interpolated bigram corpus model
+  // p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·c(w2)/N — the Jelinek-Mercer
+  // mixture that backs off to the unigram model for unseen contexts, so
+  // every observed bigram has positive probability. A unigram model
+  // can't see scrambled word order; this one penalizes it (spec proves
+  // a shuffled doc scores strictly worse than its natural-order twin).
+  //
+  // Shape: bigram occurrences come from ONE lead() window over the
+  // positioned word stream (a single doc_id exchange); the model tables
+  // are (h1,h2) and (h) hash aggs over 48-bit hashed words —
+  // vocabulary-bounded (≤|V|²+|V| rows), so the scoring joins broadcast
+  // at any corpus size (AQE size-based, never forced). Portability: the
+  // mixture is a fixed chain of IEEE ops inside ONE ln(), rounded once
+  // through DECIMAL(18,6) per distinct bigram (the tfidf/perplexity libm
+  // rule); per-doc sums are exact decimals and the final /n is one IEEE
+  // division. Docs with <2 words have no bigrams and are absent —
+  // unscorable, like the tfidf family's empty docs.
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val pos = words(T.documents(s, d))
+      .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = pos
+      .withColumn("wh2", lead(col("wh"), 1).over(w))
+      .filter(col("wh2").isNotNull)
+      .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
+      .agg(count(lit(1)).as("c"))
+    val bgModel = bg.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("c")).cast(LongType).as("cb"))
+    val uni = pos.groupBy(col("wh")).agg(count(lit(1)).cast(LongType).as("cu"))
+    val n = uni.agg(sum(col("cu")).cast(LongType).as("nt"))
+    val lp = bgModel
+      .join(uni.select(col("wh").as("h1"), col("cu").as("cu1")), Seq("h1"))
+      .join(uni.select(col("wh").as("h2"), col("cu").as("cu2")), Seq("h2"))
+      .crossJoin(broadcast(n))
+      .select(col("h1"), col("h2"),
+        log(lit(0.7) * (col("cb").cast(DoubleType) / col("cu1").cast(DoubleType)) +
+          lit(0.3) * (col("cu2").cast(DoubleType) / col("nt").cast(DoubleType)))
+          .cast(DecimalType(18, 6)).as("logp"))
+    bg.join(lp, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
+        (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
+          sum(col("c")).cast(LongType)).as("h2_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLmSql =
+    """WITH occ AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |          generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM documents) WHERE word <> ''),
+      |bgocc AS (
+      |  SELECT doc_id, wh AS h1,
+      |    lead(wh) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      |  FROM occ),
+      |bg AS (SELECT doc_id, h1, h2, COUNT(*) AS c FROM bgocc
+      |       WHERE h2 IS NOT NULL GROUP BY doc_id, h1, h2),
+      |bgm AS (SELECT h1, h2, CAST(SUM(c) AS BIGINT) AS cb FROM bg GROUP BY h1, h2),
+      |uni AS (SELECT wh, COUNT(*) AS cu FROM occ GROUP BY wh),
+      |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS nt FROM uni),
+      |lp AS (
+      |  SELECT m.h1, m.h2,
+      |    CAST(ln(0.7 * (CAST(m.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)) +
+      |            0.3 * (CAST(u2.cu AS DOUBLE) / CAST(n.nt AS DOUBLE)))
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM bgm m
+      |  JOIN uni u1 ON u1.wh = m.h1
+      |  JOIN uni u2 ON u2.wh = m.h2
+      |  CROSS JOIN n)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h2_nats
+      |FROM bg JOIN lp USING (h1, h2) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- text_entropy: per-doc unigram self-entropy ------------------------
   // The information-density quality signal complementary to
   // text_perplexity: perplexity scores each doc under the CORPUS unigram
@@ -897,6 +974,7 @@ object TextStats extends QueryGroup {
     "text_tfidf"         -> QueryDef(tfidf, Some(tfidfSql)),
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
+    "text_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
     "text_entropy"       -> QueryDef(entropy, Some(entropySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),

@@ -222,4 +222,30 @@ class QualityOpsSpec extends SparkSuite {
     // docs without any query term never enter the candidate set
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L), rows.mkString(";"))
   }
+
+  test("text_bigram_lm: natural word order scores better than a scramble") {
+    // the property a unigram model cannot have: same bag of words,
+    // different order, different score. Docs 1/2 share the identical
+    // multiset; doc 1 repeats the corpus-frequent transitions, doc 2
+    // scrambles them. The rest of the mini-corpus establishes the model.
+    val sess = spark
+    import sess.implicits._
+    val natural = "the table the table the table the table"
+    val scramble = "table table the the table the the table"
+    val docs = Seq(
+      (1L, natural, "en", "s1"),
+      (2L, scramble, "en", "s1"),
+      (3L, "the table the table", "en", "s1"),
+      (4L, "the table holds rows", "en", "s1"),
+      (5L, "x", "en", "s1") // single word: no bigrams, must be absent
+    ).map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.core.Fixtures.path("bigramlm")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_bigram_lm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!rows.contains(5L), rows)
+    assert(rows(1L) < rows(2L),
+      s"natural ${rows(1L)} should beat scramble ${rows(2L)}")
+  }
 }
