@@ -109,20 +109,23 @@ object EmbPca extends QueryGroup {
           (col("n").cast(DoubleType) * lit(1.0e12))).as("cov"))
       .orderBy(col("j"), col("k"))
 
-  /** The iterated 1e9-scaled eigvec estimate (k, v9), shared by
-    * [[topPc]] and [[removeTopPc]]. */
-  private def iteratedVec(s: SparkSession, d: String): DataFrame = {
+  /** The 1e6-scaled per-observation covariance, mirrored to a full
+    * (j, k, c) matrix and materialized once (the iteration below reads
+    * it every round; uncut, the analyzed plan doubles per round). */
+  private def fullMatrix(s: SparkSession, d: String): DataFrame = {
     val covq = covarianceDf(s, d)
-    // 1e6-scaled covariance per observation
     val cd = covq.select(col("j"), col("k"),
       floor(col("cov_q").cast(DoubleType) / col("n").cast(DoubleType) / lit(1.0e6)
         + lit(0.5)).cast(LongType).as("c"))
-    // mirror to the full matrix for the matvec; materialized once — the
-    // iteration below would otherwise nest the whole moments subtree
-    // twice per round (w and n2 both read v), blowing the analyzed plan
-    // up 2^k-fold. Same per-round cut rule as dedup_clusters/bpe_train.
-    val cFull = graft.core.Materialize.cut(cd.union(
+    graft.core.Materialize.cut(cd.union(
       cd.filter(col("j") =!= col("k")).select(col("k").as("j"), col("j").as("k"), col("c"))))
+  }
+
+  /** [[PowerIters]] rounds of power iteration from all-ones on a full
+    * (j, k, c) matrix at 1e6 scale; returns the 1e9-scaled unit-ish
+    * iterate (k, v9). Per-round `Materialize.cut` — w feeds both the
+    * norm and the next vector. */
+  private def powerIterate(cFull: DataFrame): DataFrame = {
     var v = cFull.select(col("j").as("k")).distinct()
       .select(col("k"), lit(1000000000L).as("v9")) // all-ones at 1e9 scale
     (1 to PowerIters).foreach { _ =>
@@ -146,6 +149,11 @@ object EmbPca extends QueryGroup {
     v
   }
 
+  /** The iterated 1e9-scaled eigvec estimate (k, v9), shared by
+    * [[topPc]] and [[removeTopPc]]. */
+  private def iteratedVec(s: SparkSession, d: String): DataFrame =
+    powerIterate(fullMatrix(s, d))
+
   /** Per-dim quantized mean (k, qm) at 1e6 scale. */
   private def meanVec(s: SparkSession, d: String): DataFrame = {
     val (sums, _) = moments(s, d)
@@ -162,6 +170,50 @@ object EmbPca extends QueryGroup {
         (col("qm").cast(DoubleType) / lit(1.0e6)).as("mean_v"),
         (col("v9").cast(DoubleType) / lit(1.0e9)).as("pc"))
       .orderBy(col("pos"))
+
+  /** Top TWO components via Hotelling deflation: iterate on C, estimate
+    * λ₁ by the Rayleigh quotient, deflate C₂ = C − λ₁·v̂₁v̂₁ᵀ, iterate
+    * again. All three steps stay in the integer/decimal discipline: the
+    * Rayleigh numerator Σ c·v_j·v_k and the deflation terms λ₁·v_j·v_k
+    * are exact DECIMAL(38,0) products (up to ~26 digits) collapsed by a
+    * fixed floor-round; the two iteration chains are the shared
+    * [[powerIterate]]. Convergence contract as [[topPc]] — on a
+    * spectrum with two dominant directions both are recovered
+    * (`EmbPcaSpec`), and v̂₂ ⊥ v̂₁ up to rounding. */
+  private def topPc2(s: SparkSession, d: String): DataFrame = {
+    val c1 = fullMatrix(s, d)
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
+    val v1k = v1.select(col("k"), col("v9").as("vk"))
+    val num = c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
+      .select((col("c").cast(DecimalType(38, 0)) *
+        col("vj").cast(DecimalType(38, 0)) * col("vk").cast(DecimalType(38, 0)))
+        .as("t"))
+      .agg(sum(col("t")).as("num"))
+    val den = v1.select(
+      sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
+        .as("den"))
+    val lam = num.crossJoin(den).select(
+      when(col("den") > 0,
+        floor(col("num").cast(DoubleType) / col("den").cast(DoubleType) + lit(0.5))
+          .cast(LongType)).otherwise(lit(0L)).as("lam6"))
+    val c2 = graft.core.Materialize.cut(
+      c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
+        .crossJoin(broadcast(lam))
+        .select(col("j"), col("k"),
+          (col("c") - floor(
+            (col("lam6").cast(DecimalType(38, 0)) *
+              col("vj").cast(DecimalType(38, 0)) * col("vk").cast(DecimalType(38, 0)))
+              .cast(DoubleType) / lit(1.0e18) + lit(0.5)).cast(LongType))
+            .as("c")))
+    val v2 = powerIterate(c2)
+    v1.select(col("k"), col("v9").as("p1"))
+      .join(v2.select(col("k"), col("v9").as("p2")), Seq("k"))
+      .select(col("k").as("pos"),
+        (col("p1").cast(DoubleType) / lit(1.0e9)).as("pc1"),
+        (col("p2").cast(DoubleType) / lit(1.0e9)).as("pc2"))
+      .orderBy(col("pos"))
+  }
 
   /** The all-but-the-top application: per vector, the projection
     * coefficient onto the iterated direction and the cosine with it —
@@ -232,23 +284,23 @@ object EmbPca extends QueryGroup {
        |  CAST(cov_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12) AS cov
        |FROM covq ORDER BY j, k""".stripMargin
 
-  private def iterSql(r: Int): String =
-    s"""w$r AS MATERIALIZED (
+  private def iterSql(r: Int, mat: String = "cfull", sfx: String = ""): String =
+    s"""w$sfx$r AS MATERIALIZED (
        |  SELECT c.j,
        |    CAST(floor(CAST(SUM(c.c * v.v9) AS DOUBLE) / 1.0e6 + 0.5) AS BIGINT)
        |      AS w9
-       |  FROM cfull c JOIN v${r - 1} v ON v.k = c.k GROUP BY c.j),
-       |n$r AS (SELECT SUM(CAST(w9 AS HUGEINT) * w9) AS n2 FROM w$r),
-       |v$r AS MATERIALIZED (
+       |  FROM $mat c JOIN v$sfx${r - 1} v ON v.k = c.k GROUP BY c.j),
+       |n$sfx$r AS (SELECT SUM(CAST(w9 AS HUGEINT) * w9) AS n2 FROM w$sfx$r),
+       |v$sfx$r AS MATERIALIZED (
        |  SELECT w.j AS k,
        |    CASE WHEN n.n2 > 0 THEN
        |      CAST(floor(CAST(w.w9 AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) *
        |        1.0e9 + 0.5) AS BIGINT)
        |    ELSE 0 END AS v9
-       |  FROM w$r w, n$r n)""".stripMargin
+       |  FROM w$sfx$r w, n$sfx$r n)""".stripMargin
 
   private val topPcSql = {
-    val iters = (1 to PowerIters).map(iterSql).mkString(",\n")
+    val iters = (1 to PowerIters).map(r => iterSql(r)).mkString(",\n")
     s"""WITH $momentsCtes,
        |cd AS MATERIALIZED (
        |  SELECT j, k,
@@ -269,7 +321,7 @@ object EmbPca extends QueryGroup {
   }
 
   private val removeTopPcSql = {
-    val iters = (1 to PowerIters).map(iterSql).mkString(",\n")
+    val iters = (1 to PowerIters).map(r => iterSql(r)).mkString(",\n")
     s"""WITH $momentsCtes,
        |cd AS MATERIALIZED (
        |  SELECT j, k,
@@ -302,9 +354,50 @@ object EmbPca extends QueryGroup {
        |FROM agg, vn ORDER BY vec_id""".stripMargin
   }
 
+  private val topPc2Sql = {
+    val iters1 = (1 to PowerIters).map(r => iterSql(r)).mkString(",\n")
+    val iters2 = (1 to PowerIters).map(r => iterSql(r, "c2full", "b")).mkString(",\n")
+    val vN = s"v$PowerIters"
+    s"""WITH $momentsCtes,
+       |cd AS MATERIALIZED (
+       |  SELECT j, k,
+       |    CAST(floor(CAST(cov_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 + 0.5)
+       |      AS BIGINT) AS c
+       |  FROM covq),
+       |cfull AS MATERIALIZED (
+       |  SELECT j, k, c FROM cd
+       |  UNION ALL
+       |  SELECT k AS j, j AS k, c FROM cd WHERE j <> k),
+       |v0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM cfull),
+       |$iters1,
+       |rnum AS (
+       |  SELECT SUM(CAST(c.c AS HUGEINT) * vj.v9 * vk.v9) AS num
+       |  FROM cfull c JOIN $vN vj ON vj.k = c.j JOIN $vN vk ON vk.k = c.k),
+       |rden AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS den FROM $vN),
+       |lam AS (
+       |  SELECT CASE WHEN d.den > 0 THEN
+       |    CAST(floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) + 0.5) AS BIGINT)
+       |  ELSE 0 END AS lam6 FROM rnum n, rden d),
+       |c2full AS MATERIALIZED (
+       |  SELECT c.j, c.k,
+       |    c.c - CAST(floor(CAST(CAST(l.lam6 AS HUGEINT) * vj.v9 * vk.v9 AS DOUBLE)
+       |      / 1.0e18 + 0.5) AS BIGINT) AS c
+       |  FROM cfull c
+       |  JOIN $vN vj ON vj.k = c.j
+       |  JOIN $vN vk ON vk.k = c.k, lam l),
+       |vb0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM c2full),
+       |$iters2
+       |SELECT a.k AS pos,
+       |  CAST(a.v9 AS DOUBLE) / 1.0e9 AS pc1,
+       |  CAST(b.v9 AS DOUBLE) / 1.0e9 AS pc2
+       |FROM $vN a JOIN vb$PowerIters b ON b.k = a.k
+       |ORDER BY pos""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_covariance" -> QueryDef(covariance, Some(covarianceSql)),
     "emb_top_pc" -> QueryDef(topPc, Some(topPcSql)),
     "emb_remove_top_pc" -> QueryDef(removeTopPc, Some(removeTopPcSql)),
+    "emb_top_pc2" -> QueryDef(topPc2, Some(topPc2Sql)),
   )
 }

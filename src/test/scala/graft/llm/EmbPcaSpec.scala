@@ -95,6 +95,37 @@ class EmbPcaSpec extends SparkSuite {
     rows.foreach { case (p, n, _) => assert(math.abs(p) <= n + 1e-9, s"($p, $n)") }
   }
 
+  test("top-2 deflation recovers both directions of a two-direction corpus") {
+    val sess = spark
+    import sess.implicits._
+    // two orthogonal planted directions with separated strengths
+    val d1 = Array(1.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f).map(_ / math.sqrt(2).toFloat)
+    val d2 = Array(0.0f, 0.0f, 1.0f, -1.0f, 0.0f, 0.0f).map(_ / math.sqrt(2).toFloat)
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      val a = (rng.nextDouble() * 4 - 2).toFloat          // strong
+      val b = (rng.nextDouble() * 1.6 - 0.8).toFloat      // weaker
+      val v = Array.tabulate(6)(j =>
+        d1(j) * a + d2(j) * b + (rng.nextDouble() * 0.02 - 0.01).toFloat)
+      (i.toLong, v, i % 2)
+    }
+    val dir = graft.core.Fixtures.path("pca2")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("emb_top_pc2")(spark, dir)
+      .orderBy(col("pos")).collect()
+    val pc1 = out.map(_.getDouble(1))
+    val pc2 = out.map(_.getDouble(2))
+    def cosWith(p: Array[Double], dd: Array[Float]) = {
+      val dot = p.zip(dd).map { case (x, y) => x * y.toDouble }.sum
+      math.abs(dot) / math.sqrt(p.map(x => x * x).sum)
+    }
+    assert(cosWith(pc1, d1) > 0.99, s"pc1 vs d1: ${cosWith(pc1, d1)}")
+    assert(cosWith(pc2, d2) > 0.99, s"pc2 vs d2: ${cosWith(pc2, d2)}")
+    val ortho = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 0.02, s"pc1·pc2 = $ortho")
+  }
+
   test("degenerate constant embeddings yield the zero vector, not NaN") {
     val sess = spark
     import sess.implicits._
