@@ -953,6 +953,105 @@ object Pipeline extends QueryGroup {
        |  FROM documents)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- curate_signal_deciles: cross-signal calibration report -----------
+  // The threshold-setting audit every curation pipeline runs before it
+  // trusts a filter: bucket the corpus into deciles of ONE signal (the
+  // hashing-trick classifier logit) and report how the OTHER quality
+  // signals move across them — agreeing signals validate the threshold,
+  // flat ones expose a filter that measures nothing. All three signals
+  // derive from the SAME (doc_id, wh, c) term-frequency pass: the
+  // classifier's exact BIGINT weighted sum, the self-entropy numerator
+  // (DECIMAL(18,6)-rounded ln terms, the libm rule), and token counts.
+  //
+  // Scale shape: deciles come from exact interpolated percentile
+  // BOUNDARIES (one doc-level aggregate, bitwise-equal to DuckDB
+  // quantile_cont — the q35/sketch_quantile precedent) broadcast back
+  // onto a narrow assignment map — NOT a global ntile window, which
+  // would funnel every doc-level row through one task at corpus scale
+  // (at real scale the boundary agg swaps to the GK sketch; the report
+  // is 10 rows either way). Per-decile outputs are POOLED ratios of
+  // exact sums (one IEEE division each), never means of per-doc doubles
+  // (an order-dependent double sum would break engine parity).
+  private def signalDeciles(s: SparkSession, d: String): DataFrame = {
+    val tf = TextStats.termFreqs(T.documents(s, d))
+    val n = Window.partitionBy(col("doc_id"))
+    val terms = tf
+      .withColumn("nt", sum(col("c")).over(n).cast(LongType))
+      .withColumn("w", pmod(col("wh"), lit(1009L)) - lit(504L))
+      .withColumn("hterm",
+        (col("c").cast(DecimalType(18, 0)) *
+          log(col("c").cast(DoubleType) / col("nt").cast(DoubleType))
+            .cast(DecimalType(18, 6))))
+    val doc = terms.groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w")).as("wsum"),
+        max(col("nt")).as("nt"),
+        sum(col("hterm")).as("hnum"))
+      .withColumn("logit", col("wsum").cast(DoubleType) /
+        (lit(504.0) * col("nt").cast(DoubleType)))
+    val bcols = (1 to 9).map(i => percentile(col("logit"), lit(i / 10.0)).as(s"b$i"))
+    val bounds = doc.agg(bcols.head, bcols.tail: _*)
+    val assigned = doc.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (1 to 9).map(i => when(col("logit") > col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L))
+    assigned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("wsum")).cast(DoubleType) /
+          (lit(504.0) * sum(col("nt")).cast(DoubleType))).as("pooled_logit"),
+        (negate(sum(col("hnum")).cast(DoubleType)) /
+          sum(col("nt")).cast(DoubleType)).as("pooled_entropy"),
+        (sum(col("nt")).cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  private val signalDecilesSql =
+    """WITH occ AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) WHERE word <> ''),
+      |tf AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY doc_id, wh),
+      |term AS (
+      |  SELECT doc_id, wh, c,
+      |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS nt,
+      |    wh % 1009 - 504 AS w
+      |  FROM tf),
+      |doc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c * w) AS BIGINT) AS wsum,
+      |    MAX(nt) AS nt,
+      |    SUM(CAST(c AS DECIMAL(18,0)) *
+      |        CAST(ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) AS DECIMAL(18,6)))
+      |      AS hnum
+      |  FROM term GROUP BY doc_id),
+      |docl AS (
+      |  SELECT *, CAST(wsum AS DOUBLE) / (504.0 * CAST(nt AS DOUBLE)) AS logit
+      |  FROM doc),
+      |b AS (
+      |  SELECT quantile_cont(logit, 0.1) AS b1, quantile_cont(logit, 0.2) AS b2,
+      |    quantile_cont(logit, 0.3) AS b3, quantile_cont(logit, 0.4) AS b4,
+      |    quantile_cont(logit, 0.5) AS b5, quantile_cont(logit, 0.6) AS b6,
+      |    quantile_cont(logit, 0.7) AS b7, quantile_cont(logit, 0.8) AS b8,
+      |    quantile_cont(logit, 0.9) AS b9
+      |  FROM docl),
+      |assigned AS (
+      |  SELECT d.*,
+      |    1 + (CASE WHEN logit > b.b1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b4 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b5 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b6 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b7 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b8 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN logit > b.b9 THEN 1 ELSE 0 END) AS decile
+      |  FROM docl d, b)
+      |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(wsum) AS DOUBLE) / (504.0 * CAST(SUM(nt) AS DOUBLE))
+      |    AS pooled_logit,
+      |  -CAST(SUM(hnum) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) AS pooled_entropy,
+      |  CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM assigned GROUP BY decile ORDER BY decile""".stripMargin
+
   // ---- sample_weighted: deterministic weighted sampling (ES) ------------
   // Efraimidis-Spirakis weighted sampling without replacement (the
   // standard one-pass distributed algorithm): each item draws a uniform
@@ -1367,6 +1466,7 @@ object Pipeline extends QueryGroup {
     "sample_stratified" -> QueryDef(stratified, Some(stratifiedSql)),
     "sample_mix" -> QueryDef(sampleMix, Some(sampleMixSql)),
     "sample_weighted" -> QueryDef(sampleWeighted, Some(sampleWeightedSql)),
+    "curate_signal_deciles" -> QueryDef(signalDeciles, Some(signalDecilesSql)),
     "sample_mix_temperature" -> QueryDef(sampleMixTemperature, Some(sampleMixTemperatureSql)),
     "text_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "text_boilerplate" -> QueryDef(boilerplate, Some(boilerplateSql)),

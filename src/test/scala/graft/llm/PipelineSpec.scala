@@ -234,6 +234,19 @@ class PipelineSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("signal deciles: balanced, exhaustive, and monotone in the bucketing signal") {
+    val rows = run("curate_signal_deciles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, s"deciles must partition the corpus")
+    // percentile boundaries keep buckets within 2x of each other here
+    assert(rows.map(_._2).max <= 2 * rows.map(_._2).min, rows.mkString(";"))
+    // pooled logit must strictly increase across its own deciles —
+    // if it doesn't, the bucketing is broken
+    val logits = rows.sortBy(_._1).map(_._3)
+    assert(logits.zip(logits.tail).forall { case (a, b) => a < b }, logits.toSeq)
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
