@@ -961,6 +961,50 @@ object TextStats extends QueryGroup {
        |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS blowup
        |FROM bpedoc ORDER BY doc_id""".stripMargin
 
+  // ---- text_bpe_vocab: the emitted-token vocabulary ---------------------
+  // The tokenizer-audit artifact: which subword tokens the pinned merges
+  // actually emit over this corpus, how often (occurrence-weighted,
+  // including multiplicity within a word), and across how many distinct
+  // words. Long tails of single-character tokens here mean the merges
+  // don't fit the corpus — the signal that triggers retraining
+  // (`bpe_train`). Spark side tokenizes the DISTINCT-word table by the
+  // same chained-replace pass the trainer uses (32 narrow maps over a
+  // vocab-sized relation — no corpus re-scan beyond the word count);
+  // the oracle reuses the encoder CTE chain and explodes its final
+  // state. All exact integers.
+  private def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val D = "\u0001"
+    val B = D + D
+    val wcnt = Dedup.words(T.documents(s, d))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var st = wcnt.withColumn("s",
+      concat(lit(B), array_join(split(col("word"), "(?<=.)(?=.)"), B), lit(B)))
+    graft.functions.BpeUtil.Merges.foreach { case (x, y) =>
+      st = st.withColumn("s",
+        call_function("replace", col("s"), lit(s"$D$x$B$y$D"), lit(s"$D${x + y}$D")))
+    }
+    st.select(col("word"), col("cnt"), explode(split(col("s"), D)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(desc("n_occ"), col("tok"))
+  }
+
+  private val bpeVocabSql = {
+    val n = graft.functions.BpeUtil.Merges.length
+    s"""WITH RECURSIVE
+       |${graft.functions.BpeUtil.bpeCtes},
+       |wcnt AS (SELECT word, COUNT(*) AS cnt FROM wrd GROUP BY word),
+       |tokx AS (
+       |  SELECT b.word, w.cnt, unnest(string_split(b.s, chr(1))) AS tok
+       |  FROM bpes b JOIN wcnt w USING (word) WHERE b.r = $n)
+       |SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n_occ,
+       |  COUNT(DISTINCT word) AS n_words
+       |FROM tokx WHERE tok <> '' GROUP BY tok
+       |ORDER BY n_occ DESC, tok""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q32_text_stats"     -> QueryDef(q32, Some(q32Sql)),
     "text_vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
@@ -968,6 +1012,7 @@ object TextStats extends QueryGroup {
     "text_quality"       -> QueryDef(quality, Some(qualitySql)),
     "text_tokens"        -> QueryDef(tokens, Some(tokensSql)),
     "text_bpe_tokens"    -> QueryDef(bpeTokens, Some(bpeTokensSql)),
+    "text_bpe_vocab"     -> QueryDef(bpeVocab, Some(bpeVocabSql)),
     "text_winnow_fp"     -> QueryDef(winnow, Some(winnowSql)),
     "text_rare_words"    -> QueryDef(rareWords, Some(rareWordsSql)),
     "text_edit_distance" -> QueryDef(editDistance, Some(editDistanceSql)),

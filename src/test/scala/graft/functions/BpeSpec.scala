@@ -112,6 +112,26 @@ class BpeSpec extends SparkSuite {
     assert(n("the table query") == 4L)
   }
 
+  test("text_bpe_vocab agrees with per-word tokenization on the corpus") {
+    // the query tokenizes via chained SQL replaces; recompute the same
+    // vocabulary from the encoder's Java path and a plain Scala fold —
+    // two independent execution routes over the same algorithm
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0))
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    val inWords = scala.collection.mutable.Map.empty[String, Set[String]]
+    words.foreach { w =>
+      BpeUtil.tokenizeWord(w).foreach { t =>
+        occ(t) = occ.getOrElse(t, 0L) + 1L
+        inWords(t) = inWords.getOrElse(t, Set.empty) + w
+      }
+    }
+    val got = graft.SparkEntry.queries("text_bpe_vocab")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == occ.map { case (t, n) => t -> (n, inWords(t).size.toLong) }.toMap)
+  }
+
   test("expression: SQL registration, codegen'd projection, null safety") {
     val df = spark.createDataFrame(Seq(
       (1L, "the table"), (2L, "zzz"), (3L, ""))).toDF("id", "text")
