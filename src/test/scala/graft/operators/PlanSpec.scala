@@ -452,6 +452,32 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("SortMergeJoin"), p)
   }
 
+  test("text_bigram_lm: model joins broadcast; one doc_id exchange makes the bigrams") {
+    val df = SparkEntry.queries("text_bigram_lm")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the |V|²-bounded model tables must meet the per-doc bigram counts
+    // as broadcasts — the corpus side never shuffles for scoring
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
+
+  test("curate_signal_deciles: boundary assignment is a broadcast, not a rank window") {
+    val df = SparkEntry.queries("curate_signal_deciles")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the decile bucketing must ride the 1-row percentile-boundary
+    // broadcast — an ntile/rank Window over doc-level rows would funnel
+    // the corpus through one task at scale
+    assert(finalSection.contains("BroadcastNestedLoopJoin") ||
+      finalSection.contains("BroadcastExchange"), p)
+    assert(!finalSection.linesIterator.exists(l =>
+      l.contains("Window") && (l.contains("ntile") || l.contains("rank"))), p)
+  }
+
   test("every registry query produces a resolvable plan") {
     SparkEntry.registry.foreach { case (name, q) =>
       val df = q.fn(spark, sfDir)
