@@ -94,7 +94,9 @@ object Bench {
     // non-default sf only write when SPARK_GRAFT_BOARD names a target.
     def normPath(p: String) = p.replaceFirst("^file:(//)?", "").stripSuffix("/")
     val boardEnv = sys.env.get("SPARK_GRAFT_BOARD")
-    if (args.isEmpty &&
+    // iters >= 2 mirrors gateApplies: a single-iteration probe must not
+    // overwrite the committed min-of-2 board with warm-up noise
+    if (args.isEmpty && iters >= 2 &&
         (boardEnv.isDefined || normPath(sfDir) == normPath(DefaultSfDir))) {
       val boardPath = boardEnv.getOrElse("bench_board.json")
       val body = results.sortBy(_._1)

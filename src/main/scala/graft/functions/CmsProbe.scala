@@ -17,6 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object CmsProbeUtil {
   def estimate(hex: UTF8String, key: Long): Long = {
     val s = hex.toString
+    // an odd length would otherwise drop the trailing nibble and hand a
+    // truncated buffer to readFrom — corruption must surface, not parse
+    require(s.length % 2 == 0,
+      s"cms_estimate: hex sketch has odd length ${s.length} — truncated or corrupt input")
     val bytes = new Array[Byte](s.length / 2)
     var i = 0
     while (i < bytes.length) {

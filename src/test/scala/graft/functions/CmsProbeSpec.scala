@@ -41,5 +41,13 @@ class CmsProbeSpec extends SparkSuite {
     // null sketch -> null, not a crash
     assert(spark.sql("SELECT cms_estimate(CAST(NULL AS STRING), 7L)")
       .collect().head.isNullAt(0))
+    // odd-length hex (a truncated sketch) fails LOUDLY instead of
+    // silently dropping the trailing nibble and parsing garbage
+    val odd = intercept[Exception] {
+      spark.sql(s"SELECT cms_estimate('${hex.dropRight(1)}', 7L)").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](odd)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("; ")
+    assert(msgs.contains("odd length"), msgs)
   }
 }
