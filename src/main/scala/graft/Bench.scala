@@ -57,7 +57,19 @@ object Bench {
         finally graft.core.Release.storage(spark)
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val passes = (1 to iters).map(_ => onePass())
+    // Calibration samples bracket every pass: the budget gate divides the
+    // median by the PINNED (idle-machine) calibration to learn how loaded
+    // this machine is right now, and stretches budgets by that factor.
+    // Round 9's driver ran ~1.8x slower than pin-time across all 167
+    // queries (confirmed by an isolated re-run) and the un-normalized
+    // gate called 12 false regressions — the gate was measuring the
+    // machine, not the code.
+    val nCpus = scala.util.Try(cpus.toInt).getOrElse(4)
+    val calSamples = scala.collection.mutable.ArrayBuffer(calibrate(spark, nCpus))
+    val passes = (1 to iters).map { _ =>
+      val p = onePass(); calSamples += calibrate(spark, nCpus); p
+    }
+    val calMed = { val s = calSamples.sorted; s(s.size / 2) }
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = passes.flatMap(_(i)._2)
       // every pass failed: -1 is an unmistakable failure marker the JSON
@@ -84,7 +96,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
     val totalStr = num(total, 2)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"iters":$iters,"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"iters":$iters,"failed":$failed,"cal_sec":${num(calMed, 3)},"slowest":$slowest,"sf":"$sfDir"}""")
     // Durable full board: the driver's artifact keeps only a stdout tail,
     // which truncates the per_query line once the registry outgrew it —
     // so full-board runs ALSO write the complete per-query map to a file
@@ -107,6 +119,7 @@ object Bench {
         |"iters": $iters,
         |"failed": $failed,
         |"total_sec": $totalStr,
+        |"calibration_sec": ${num(calMed, 3)},
         |"queries": {
         |$body
         |}
@@ -139,14 +152,28 @@ object Bench {
     if (budgetFile.isFile && gateApplies) {
       val src = scala.io.Source.fromFile(budgetFile, "UTF-8")
       val text = try src.mkString finally src.close()
-      val (over, unbudgeted) = budgetCheck(results, text)
+      // Load normalization: budgets were pinned on a ~idle machine whose
+      // calibration time is stored alongside them ("_calibration"). The
+      // same fixed probe just ran interleaved with the passes; the
+      // clamped ratio stretches every budget uniformly, so a loaded
+      // machine doesn't fail the gate while a query that regressed
+      // RELATIVE to its neighbors still does.
+      val pinnedCal = parseBudgets(text).get(CalibrationKey)
+      val factor = calibrationFactor(calSamples.toSeq, pinnedCal)
+      if (pinnedCal.isEmpty)
+        System.err.println(
+          s"[bench] no $CalibrationKey pinned in $budgetPath - load factor 1.0")
+      else
+        System.err.println(s"[bench] calibration ${num(calMed, 3)}s vs pinned " +
+          s"${num(pinnedCal.get, 3)}s - budget load factor ${num(factor, 2)}")
+      val (over, unbudgeted) = budgetCheck(results, text, factor)
       if (unbudgeted.nonEmpty)
         System.err.println(s"[bench] no budget pinned for: ${unbudgeted.mkString(", ")}")
       if (over.nonEmpty || failed > 0) {
         val detail = over.map { case (k, v, b) =>
           "\"" + k + "\":{\"sec\":" + num(v, 2) + ",\"budget\":" + num(b, 2) + "}"
         }.mkString("{", ",", "}")
-        println(s"""{"metric":"budget_breach","n_over":${over.size},"failed":$failed,"offenders":$detail}""")
+        println(s"""{"metric":"budget_breach","n_over":${over.size},"failed":$failed,"cal_factor":${num(factor, 2)},"offenders":$detail}""")
         spark.stop()
         sys.exit(1)
       }
@@ -156,19 +183,55 @@ object Bench {
     spark.stop()
   }
 
+  /** The reserved budgets-file key holding the pin-time calibration
+    * seconds (not a query budget). */
+  private[graft] val CalibrationKey = "_calibration"
+
+  /** Fixed CPU-bound calibration probe: `cpus` partitions, each running a
+    * constant-size xxhash64 chain — no I/O, no shuffle, no data
+    * dependence, so its wall time tracks the machine's CURRENT per-core
+    * throughput. Identical work at pin time and gate time; the ratio of
+    * the two is the load factor the gate normalizes by. */
+  private def calibrate(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: a 256M-hash sum overflows long under ANSI mode
+    spark.range(0L, cpus.toLong * 8000000L, 1L, cpus)
+      .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7)))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Load factor = median(measured calibration) / pinned calibration,
+    * clamped to [1, 4]: a faster-than-pin machine never TIGHTENS budgets
+    * below their pinned values, and a calibration glitch never writes a
+    * >4x blank check (load that extreme should fail visibly and be
+    * investigated, not absorbed). No pin → 1.0, today's behavior. */
+  private[graft] def calibrationFactor(samples: Seq[Double],
+      pinned: Option[Double]): Double = pinned match {
+    case Some(p) if p > 0 && samples.nonEmpty =>
+      val s = samples.sorted
+      math.min(4.0, math.max(1.0, s(s.size / 2) / p))
+    case _ => 1.0
+  }
+
+  /** The flat {"name": seconds} budgets file — a regex pull of the pairs
+    * avoids a JSON-library dependency. Includes [[CalibrationKey]] when
+    * pinned. */
+  private[graft] def parseBudgets(budgetJson: String): Map[String, Double] =
+    """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(budgetJson).map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   /** The budget compare, factored out so `BenchGateSpec` can grade the
     * breach/pass/unbudgeted behavior without a full bench run. Returns
-    * (offenders as (query, measured, budget), queries with no pinned
-    * budget). Failure markers (-1) never count as "under budget" — the
-    * caller trips the gate on `failed > 0` separately. */
-  private[graft] def budgetCheck(results: Seq[(String, Double)], budgetJson: String)
-      : (Seq[(String, Double, Double)], Seq[String]) = {
-    // the file is our own flat {"name": seconds} map — a regex pull of
-    // the pairs avoids a JSON-library dependency
-    val budgets = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-      .findAllMatchIn(budgetJson).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    * (offenders as (query, measured, EFFECTIVE budget — pinned × load
+    * factor), queries with no pinned budget). Failure markers (-1) never
+    * count as "under budget" — the caller trips the gate on `failed > 0`
+    * separately. */
+  private[graft] def budgetCheck(results: Seq[(String, Double)], budgetJson: String,
+      factor: Double = 1.0): (Seq[(String, Double, Double)], Seq[String]) = {
+    val budgets = parseBudgets(budgetJson) - CalibrationKey
     val over = results.collect { case (k, v)
-      if v >= 0 && budgets.get(k).exists(v > _) => (k, v, budgets(k)) }
+      if v >= 0 && budgets.get(k).exists(b => v > b * factor) =>
+        (k, v, budgets(k) * factor) }
     val unbudgeted = results.collect { case (k, _) if !budgets.contains(k) => k }
     (over, unbudgeted)
   }

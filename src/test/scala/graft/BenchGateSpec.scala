@@ -41,6 +41,58 @@ class BenchGateSpec extends AnyFunSuite {
     assert(un == Seq("q_new"))
   }
 
+  test("a uniformly loaded machine passes: factor stretches every budget") {
+    // round-9 scenario: the driver machine ran ~1.8x slower than
+    // pin-time across the board — with the measured load factor applied,
+    // none of these uniformly inflated times is an offender
+    val (over, _) = Bench.budgetCheck(
+      Seq("q_fast" -> 0.9, "q_slow" -> 3.6), budgets, factor = 1.8)
+    assert(over.isEmpty)
+  }
+
+  test("a genuine regression still fails under load normalization") {
+    // q_slow regressed 2x BEYOND the 1.8x load every query shares —
+    // the stretched budget (2.0 * 1.8 = 3.6) still catches it, and the
+    // offender reports the EFFECTIVE ceiling it was judged against
+    val (over, _) = Bench.budgetCheck(
+      Seq("q_fast" -> 0.9, "q_slow" -> 7.2), budgets, factor = 1.8)
+    assert(over == Seq(("q_slow", 7.2, 3.6)))
+  }
+
+  test("calibration factor: ratio of medians, clamped to [1, 4]") {
+    // idle machine, pinned 0.4s: factor 1.0 exactly
+    assert(Bench.calibrationFactor(Seq(0.4, 0.4, 0.4), Some(0.4)) == 1.0)
+    // loaded ~2x: the median (middle sample) carries the factor
+    assert(Bench.calibrationFactor(Seq(0.7, 0.8, 0.9), Some(0.4)) == 2.0)
+    // faster than pin NEVER tightens budgets below their pinned values
+    assert(Bench.calibrationFactor(Seq(0.2, 0.2, 0.2), Some(0.4)) == 1.0)
+    // a calibration glitch can't write a blank check past 4x
+    assert(Bench.calibrationFactor(Seq(40.0), Some(0.4)) == 4.0)
+    // no pin (or a degenerate one) → 1.0, the un-normalized gate
+    assert(Bench.calibrationFactor(Seq(0.8), None) == 1.0)
+    assert(Bench.calibrationFactor(Seq(0.8), Some(0.0)) == 1.0)
+    assert(Bench.calibrationFactor(Nil, Some(0.4)) == 1.0)
+  }
+
+  test("_calibration is a reserved key, not a query budget") {
+    val withCal = """{ "_calibration": 0.4, "q_fast": 0.5 }"""
+    assert(Bench.parseBudgets(withCal).get(Bench.CalibrationKey).contains(0.4))
+    // the compare never judges a query against the calibration pin, and
+    // a query named like the key would surface as unbudgeted, not gated
+    val (over, un) = Bench.budgetCheck(
+      Seq("q_fast" -> 0.4, "_calibration" -> 99.0), withCal)
+    assert(over.isEmpty)
+    assert(un == Seq("_calibration"))
+  }
+
+  test("the committed bench_budgets.json pins a calibration baseline") {
+    val src = scala.io.Source.fromFile("bench_budgets.json", "UTF-8")
+    val text = try src.mkString finally src.close()
+    assert(Bench.parseBudgets(text).get(Bench.CalibrationKey).exists(_ > 0),
+      "bench_budgets.json must carry a _calibration pin so the gate can " +
+        "load-normalize (re-pin with tools/pin_budgets.py)")
+  }
+
   test("the committed bench_budgets.json covers the whole registry") {
     val src = scala.io.Source.fromFile("bench_budgets.json", "UTF-8")
     val text = try src.mkString finally src.close()
