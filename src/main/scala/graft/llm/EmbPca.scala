@@ -24,16 +24,17 @@ import graft.core.{QueryDef, QueryGroup, Tables => T}
   * both engines evaluate identically. No order-dependent double sums
   * anywhere.
   *
-  * Scale shape: ONE corpus pass computes S/T/n — a narrow per-row pair
-  * explode (dim²/2 structs per vector, the price any single-pass
-  * covariance pays) into a hash agg with dim² keys, map-side combined;
+  * Scale shape: ONE corpus pass computes S/T/n via the
+  * [[graft.functions.GramianAgg]] mergeable buffer — each row folds
+  * dim²/2 multiply-adds into a flat long array in place, partials
+  * combine map-side, and exactly one buffer per partition crosses the
+  * shuffle (this replaced a dim²/2-structs-per-vector explode that
+  * shuffled a dim²·n-row stream and capped the family at dim 512);
   * everything after operates on dim²-row relations (the matvec joins a
   * dim²-row matrix with a dim-row vector — broadcast-sized at any corpus
-  * size). dim is guarded loudly at 512 here: dim² pair fan-out is the
-  * deliberate design point for the engine's 64-dim table; a 4096-dim
-  * production run would swap the explode for a Gramian-accumulating
-  * `TypedImperativeAggregate`, which changes none of the downstream
-  * algebra.
+  * size). dim is guarded loudly at 4096 (the buffer-size ceiling —
+  * 67 MB of longs per partial); wider wants a sharded block-partitioned
+  * Gramian, which this engine does not claim.
   */
 object EmbPca extends QueryGroup {
 
@@ -52,7 +53,10 @@ object EmbPca extends QueryGroup {
     * an independent reference) on a crafted dominant-direction corpus. */
   private[llm] val PowerIters = 8
 
-  private val MaxDim = 512
+  /** Ceiling on the Gramian buffer (67 MB of longs per partial at 4096
+    * — the same width the LSH plane-matrix guard claims); past it the
+    * aggregate fails loudly rather than truncating. */
+  private val MaxDim = 4096
 
   /** (vec_id, qa) with components floor-quantized to 1e6-scaled longs.
     * Empty/null vectors are dropped up front: they carry no moments, and
@@ -65,31 +69,48 @@ object EmbPca extends QueryGroup {
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
           .as("qa"))
 
-  /** Exact integer moments: per-dim sums T_j, count n, and upper-triangle
-    * raw second moments S_jk — the single corpus pass. */
-  private def moments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val q = quantized(s, d)
-    val mxRow = q.select(max(size(col("qa"))).as("mx")).collect()(0)
-    val dims = if (mxRow.isNullAt(0)) 0 else mxRow.getInt(0)
-    require(dims <= MaxDim,
-      s"emb_pca: dim $dims exceeds the pair-explode design point $MaxDim " +
-        "(swap in a Gramian TypedImperativeAggregate for wider embeddings)")
-    val sums = q.select(posexplode(col("qa")).as(Seq("j", "qv")))
-      .groupBy(col("j"))
-      .agg(sum(col("qv")).as("tj"), count(lit(1)).as("n"))
-    val pairs = q.select(explode(expr(
-      """flatten(transform(sequence(0, size(qa) - 1), j ->
-        |  transform(sequence(j, size(qa) - 1), k ->
-        |    struct(j AS j, k AS k, qa[j] * qa[k] AS p))))""".stripMargin)).as("e"))
-      .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
-      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("s"))
-    (sums, pairs)
-  }
+  /** THE corpus pass: the whole second-moment state as ONE
+    * [[graft.functions.GramianAgg]] row, materialized so every consumer
+    * (sums, pairs, the mean, the matrix) reads the same buffer instead
+    * of re-scanning the corpus. Replaces the former dim²/2-structs-
+    * per-vector explode → dim²-key hash agg (identical exact-integer
+    * sums, but that shape shuffled a dim²·n-row stream — the engine's
+    * worst 10× sweep ratio — and capped the family at dim 512). */
+  private def gram(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.cut(
+      quantized(s, d).agg(
+        graft.functions.GramianAgg.gramian(col("qa"), MaxDim).as("g")))
+
+  /** Empty-corpus-safe 0..d-1: `sequence(0, -1)` DESCENDS, so d = 0 must
+    * short-circuit to a typed empty array. */
+  private val dimSeq = "CASE WHEN g.d = 0 THEN CAST(array() AS ARRAY<INT>) " +
+    "ELSE sequence(0, g.d - 1) END"
+
+  /** Per-dim exact sums: (j, tj, n) — unpacked from the gram row; rows
+    * only for positions some vector has (nj > 0), the explode parity. */
+  private def sumsOf(g: DataFrame): DataFrame =
+    g.select(explode(expr(
+      s"transform($dimSeq, j -> struct(j AS j, g.tj[j] AS tj, g.nj[j] AS n))")).as("e"))
+      .select(col("e.j").as("j"), col("e.tj").as("tj"), col("e.n").as("n"))
+      .filter(col("n") > 0)
+
+  /** Upper-triangle exact raw second moments: (j, k, s). Arrays are
+    * prefix-indexed, so pair (j,k), j ≤ k, co-occurred in some vector
+    * iff nj(k) > 0 — the filter keeps never-co-occurring pairs out,
+    * exactly as the pair-explode emitted none. */
+  private def pairsOf(g: DataFrame): DataFrame =
+    g.select(explode(expr(
+      s"""flatten(transform($dimSeq, k ->
+         |  transform(sequence(0, k), j ->
+         |    struct(j AS j, k AS k, g.s[(k * (k + 1)) div 2 + j] AS s,
+         |      g.nj[k] AS nk))))""".stripMargin)).as("e"))
+      .filter(col("e.nk") > 0)
+      .select(col("e.j").as("j"), col("e.k").as("k"), col("e.s").as("s"))
 
   /** Upper-triangle exact covariance: (j, k, cov_q) at 1e12·n scale plus
     * the real-valued cov — C(j,k) = S − qm_j·T_k − qm_k·T_j + n·qm_j·qm_k. */
-  private def covarianceDf(s: SparkSession, d: String): DataFrame = {
-    val (sums, pairs) = moments(s, d)
+  private def covarianceDfOf(g: DataFrame): DataFrame = {
+    val (sums, pairs) = (sumsOf(g), pairsOf(g))
     val qm = sums.select(col("j"), col("tj"), col("n"),
       floor(col("tj").cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
         .cast(LongType).as("qm"))
@@ -103,7 +124,7 @@ object EmbPca extends QueryGroup {
   }
 
   private def covariance(s: SparkSession, d: String): DataFrame =
-    covarianceDf(s, d)
+    covarianceDfOf(gram(s, d))
       .select(col("j"), col("k"), col("cov_q"),
         (col("cov_q").cast(DoubleType) /
           (col("n").cast(DoubleType) * lit(1.0e12))).as("cov"))
@@ -112,8 +133,8 @@ object EmbPca extends QueryGroup {
   /** The 1e6-scaled per-observation covariance, mirrored to a full
     * (j, k, c) matrix and materialized once (the iteration below reads
     * it every round; uncut, the analyzed plan doubles per round). */
-  private def fullMatrix(s: SparkSession, d: String): DataFrame = {
-    val covq = covarianceDf(s, d)
+  private def fullMatrixOf(g: DataFrame): DataFrame = {
+    val covq = covarianceDfOf(g)
     val cd = covq.select(col("j"), col("k"),
       floor(col("cov_q").cast(DoubleType) / col("n").cast(DoubleType) / lit(1.0e6)
         + lit(0.5)).cast(LongType).as("c"))
@@ -149,27 +170,22 @@ object EmbPca extends QueryGroup {
     v
   }
 
-  /** The iterated 1e9-scaled eigvec estimate (k, v9), shared by
-    * [[topPc]] and [[removeTopPc]]. */
-  private def iteratedVec(s: SparkSession, d: String): DataFrame =
-    powerIterate(fullMatrix(s, d))
-
   /** Per-dim quantized mean (k, qm) at 1e6 scale. */
-  private def meanVec(s: SparkSession, d: String): DataFrame = {
-    val (sums, _) = moments(s, d)
-    sums.select(col("j").as("k"),
+  private def meanVecOf(g: DataFrame): DataFrame =
+    sumsOf(g).select(col("j").as("k"),
       floor(col("tj").cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
         .cast(LongType).as("qm"))
-  }
 
   /** Top principal component by [[PowerIters]] rounds of power iteration
     * on the 1e6-scaled per-n covariance, starting from all-ones. */
-  private def topPc(s: SparkSession, d: String): DataFrame =
-    iteratedVec(s, d).join(meanVec(s, d), Seq("k"))
+  private def topPc(s: SparkSession, d: String): DataFrame = {
+    val g = gram(s, d)
+    powerIterate(fullMatrixOf(g)).join(meanVecOf(g), Seq("k"))
       .select(col("k").as("pos"),
         (col("qm").cast(DoubleType) / lit(1.0e6)).as("mean_v"),
         (col("v9").cast(DoubleType) / lit(1.0e9)).as("pc"))
       .orderBy(col("pos"))
+  }
 
   /** Top TWO components via Hotelling deflation: iterate on C, estimate
     * λ₁ by the Rayleigh quotient, deflate C₂ = C − λ₁·v̂₁v̂₁ᵀ, iterate
@@ -181,7 +197,7 @@ object EmbPca extends QueryGroup {
     * spectrum with two dominant directions both are recovered
     * (`EmbPcaSpec`), and v̂₂ ⊥ v̂₁ up to rounding. */
   private def topPc2(s: SparkSession, d: String): DataFrame = {
-    val c1 = fullMatrix(s, d)
+    val c1 = fullMatrixOf(gram(s, d))
     val v1 = graft.core.Materialize.cut(powerIterate(c1))
     val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
     val v1k = v1.select(col("k"), col("v9").as("vk"))
@@ -224,11 +240,12 @@ object EmbPca extends QueryGroup {
     * integers. Zero-norm vectors (or a zero iterate) get a DEFINED null
     * cosine — the family's degenerate contract. */
   private def removeTopPc(s: SparkSession, d: String): DataFrame = {
+    val g = gram(s, d)
     val comp = quantized(s, d)
       .select(col("vec_id"), posexplode(col("qa")).as(Seq("k", "qv")))
-    val centered = comp.join(broadcast(meanVec(s, d)), Seq("k"))
+    val centered = comp.join(broadcast(meanVecOf(g)), Seq("k"))
       .select(col("vec_id"), col("k"), (col("qv") - col("qm")).as("cv"))
-    val vec = graft.core.Materialize.cut(iteratedVec(s, d))
+    val vec = graft.core.Materialize.cut(powerIterate(fullMatrixOf(g)))
     val vn2 = vec.select(
       sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
         .as("vn2"))

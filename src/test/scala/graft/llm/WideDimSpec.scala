@@ -53,6 +53,30 @@ class WideDimSpec extends SparkSuite {
     assert(rows.length == 10)
   }
 
+  test("emb_covariance at dim 1024: full upper triangle, Cauchy-Schwarz holds") {
+    // the Gramian aggregate path — dim 1024 was impossible under the
+    // former 512-capped pair explode; 200 fixed-dim vectors → the full
+    // 1024·1025/2 upper triangle
+    val rows = SparkEntry.queries("emb_covariance")(spark, wideDir).collect()
+    assert(rows.length == 1024 * 1025 / 2)
+    val cov = rows.map(r =>
+      (r.getAs[Int]("j"), r.getAs[Int]("k")) -> r.getAs[Double]("cov")).toMap
+    // diagonal variances non-negative, off-diagonals bounded by them
+    assert((0 until 1024).forall(j => cov((j, j)) >= 0.0))
+    assert(cov.forall { case ((j, k), c) =>
+      c * c <= cov((j, j)) * cov((k, k)) * (1.0 + 1e-9) + 1e-12 })
+  }
+
+  test("emb_top_pc at dim 1024: one row per dim, unit-norm iterate") {
+    val rows = SparkEntry.queries("emb_top_pc")(spark, wideDir).collect()
+    assert(rows.length == 1024)
+    val norm = math.sqrt(rows.map(r => {
+      val p = r.getAs[Double]("pc"); p * p }).sum)
+    // v9 re-normalizes every round; floor-rounding moves the norm by at
+    // most ~dim·1e-9
+    assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+  }
+
   test("dim past the plane matrix fails loudly, never truncates") {
     val wide = Seq((0L, Array.fill(Dedup.MaxEmbeddingDim + 100)(1.0f), 0))
       .toDF("vec_id", "embedding", "label")
