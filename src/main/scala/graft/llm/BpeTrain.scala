@@ -57,29 +57,82 @@ object BpeTrain extends QueryGroup {
       .withColumn("s",
         concat(lit(B), array_join(split(col("word"), "(?<=.)(?=.)"), B), lit(B)))
 
-  private[llm] def learn(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+  private[llm] def learn(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
+    learnBatched(s, d, TrainRounds, batchK = 1)
+
+  /** Greedy token-disjoint selection from candidates already in the
+    * canonical (count DESC, x ASC, y ASC) order: keep up to `batchK`
+    * pairs whose token alphabets — BOTH constituents AND the merged
+    * output — are pairwise disjoint. Disjoint-including-outputs is what
+    * makes the batch exactly commutative: a merge only rewrites runs of
+    * its own two tokens and only mints its own output, so no selected
+    * merge can create, destroy, or chain into an adjacency any other
+    * selected merge counts — each recorded pair_count (measured before
+    * the round) stays exact, and applying the batch in any order yields
+    * the same state. (Checking outputs matters: selecting (a,b) and
+    * (ab,c) together would let the first mint "ab" tokens the second
+    * then merges — occurrences never counted at selection time.) */
+  private[llm] def selectDisjoint(cands: Seq[(String, String, Long)],
+      batchK: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = cands.iterator
+    while (out.size < batchK && it.hasNext) {
+      val c @ (x, y, _) = it.next()
+      if (!used(x) && !used(y) && !used(x + y)) {
+        out += c
+        used ++= Seq(x, y, x + y)
+      }
+    }
+    out.toSeq
+  }
+
+  /** The Sennrich loop with a BATCHED merge schedule: per round, rank
+    * pair counts once, collect the top `batchK`·8 candidates (a bounded
+    * driver read replacing the top-1 argmax), greedily keep up to
+    * `batchK` token-disjoint ones ([[selectDisjoint]] — commutative, so
+    * one round of chained replaces equals applying them sequentially),
+    * and apply them all before re-counting. Jobs-per-vocabulary drops
+    * ~batchK-fold: a real 32k-merge vocabulary is ~2k rounds at
+    * batchK=16 instead of 32k sequential jobs — the standard batched-BPE
+    * trade (the learned TABLE can differ from the strict top-1 schedule,
+    * because lower-ranked pairs are admitted before re-counting; every
+    * admitted count is still exact). `batchK = 1` IS the classic
+    * schedule — `bpe_train`'s oracle-graded shape. Ranks number merges
+    * in global application order. */
+  private[llm] def learnBatched(s: SparkSession, d: String, rounds: Int,
+      batchK: Int): Seq[(Long, String, String, Long)] = {
+    require(batchK >= 1, s"learnBatched: need batchK >= 1; got $batchK")
     var st = Materialize.cut(initState(T.documents(s, d)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var done = false
-    while (r < TrainRounds && !done) {
+    while (r < rounds && !done) {
       val toks = st
         .withColumn("t", expr(s"slice(split(s, '$B'), 2, size(split(s, '$B')) - 2)"))
         .filter(size(col("t")) >= 2)
       val pairs = toks.select(col("cnt"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS x, t[i] AS y))")).as("p"))
         .select(col("cnt"), col("p.x").as("x"), col("p.y").as("y"))
-      val best = pairs.groupBy(col("x"), col("y"))
+      // batchK*8 bounded rows per round (top-1 argmax when batchK = 1):
+      // headroom for greedy conflicts without an unbounded collect
+      val cands = pairs.groupBy(col("x"), col("y"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(desc("pc"), col("x"), col("y"))
-        .limit(1).collect() // 1 bounded row per round — the argmax
-      if (best.isEmpty) done = true
+        .limit(batchK * 8).collect()
+        .map(b => (b.getString(0), b.getString(1), b.getLong(2))).toSeq
+      val picked = selectDisjoint(cands, batchK)
+      if (picked.isEmpty) done = true
       else {
-        val (x, y, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r.toLong, x, y, pc))
-        val (pat, rep) = (s"$D$x$B$y$D", s"$D$x$y$D")
-        st = Materialize.cut(st.withColumn("s",
-          call_function("replace", col("s"), lit(pat), lit(rep))))
+        picked.foreach { case (x, y, pc) =>
+          merges += ((merges.size.toLong, x, y, pc))
+        }
+        // one projection chaining the batch's replaces; order irrelevant
+        // by disjointness, selection order used for determinism
+        val applied = picked.foldLeft(col("s")) { case (c, (x, y, _)) =>
+          call_function("replace", c, lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D"))
+        }
+        st = Materialize.cut(st.withColumn("s", applied))
         r += 1
       }
     }

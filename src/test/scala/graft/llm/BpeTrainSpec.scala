@@ -53,6 +53,66 @@ class BpeTrainSpec extends SparkSuite {
     out.result()
   }
 
+  /** Reference BATCHED trainer: the same pair stats and candidate order,
+    * but per round it greedily keeps up to `batchK` candidates whose
+    * token alphabets (constituents AND merged outputs) are pairwise
+    * disjoint, then applies them sequentially — an independent
+    * re-implementation of the batched schedule, sharing no code with
+    * the shipped learner. */
+  private def referenceLearnBatched(counts: Map[String, Long], rounds: Int,
+      batchK: Int): Seq[(String, String, Long)] = {
+    var state: Map[String, (Vector[String], Long)] =
+      counts.map { case (w, c) =>
+        w -> (w.codePoints().toArray.toVector.map(Character.toString), c)
+      }
+    val out = Vector.newBuilder[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.values.foreach { case (toks, c) =>
+        toks.indices.dropRight(1).foreach { i =>
+          val k = (toks(i), toks(i + 1))
+          stats(k) = stats.getOrElse(k, 0L) + c
+        }
+      }
+      if (stats.isEmpty) exhausted = true
+      else {
+        val cands = stats.toSeq
+          .sortBy { case ((x, y), pc) => (-pc, x, y) }
+          .take(batchK * 8)
+        var used = Set.empty[String]
+        val picked = Vector.newBuilder[(String, String, Long)]
+        var n = 0
+        cands.foreach { case ((x, y), pc) =>
+          if (n < batchK && !used(x) && !used(y) && !used(x + y)) {
+            picked += ((x, y, pc)); used = used ++ Seq(x, y, x + y); n += 1
+          }
+        }
+        val sel = picked.result()
+        out ++= sel
+        sel.foreach { case (x, y, _) =>
+          state = state.map { case (w, (toks, c)) =>
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+                merged += (x + y); i += 2
+              } else { merged += toks(i); i += 1 }
+            }
+            w -> (merged.result(), c)
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def learnedBatched(dir: String, rounds: Int, batchK: Int): Seq[(String, String, Long)] =
+    BpeTrain.learnBatched(spark, dir, rounds, batchK)
+      .map { case (_, x, y, pc) => (x, y, pc) }
+
   private def learned(dir: String): Seq[(String, String, Long)] =
     graft.SparkEntry.queries("bpe_train")(spark, dir)
       .orderBy(col("rank")).collect()
@@ -111,6 +171,70 @@ class BpeTrainSpec extends SparkSuite {
       (1L, 6L, 6L, 0.3),
       (2L, 3L, 3L, 3.0 / 7.0),
       (3L, 3L, 3L, 1.0)), rows.toSeq)
+  }
+
+  test("batched schedule matches the batched reference on the real corpus") {
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = learnedBatched(sfDir, rounds = 4, batchK = 8)
+    assert(got == referenceLearnBatched(counts, 4, 8))
+    // the point of batching: one round learns several merges
+    assert(got.length > 4, s"only ${got.length} merges in 4 rounds")
+  }
+
+  test("batched ranks number merges in global application order") {
+    val ranks = BpeTrain.learnBatched(spark, sfDir, 3, 8).map(_._1)
+    assert(ranks == ranks.indices.map(_.toLong))
+  }
+
+  test("conflict-rich corpus: greedy admits only token-disjoint merges per round") {
+    val sess = spark
+    import sess.implicits._
+    // every pair shares 'a' or mints a used output: round 0 must pick
+    // (a,a) ALONE even with batchK = 8 — (a,b) shares a, and a
+    // hypothetical (aa,?) doesn't exist yet
+    val docs = Seq((1L, "aaab aaab aaab", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = graft.core.Fixtures.path("bpebatchconf")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val counts = Map("aaab" -> 3L)
+    val got = learnedBatched(dir, 8, 8)
+    assert(got == referenceLearnBatched(counts, 8, 8), got)
+    assert(got.head == ("a", "a", 6L))
+    // word is 4 chars: whatever the schedule, it ends fully merged in
+    // <= 3 merges, and round 0 admitted exactly one
+    assert(got.length <= 3)
+  }
+
+  test("disjoint-rich corpus: one round learns a whole batch") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "ab ab cd cd ef ef gh gh", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = graft.core.Fixtures.path("bpebatchdis")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val counts = Map("ab" -> 2L, "cd" -> 2L, "ef" -> 2L, "gh" -> 2L)
+    val got = learnedBatched(dir, 1, 8)
+    assert(got == referenceLearnBatched(counts, 1, 8), got)
+    // all four pairs are token-disjoint and equal-count: ONE round
+    // learns all of them, in (x, y) tie-break order
+    assert(got == Seq(("a", "b", 2L), ("c", "d", 2L), ("e", "f", 2L), ("g", "h", 2L)))
+  }
+
+  test("batchK = 1 is exactly the classic top-1 schedule") {
+    assert(learnedBatched(sfDir, BpeTrain.TrainRounds, 1) == learned(sfDir))
+  }
+
+  test("production scale: >= 64 merges within 8 rounds at batchK 16") {
+    // the jobs-per-vocabulary claim: a real vocabulary is learnable in
+    // vocab/batchK rounds, not vocab sequential jobs
+    val got = learnedBatched(sfDir, rounds = 8, batchK = 16)
+    assert(got.length >= 64, s"learned only ${got.length} merges")
+    // exact counts, no duplicates among learned outputs
+    val xys = got.map { case (x, y, _) => x + y }
+    assert(xys.distinct.length == xys.length)
   }
 
   test("single-char and empty vocabularies exhaust immediately") {
