@@ -968,11 +968,30 @@ object Pipeline extends QueryGroup {
   // quantile_cont — the q35/sketch_quantile precedent) broadcast back
   // onto a narrow assignment map — NOT a global ntile window, which
   // would funnel every doc-level row through one task at corpus scale
-  // (at real scale the boundary agg swaps to the GK sketch; the report
-  // is 10 rows either way). Per-decile outputs are POOLED ratios of
-  // exact sums (one IEEE division each), never means of per-doc doubles
+  // (the GK-sketch boundary mode is wired below — `approxBoundaries`;
+  // the report is 10 rows either way). Per-decile outputs are POOLED
+  // ratios of exact sums (one IEEE division each), never means of
+  // per-doc doubles
   // (an order-dependent double sum would break engine parity).
-  private def signalDeciles(s: SparkSession, d: String): DataFrame = {
+  private def signalDeciles(s: SparkSession, d: String): DataFrame =
+    signalDecilesWith(s, d, approxBoundaries = false)
+
+  /** `approxBoundaries` is the 100 TB switch: the exact interpolated
+    * `percentile` (the oracle-graded default — bitwise-equal to DuckDB
+    * `quantile_cont`) materializes every doc-level logit in ONE
+    * aggregation buffer, which pages at real corpus size; `true` swaps
+    * in `approx_percentile` — Spark's Greenwald-Khanna summary, bounded
+    * state, rank error ≤ n/accuracy — and changes nothing else (the
+    * same broadcast-boundary assignment, the same pooled-ratio report).
+    * `PipelineSpec` grades the approx boundaries within GK rank
+    * tolerance of the exact ones on the fixture. */
+  private[llm] val DecileAccuracy = 10000
+
+  /** The shared doc-level signal pass: (doc_id, wsum, nt, hnum, logit) —
+    * package-visible so `PipelineSpec` grades the approx-decile
+    * boundaries against the REAL logit distribution, not a copy that
+    * could drift on a retune. */
+  private[llm] def decileDocSignals(s: SparkSession, d: String): DataFrame = {
     val tf = TextStats.termFreqs(T.documents(s, d))
     val n = Window.partitionBy(col("doc_id"))
     val terms = tf
@@ -982,13 +1001,23 @@ object Pipeline extends QueryGroup {
         (col("c").cast(DecimalType(18, 0)) *
           log(col("c").cast(DoubleType) / col("nt").cast(DoubleType))
             .cast(DecimalType(18, 6))))
-    val doc = terms.groupBy(col("doc_id"))
+    terms.groupBy(col("doc_id"))
       .agg(sum(col("c") * col("w")).as("wsum"),
         max(col("nt")).as("nt"),
         sum(col("hterm")).as("hnum"))
       .withColumn("logit", col("wsum").cast(DoubleType) /
         (lit(504.0) * col("nt").cast(DoubleType)))
-    val bcols = (1 to 9).map(i => percentile(col("logit"), lit(i / 10.0)).as(s"b$i"))
+  }
+
+  private[llm] def signalDecilesWith(s: SparkSession, d: String,
+      approxBoundaries: Boolean): DataFrame = {
+    val doc = decileDocSignals(s, d)
+    val bcols =
+      if (approxBoundaries)
+        (1 to 9).map(i => percentile_approx(col("logit"), lit(i / 10.0),
+          lit(DecileAccuracy)).as(s"b$i"))
+      else
+        (1 to 9).map(i => percentile(col("logit"), lit(i / 10.0)).as(s"b$i"))
     val bounds = doc.agg(bcols.head, bcols.tail: _*)
     val assigned = doc.crossJoin(broadcast(bounds))
       .withColumn("decile",

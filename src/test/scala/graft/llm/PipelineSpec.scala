@@ -247,6 +247,34 @@ class PipelineSpec extends SparkSuite {
     assert(logits.zip(logits.tail).forall { case (a, b) => a < b }, logits.toSeq)
   }
 
+  test("signal deciles: the GK-sketch boundary mode stays within rank tolerance") {
+    // the 100 TB path: approx_percentile (Greenwald-Khanna, bounded
+    // state) instead of the exact single-buffer percentile. Grade each
+    // approx boundary by its RANK in the real logit distribution: GK
+    // guarantees rank error <= n/accuracy, and the returned boundary is
+    // an actual sample (no interpolation), so the observed rank of
+    // boundary b_i must sit within n/accuracy + 1 of i*n/10
+    val logits = Pipeline.decileDocSignals(spark, sfDir)
+      .select(col("logit")).collect().map(_.getDouble(0)).sorted
+    val n = logits.length
+    val approx = Pipeline.signalDecilesWith(spark, sfDir, approxBoundaries = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the report shape is unchanged: 10 deciles partitioning the corpus,
+    // pooled logit still strictly monotone
+    assert(approx.map(_._1).toSeq == (1L to 10L))
+    assert(approx.map(_._2).sum == n)
+    val pl = approx.sortBy(_._1).map(_._3)
+    assert(pl.zip(pl.tail).forall { case (a, b) => a < b }, pl.toSeq)
+    // rank tolerance of the boundaries, recovered from the cumulative
+    // bucket counts: docs in deciles 1..i sit at or below boundary b_i
+    val tol = n.toDouble / Pipeline.DecileAccuracy + 1
+    val cum = approx.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).tail
+    (1 to 9).foreach { i =>
+      assert(math.abs(cum(i - 1) - i * n / 10.0) <= tol,
+        s"boundary $i: cumulative rank ${cum(i - 1)} vs exact ${i * n / 10.0}")
+    }
+  }
+
   test("pii mask: masked text carries no residual emails or phones") {
     val df = run("text_pii_mask").cache()
     try {
