@@ -34,7 +34,14 @@ import graft.functions.DotProduct.dot
 object Ann extends QueryGroup {
 
   private[llm] def normed(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d)
+    normedOf(T.embeddings(s, d))
+
+  /** The same normalization over an ALREADY-LOADED embeddings relation —
+    * the entry point streaming ingest ([[graft.streaming.StreamIvf]])
+    * uses on a micro-batch, so the batch path cannot drift from the
+    * table path. */
+  private[graft] def normedOf(embs: DataFrame): DataFrame =
+    embs
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
       .withColumn("nsq", dot(col("emb"), col("emb")))
@@ -196,7 +203,7 @@ object Ann extends QueryGroup {
     * family (Lloyd iterations, final lists, and [[IvfIndex.assign]]'s
     * out-of-sample path all route through here so they cannot diverge).
     * Argmax via ordered-struct max: no window sort, one hash aggregate. */
-  private[llm] def assignCells(n: DataFrame, cdf: DataFrame): DataFrame =
+  private[graft] def assignCells(n: DataFrame, cdf: DataFrame): DataFrame =
     n.crossJoin(broadcast(cdf))
       .withColumn("c_cos", centroidCosine(col("emb"), col("nsq")))
       .groupBy(col("vec_id"))
@@ -222,7 +229,7 @@ object Ann extends QueryGroup {
   /** Deterministic IVF model shared by the top-k probe path and the
     * cluster-balanced sampler: the final inverted lists (vec_id, emb,
     * nsq, ck) plus the centroid table (ck, cvec, c_nsq). */
-  private[llm] def ivfModel(s: SparkSession, d: String, k: Int,
+  private[graft] def ivfModel(s: SparkSession, d: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     require(k >= 1 && iters >= 0,

@@ -52,7 +52,7 @@ object IvfIndex {
     * rows — a vector whose every centroid is zero-norm must not deflate
     * it), and a corpus with NO defined best fails loudly rather than
     * writing a meaningless yardstick. */
-  private def quality(n: DataFrame, cdf: DataFrame): Double = {
+  private[graft] def quality(n: DataFrame, cdf: DataFrame): Double = {
     val r = n.crossJoin(broadcast(cdf))
       .withColumn("c_cos", Ann.centroidCosine(col("emb"), col("nsq")))
       .groupBy(col("vec_id")).agg(max(col("c_cos")).as("best"))
@@ -156,9 +156,17 @@ object IvfIndex {
     * cover every corpus slice the index was built from or grown with
     * (the index stores only ids; vectors are re-joined from `d`). */
   def search(s: SparkSession, d: String, dir: String,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    searchFrom(s, d, s.read.parquet(s"$dir/centroids"),
+      s.read.parquet(s"$dir/assign"), nprobe)
+
+  /** The search core over an explicit centroid table and (vec_id, ck)
+    * assignment relation — shared with the continuously-maintained twin
+    * ([[graft.streaming.StreamIvf]]) so the probe rule, tie-breaks, and
+    * rounding cannot drift between the two lifecycles. */
+  private[graft] def searchFrom(s: SparkSession, d: String, cdf: DataFrame,
+      assignRows: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"search: need nprobe >= 1; got $nprobe")
-    val cdf = s.read.parquet(s"$dir/centroids")
     val n = Ann.normed(s, d)
     val probes = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -171,8 +179,7 @@ object IvfIndex {
     // wanted cells as literals is what lets the assignment scan prune
     // partitions on disk instead of reading every cell
     val wanted = cells.select("ck").distinct().collect().map(_.getInt(0)).toSeq
-    val assign = s.read.parquet(s"$dir/assign")
-      .where(col("ck").isin(wanted: _*))
+    val assign = assignRows.where(col("ck").isin(wanted: _*))
     Ann.rerank(n.join(assign, Seq("vec_id")), cells, "ck")
   }
 }
