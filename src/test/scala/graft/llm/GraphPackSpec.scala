@@ -32,6 +32,34 @@ class GraphPackSpec extends SparkSuite {
     assert(nodes == pairNodes)
   }
 
+  test("graph pairs memo: equals direct derivation and invalidates on rewrite") {
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.core.Fixtures.path("graphmemoinv")
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s1") }
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def direct() = Dedup.jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def viaQuery() = SparkEntry.queries("graph_degree_dist")(spark, dir)
+      .select((col("degree") * col("n")).as("dsum"))
+      .collect().map(_.getLong(0)).sum
+    // two near-dup docs -> one edge; the memoized query sees it
+    val nearDup = "the quick brown fox jumps over the lazy dog again and again today"
+    write(Seq(nearDup, nearDup + " x", "completely unrelated words about spark shuffles"))
+    assert(direct().distinct.length == 2)
+    assert(viaQuery() == 2L, "memoized edge set missed the near-dup pair")
+    // rewrite the SAME path with no near-dups: the source-state
+    // fingerprint must invalidate the memo, not serve stale edges
+    write(Seq("alpha beta gamma delta words one", "totally different content here now",
+      "third doc shares nothing either way"))
+    assert(direct().isEmpty)
+    assert(viaQuery() == 0L, "stale memo served after the fixture was rewritten")
+  }
+
   test("triangles: per-node counts equal a brute-force enumeration") {
     // sf0.001's pair graph may hold no triangle; grade on sf0.01 where
     // near-dup clusters of >= 3 docs exist (3 corner rows verified)
