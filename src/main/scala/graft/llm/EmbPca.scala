@@ -196,9 +196,13 @@ object EmbPca extends QueryGroup {
     * [[powerIterate]]. Convergence contract as [[topPc]] — on a
     * spectrum with two dominant directions both are recovered
     * (`EmbPcaSpec`), and v̂₂ ⊥ v̂₁ up to rounding. */
-  private def topPc2(s: SparkSession, d: String): DataFrame = {
-    val c1 = fullMatrixOf(gram(s, d))
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+  /** Rayleigh-quotient eigenvalue estimate λ̂ = vᵀCv / vᵀv of iterate
+    * `v1` on matrix `c1`, 1e6-scaled (the matrix's own scale): exact
+    * DECIMAL(38,0) numerator and denominator collapsed by one fixed
+    * floor-round — shared by [[topPc2]]'s deflation and the
+    * variance-explained scorecard. A zero iterate yields the defined
+    * λ̂ = 0. */
+  private def rayleighLam(c1: DataFrame, v1: DataFrame): DataFrame = {
     val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
     val v1k = v1.select(col("k"), col("v9").as("vk"))
     val num = c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
@@ -209,10 +213,18 @@ object EmbPca extends QueryGroup {
     val den = v1.select(
       sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
         .as("den"))
-    val lam = num.crossJoin(den).select(
+    num.crossJoin(den).select(
       when(col("den") > 0,
         floor(col("num").cast(DoubleType) / col("den").cast(DoubleType) + lit(0.5))
           .cast(LongType)).otherwise(lit(0L)).as("lam6"))
+  }
+
+  private def topPc2(s: SparkSession, d: String): DataFrame = {
+    val c1 = fullMatrixOf(gram(s, d))
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
+    val v1k = v1.select(col("k"), col("v9").as("vk"))
+    val lam = rayleighLam(c1, v1)
     val c2 = graft.core.Materialize.cut(
       c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
         .crossJoin(broadcast(lam))
@@ -229,6 +241,26 @@ object EmbPca extends QueryGroup {
         (col("p1").cast(DoubleType) / lit(1.0e9)).as("pc1"),
         (col("p2").cast(DoubleType) / lit(1.0e9)).as("pc2"))
       .orderBy(col("pos"))
+  }
+
+  /** The PCA quality scorecard all-but-the-top is premised on (Mu &
+    * Viswanath 2018 report the top component's variance share as THE
+    * isotropy diagnostic): total variance = trace of the 1e6-scaled
+    * per-n covariance (exact BIGINT sum of the diagonal), λ̂₁ = the
+    * Rayleigh quotient of the iterated direction at the same scale, and
+    * their ratio — one IEEE division. High share ⇒ a dominant common
+    * direction worth removing; near-isotropic ⇒ removal buys nothing.
+    * Degenerate corpus: NULL trace (SQL sum-over-empty), λ̂₁ = 0,
+    * NULL ratio — both engines identically. */
+  private def varExplained(s: SparkSession, d: String): DataFrame = {
+    val c1 = fullMatrixOf(gram(s, d))
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val trace = c1.filter(col("j") === col("k")).agg(sum(col("c")).as("trace6"))
+    trace.crossJoin(rayleighLam(c1, v1))
+      .select(col("trace6"), col("lam6"),
+        when(col("trace6") > 0,
+          col("lam6").cast(DoubleType) / col("trace6").cast(DoubleType))
+          .as("var_explained"))
   }
 
   /** The all-but-the-top application: per vector, the projection
@@ -411,10 +443,42 @@ object EmbPca extends QueryGroup {
        |ORDER BY pos""".stripMargin
   }
 
+  private val varExplainedSql = {
+    val iters = (1 to PowerIters).map(r => iterSql(r)).mkString(",\n")
+    s"""WITH $momentsCtes,
+       |cd AS MATERIALIZED (
+       |  SELECT j, k,
+       |    CAST(floor(CAST(cov_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 + 0.5)
+       |      AS BIGINT) AS c
+       |  FROM covq),
+       |cfull AS MATERIALIZED (
+       |  SELECT j, k, c FROM cd
+       |  UNION ALL
+       |  SELECT k AS j, j AS k, c FROM cd WHERE j <> k),
+       |v0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM cfull),
+       |$iters,
+       |rnum AS (
+       |  SELECT SUM(CAST(c.c AS HUGEINT) * vj.v9 * vk.v9) AS num
+       |  FROM cfull c JOIN v$PowerIters vj ON vj.k = c.j
+       |  JOIN v$PowerIters vk ON vk.k = c.k),
+       |rden AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS den FROM v$PowerIters),
+       |lam AS (
+       |  SELECT CASE WHEN d.den > 0 THEN
+       |    CAST(floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS lam6 FROM rnum n, rden d),
+       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace6 FROM cfull WHERE j = k)
+       |SELECT t.trace6 AS trace6, l.lam6 AS lam6,
+       |  CASE WHEN t.trace6 > 0 THEN
+       |    CAST(l.lam6 AS DOUBLE) / CAST(t.trace6 AS DOUBLE)
+       |  END AS var_explained
+       |FROM tr t, lam l""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_covariance" -> QueryDef(covariance, Some(covarianceSql)),
     "emb_top_pc" -> QueryDef(topPc, Some(topPcSql)),
     "emb_remove_top_pc" -> QueryDef(removeTopPc, Some(removeTopPcSql)),
     "emb_top_pc2" -> QueryDef(topPc2, Some(topPc2Sql)),
+    "emb_pca_var_explained" -> QueryDef(varExplained, Some(varExplainedSql)),
   )
 }
