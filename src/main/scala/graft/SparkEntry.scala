@@ -21,6 +21,8 @@ object SparkEntry {
         // generated real bytes; oracle re-parses the same bytes in SQL
         "multimodal_bmp" -> QueryDef((s, d) => Multimodal.bmpDecode(s, d),
           Some(Multimodal.bmpDecodeSql)),
+        "multimodal_bmp_resize" -> QueryDef((s, d) => Multimodal.bmpResize(s, d),
+          Some(Multimodal.bmpResizeSql)),
         "multimodal_wav" -> QueryDef((s, d) => Multimodal.wavDecode(s, d),
           Some(Multimodal.wavDecodeSql)))
 

@@ -277,6 +277,96 @@ object Multimodal {
        |FROM hdr ORDER BY doc_id""".stripMargin
   }
 
+  final case class BmpResized(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, out_sum: Long)
+
+  /** Real nearest-neighbor resize over the REAL BMP payload (the
+    * brief's resize op with an honest codec, unlike [[resizeStub]]'s
+    * fake-bytes stand-in): for output pixel (X, Y) of a fixed
+    * `outW`×`outH` target, sample source pixel
+    * (⌊X·w/outW⌋, ⌊Y·h/outH⌋) — integer arithmetic only, up- and
+    * down-sampling both exercised by the fixture's 1..16 × 1..8 dims —
+    * and checksum the 3 sampled channels. Coordinates are in STORED row
+    * order (BMP bottom-up): a checksum is orientation-invariant in
+    * meaning and keeping storage order keeps the SQL replay honest
+    * byte arithmetic. Output is all integers, so cross-engine parity
+    * needs no float tolerance. */
+  def resizeBmpSum(bytes: Array[Byte], outW: Int, outH: Int): BmpResized = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (${bytes.length} bytes)")
+    val pxOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24 && le32(bytes, 30) == 0,
+      "unsupported BMP variant")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= pxOff + rowSize * height, "truncated pixel data")
+    var sum = 0L
+    var yy = 0
+    while (yy < outH) {
+      val sy = yy * height / outH
+      var xx = 0
+      while (xx < outW) {
+        val off = pxOff + sy * rowSize + (xx * width / outW) * 3
+        sum += (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)
+        xx += 1
+      }
+      yy += 1
+    }
+    BmpResized(-1L, width, height, outW, outH, sum)
+  }
+
+  /** The fixed resize target the registry query grades: small enough
+    * that the 36-sample SQL replay stays readable, and sitting inside
+    * the fixture's 1..16 × 1..8 dim range so both up- and down-sampling
+    * paths are exercised across the 200 images. */
+  private[llm] val ResizeW = 4
+  private[llm] val ResizeH = 3
+
+  /** Registry query: real BMP payloads → partition-batched real
+    * nearest-neighbor resize checksum at the fixed target. */
+  def bmpResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = BmpFixture.ensure(spark)
+    spark.read.parquet(p).as[BmpRow]
+      .mapPartitions { rows =>
+        rows.map(r => resizeBmpSum(r.media, ResizeW, ResizeH).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[bmpResize]]: the identical header fields and
+    * the identical ⌊X·w/outW⌋ / ⌊Y·h/outH⌋ sampling, unrolled over the
+    * outW·outH·3 sampled channel bytes. */
+  val bmpResizeSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    val n = ResizeW * ResizeH * 3
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${BmpFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(18, 4)} AS width,
+       |    ${leField(22, 4)} AS height,
+       |    ${leField(10, 4)} AS px_off
+       |  FROM raw)
+       |SELECT doc_id, width, height,
+       |  CAST($ResizeW AS BIGINT) AS out_w, CAST($ResizeH AS BIGINT) AS out_h,
+       |  CAST(list_sum(list_transform(range(0, $n), i ->
+       |    CAST('0x' || substr(h, CAST((px_off
+       |      + ((i // 3) // $ResizeW * height // $ResizeH)
+       |        * ((width * 3 + 3) // 4 * 4)
+       |      + ((i // 3) % $ResizeW * width // $ResizeW) * 3
+       |      + (i % 3)) * 2 + 1 AS INT), 2) AS INT)))
+       |    AS BIGINT) AS out_sum
+       |FROM hdr ORDER BY doc_id""".stripMargin
+  }
+
   // ---- WAV: the audio counterpart of the BMP path ------------------------
   // Canonical 44-byte RIFF/PCM header + 8-bit unsigned mono/stereo
   // samples. Same honesty contract as BMP: the fixture holds REAL WAV

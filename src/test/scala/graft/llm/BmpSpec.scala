@@ -43,6 +43,46 @@ class BmpSpec extends SparkSuite {
     intercept[IllegalArgumentException](decodeBmp(truncated))
   }
 
+  test("resize at the source dims is the identity: out_sum == px_sum") {
+    // outW==w, outH==h makes X*w/outW == X exactly — every pixel is
+    // sampled once, so the resize checksum must equal the full decode sum
+    val bytes = encodeBmp24(ResizeW, ResizeH, (x, y, c) => (x * 9 + y * 4 + c) % 256)
+    assert(resizeBmpSum(bytes, ResizeW, ResizeH).out_sum == decodeBmp(bytes).px_sum)
+  }
+
+  test("1x1 upsample replicates the single pixel into every sample") {
+    val bytes = encodeBmp24(1, 1, (_, _, c) => c * 5) // channels 0,5,10
+    val r = resizeBmpSum(bytes, ResizeW, ResizeH)
+    assert(r.out_sum == ResizeW.toLong * ResizeH * 15)
+  }
+
+  test("downsample picks floor-mapped source pixels (stored row order)") {
+    val (w, h) = (16, 8)
+    val px = (x: Int, y: Int, c: Int) => (x * 13 + y * 31 + c * 5) % 256
+    val bytes = encodeBmp24(w, h, px)
+    // independent replay: stored row sy holds logical row h-1-sy
+    val expected = (for {
+      yy <- 0 until ResizeH; xx <- 0 until ResizeW; c <- 0 until 3
+    } yield px(xx * w / ResizeW, h - 1 - (yy * h / ResizeH), c).toLong).sum
+    assert(resizeBmpSum(bytes, ResizeW, ResizeH).out_sum == expected)
+  }
+
+  test("resize rejects malformed payloads") {
+    intercept[IllegalArgumentException](
+      resizeBmpSum(Array[Byte](1, 2, 3), ResizeW, ResizeH))
+    intercept[IllegalArgumentException](
+      resizeBmpSum(encodeBmp24(4, 4, (_, _, _) => 1).take(60), ResizeW, ResizeH))
+  }
+
+  test("registry resize query runs over the fixture end-to-end") {
+    val rows = SparkEntry.queries("multimodal_bmp_resize")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    assert(rows.forall(r => r.getLong(3) == ResizeW && r.getLong(4) == ResizeH))
+    // doc 0: 1x1 image, channels c*5 -> per-sample sum 15, 12 samples
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(5) == ResizeW.toLong * ResizeH * 15)
+  }
+
   test("registry query decodes the generated BMP fixture") {
     val rows = SparkEntry.queries("multimodal_bmp")(spark, sfDir).collect()
     assert(rows.length == 200)
