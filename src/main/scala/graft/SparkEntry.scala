@@ -23,8 +23,12 @@ object SparkEntry {
           Some(Multimodal.bmpDecodeSql)),
         "multimodal_bmp_resize" -> QueryDef((s, d) => Multimodal.bmpResize(s, d),
           Some(Multimodal.bmpResizeSql)),
+        "multimodal_bmp_hist" -> QueryDef((s, d) => Multimodal.bmpHist(s, d),
+          Some(Multimodal.bmpHistSql)),
         "multimodal_wav" -> QueryDef((s, d) => Multimodal.wavDecode(s, d),
-          Some(Multimodal.wavDecodeSql)))
+          Some(Multimodal.wavDecodeSql)),
+        "multimodal_wav_energy" -> QueryDef((s, d) => Multimodal.wavEnergy(s, d),
+          Some(Multimodal.wavEnergySql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

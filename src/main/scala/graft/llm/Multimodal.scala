@@ -506,6 +506,184 @@ object Multimodal {
        |FROM amp ORDER BY doc_id""".stripMargin
   }
 
+  final case class BmpHist(doc_id: Long, n_px: Long, hist: Array[Long],
+      mode_bin: Long)
+
+  /** Real 16-bin intensity histogram over the REAL BMP payload — the
+    * classic image feature vector, computed from pixel bytes the parser
+    * actually addresses (row padding EXCLUDED, unlike the decode query's
+    * tail sum which exploits zeroed padding). Bin = v >> 4; mode_bin is
+    * the FIRST argmax. Pure integer counts, so the DuckDB replay is
+    * exact. */
+  def bmpHistOf(bytes: Array[Byte]): BmpHist = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (${bytes.length} bytes)")
+    val pxOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24 && le32(bytes, 30) == 0,
+      "unsupported BMP variant")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= pxOff + rowSize * height, "truncated pixel data")
+    val hist = new Array[Long](16)
+    var y = 0
+    while (y < height) {
+      var i = pxOff + y * rowSize
+      val end = i + width * 3
+      while (i < end) {
+        hist((bytes(i) & 0xff) >> 4) += 1
+        i += 1
+      }
+      y += 1
+    }
+    var mode = 0
+    var b = 1
+    while (b < 16) { if (hist(b) > hist(mode)) mode = b; b += 1 }
+    BmpHist(-1L, width.toLong * height, hist, mode)
+  }
+
+  /** Registry query: real BMP payloads → partition-batched histogram
+    * feature vectors. Narrow map, no shuffle. */
+  def bmpHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = BmpFixture.ensure(spark)
+    spark.read.parquet(p).as[BmpRow]
+      .mapPartitions { rows =>
+        rows.map(r => bmpHistOf(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[bmpHist]]: the identical padding-skipping pixel
+    * addressing (channel index i → row i div 3w, offset i mod 3w inside
+    * the stride-aligned row), then 16 per-bin counts over the byte
+    * list. */
+  val bmpHistSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${BmpFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(18, 4)} AS width,
+       |    ${leField(22, 4)} AS height,
+       |    ${leField(10, 4)} AS px_off
+       |  FROM raw),
+       |px AS (
+       |  SELECT doc_id, width * height AS n_px,
+       |    list_transform(range(0, width * height * 3), i ->
+       |      CAST('0x' || substr(h, CAST((px_off
+       |        + (i // (width * 3)) * ((width * 3 + 3) // 4 * 4)
+       |        + (i % (width * 3))) * 2 + 1 AS INT), 2) AS BIGINT) // 16) AS bins
+       |  FROM hdr)
+       |SELECT doc_id, n_px,
+       |  list_transform(range(0, 16), b ->
+       |    CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist,
+       |  CAST(list_position(
+       |    list_transform(range(0, 16), b ->
+       |      CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)),
+       |    list_max(list_transform(range(0, 16), b ->
+       |      CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)))) - 1
+       |    AS BIGINT) AS mode_bin
+       |FROM px ORDER BY doc_id""".stripMargin
+  }
+
+  final case class WavEnergy(doc_id: Long, channels: Long, n_windows: Long,
+      energy_sum: Long, energy_peak: Long, peak_window: Long)
+
+  /** The fixed analysis window: 8 sample frames (× channels interleaved
+    * bytes). The fixture's clips are 10..59 frames, so every clip yields
+    * ≥1 full window and up to 7 — both the single- and multi-window
+    * paths are exercised across the 200 clips. */
+  private[llm] val EnergyWin = 8
+
+  /** Real windowed audio-energy extraction over the REAL WAV payload
+    * (the audio feature-extract op of the brief, honest codec): split
+    * the PCM stream into non-overlapping [[EnergyWin]]-frame windows
+    * (trailing partial frame dropped, like every fixed-frame audio
+    * featurizer), and per window sum (v−128)² over all channel bytes —
+    * squared deviation from the 8-bit-unsigned midpoint, i.e. signal
+    * energy. peak_window is the FIRST argmax. All-integer outputs, so
+    * the DuckDB replay needs no float tolerance. */
+  def wavEnergyOf(bytes: Array[Byte]): WavEnergy = {
+    val d = decodeWav(bytes) // header validation + dims; sums unused here
+    val channels = le16(bytes, 22)
+    val nWindows = (d.n_samples / EnergyWin).toInt
+    var sum = 0L
+    var peak = Long.MinValue
+    var peakAt = -1L
+    var j = 0
+    while (j < nWindows) {
+      var e = 0L
+      var i = 44 + j * EnergyWin * channels
+      val end = i + EnergyWin * channels
+      while (i < end) {
+        val v = (bytes(i) & 0xff) - 128
+        e += v.toLong * v
+        i += 1
+      }
+      sum += e
+      if (e > peak) { peak = e; peakAt = j }
+      j += 1
+    }
+    WavEnergy(-1L, channels, nWindows, sum,
+      if (nWindows == 0) 0L else peak, peakAt)
+  }
+
+  /** Registry query: real WAV payloads → partition-batched windowed
+    * energy. Narrow per-partition map, no shuffle; the final orderBy is
+    * presentation-only. */
+  def wavEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = WavFixture.ensure(spark)
+    spark.read.parquet(p).as[WavRow]
+      .mapPartitions { rows =>
+        rows.map(r => wavEnergyOf(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[wavEnergy]]: identical header parse, then the
+    * identical per-window Σ(v−128)² via nested list_transform over the
+    * hex pairs; first-argmax via list_position on the window list. */
+  val wavEnergySql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${WavFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(22, 2)} AS channels,
+       |    ${leField(40, 4)} AS data_size
+       |  FROM raw),
+       |win AS (
+       |  SELECT doc_id, channels,
+       |    (data_size // channels) // $EnergyWin AS n_windows,
+       |    list_transform(range(0, (data_size // channels) // $EnergyWin),
+       |      j -> list_sum(list_transform(
+       |        list_transform(range(0, $EnergyWin * channels), t ->
+       |          CAST('0x' || substr(h,
+       |            CAST((44 + j * $EnergyWin * channels + t) * 2 + 1 AS INT),
+       |            2) AS BIGINT) - 128),
+       |        v -> v * v))) AS ew
+       |  FROM hdr)
+       |SELECT doc_id, channels, n_windows,
+       |  CAST(COALESCE(list_sum(ew), 0) AS BIGINT) AS energy_sum,
+       |  CAST(COALESCE(list_max(ew), 0) AS BIGINT) AS energy_peak,
+       |  CAST(COALESCE(list_position(ew, list_max(ew)), 0) - 1 AS BIGINT)
+       |    AS peak_window
+       |FROM win ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
   val decodedDigestSql: String =
     """SELECT doc_id, 'fake/raw' AS format,

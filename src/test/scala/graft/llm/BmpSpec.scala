@@ -83,6 +83,41 @@ class BmpSpec extends SparkSuite {
     assert(r0.getLong(5) == ResizeW.toLong * ResizeH * 15)
   }
 
+  test("histogram counts every pixel channel once, padding excluded") {
+    // width 3 -> 3 padding bytes per row; poison them and the histogram
+    // must not change (the decode tail-sum trick would be fooled here)
+    val bytes = encodeBmp24(3, 2, (x, y, c) => (x * 16 + y * 48 + c) % 256)
+    val poisoned = bytes.clone()
+    poisoned(54 + 9) = 0xff.toByte
+    val h = bmpHistOf(bytes)
+    assert(h.hist.toSeq == bmpHistOf(poisoned).hist.toSeq)
+    assert(h.hist.sum == 3L * 2 * 3 && h.n_px == 6)
+    // independent replay of the binning
+    val exp = new Array[Long](16)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      exp(((x * 16 + y * 48 + c) % 256) >> 4) += 1
+    assert(h.hist.toSeq == exp.toSeq)
+  }
+
+  test("histogram mode_bin is the first argmax") {
+    // all pixels constant 0 -> bin 0 holds everything, mode 0
+    assert(bmpHistOf(encodeBmp24(4, 4, (_, _, _) => 0)).mode_bin == 0)
+    // constant 255 -> bin 15
+    assert(bmpHistOf(encodeBmp24(4, 4, (_, _, _) => 255)).mode_bin == 15)
+    // exact tie between bins 2 and 9 -> first wins
+    val tie = bmpHistOf(encodeBmp24(2, 1, (x, _, _) => if (x == 0) 0x20 else 0x90))
+    assert(tie.hist(2) == 3 && tie.hist(9) == 3 && tie.mode_bin == 2)
+  }
+
+  test("registry histogram query runs over the fixture end-to-end") {
+    val rows = SparkEntry.queries("multimodal_bmp_hist")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    // every histogram sums to 3*n_px (3 channels per pixel)
+    assert(rows.forall { r =>
+      r.getSeq[Long](2).sum == 3 * r.getLong(1)
+    })
+  }
+
   test("registry query decodes the generated BMP fixture") {
     val rows = SparkEntry.queries("multimodal_bmp")(spark, sfDir).collect()
     assert(rows.length == 200)

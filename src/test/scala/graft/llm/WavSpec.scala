@@ -34,6 +34,54 @@ class WavSpec extends SparkSuite {
     intercept[IllegalArgumentException](decodeWav(truncated))
   }
 
+  test("energy: constant-midpoint signal has exactly zero energy") {
+    val d = wavEnergyOf(encodeWav8(1, 8000, 24, (_, _) => 128))
+    assert(d.n_windows == 3 && d.energy_sum == 0 && d.energy_peak == 0)
+    assert(d.peak_window == 0) // first argmax among all-zero windows
+  }
+
+  test("energy: constant offset gives W*ch*dev^2 per window; tail dropped") {
+    // 2ch, 19 frames -> 2 full windows, 3 trailing frames ignored
+    val d = wavEnergyOf(encodeWav8(2, 8000, 19, (_, _) => 138))
+    assert(d.n_windows == 2)
+    assert(d.energy_sum == 2L * EnergyWin * 2 * 100)
+    assert(d.energy_peak == EnergyWin.toLong * 2 * 100)
+    assert(d.peak_window == 0)
+  }
+
+  test("energy: independent replay of a ramp signal, first-argmax ties") {
+    val (ch, n) = (2, 25)
+    val s = (i: Int, c: Int) => (i * 19 + c * 7) % 256
+    val d = wavEnergyOf(encodeWav8(ch, 8000, n, s))
+    val wins = (0 until n / EnergyWin).map { j =>
+      (for {
+        i <- j * EnergyWin until (j + 1) * EnergyWin; c <- 0 until ch
+      } yield { val v = s(i, c) - 128; v.toLong * v }).sum
+    }
+    assert(d.n_windows == wins.length && d.energy_sum == wins.sum)
+    assert(d.energy_peak == wins.max && d.peak_window == wins.indexOf(wins.max))
+  }
+
+  test("energy: sub-window clip yields zero windows, sentinel peak index") {
+    val d = wavEnergyOf(encodeWav8(1, 8000, EnergyWin - 1, (_, _) => 200))
+    assert(d.n_windows == 0 && d.energy_sum == 0 && d.energy_peak == 0 &&
+      d.peak_window == -1)
+  }
+
+  test("registry energy query runs over the fixture end-to-end") {
+    val rows = SparkEntry.queries("multimodal_wav_energy")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    // doc 0: mono, 10 samples of (i*17 % 256) -> one window over i=0..7
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val w0 = (0 until EnergyWin).map { i =>
+      val v = (i * 17) % 256 - 128; v.toLong * v
+    }.sum
+    assert(r0.getLong(2) == 1L && r0.getLong(3) == w0 && r0.getLong(4) == w0)
+    assert(r0.getLong(5) == 0L)
+    // peak window is always a real index when any window exists
+    assert(rows.forall(r => (r.getLong(2) == 0) == (r.getLong(5) == -1L)))
+  }
+
   test("registry query decodes the generated WAV fixture") {
     val rows = SparkEntry.queries("multimodal_wav")(spark, sfDir).collect()
     assert(rows.length == 200)
