@@ -28,7 +28,9 @@ object SparkEntry {
         "multimodal_wav" -> QueryDef((s, d) => Multimodal.wavDecode(s, d),
           Some(Multimodal.wavDecodeSql)),
         "multimodal_wav_energy" -> QueryDef((s, d) => Multimodal.wavEnergy(s, d),
-          Some(Multimodal.wavEnergySql)))
+          Some(Multimodal.wavEnergySql)),
+        "multimodal_y4m_frames" -> QueryDef((s, d) => Multimodal.y4mFrames(s, d),
+          Some(Multimodal.y4mFramesSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

@@ -684,6 +684,176 @@ object Multimodal {
        |FROM win ORDER BY doc_id""".stripMargin
   }
 
+  // ---- YUV4MPEG2: the video counterpart ----------------------------------
+  // The one VIDEO container a pure JVM can parse honestly: YUV4MPEG2
+  // (.y4m) — an ASCII parameter line ("YUV4MPEG2 W.. H.. F..:1 ... C444"
+  // terminated by \n), then per frame a "FRAME\n" marker followed by the
+  // raw plane bytes (3·w·h for C444). Same honesty contract as BMP/WAV:
+  // the fixture holds REAL y4m streams (arbitrary non-ASCII plane
+  // bytes), the parser reads dims/fps FROM THE HEADER and validates
+  // every frame marker, and the oracle re-parses the identical bytes in
+  // SQL (header text recovered from hex pairs, frame offsets computed
+  // from the parsed dims). This makes the brief's frame-sample op real;
+  // [[frameSample]] remains only for the fake/raw payloads.
+
+  final case class Y4mRow(doc_id: Long, media: Array[Byte])
+  final case class Y4mSampled(doc_id: Long, width: Long, height: Long,
+      fps: Long, n_frames: Long, n_sampled: Long, sample_sum: Long)
+
+  /** Every k-th frame is decoded; 3 exercises skip-heavy and
+    * single-frame clips across the fixture's 1..10 frame counts. */
+  private[llm] val FrameEvery = 3
+
+  /** Real YUV4MPEG2 encoder (fixture generation only): C444 planes,
+    * FRAME markers, standard parameter line. */
+  def encodeY4m(width: Int, height: Int, fps: Int, nFrames: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames >= 0, "bad y4m params")
+    val hdr = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 C444\n"
+      .getBytes("US-ASCII")
+    val frameBytes = 3 * width * height
+    val out = new Array[Byte](hdr.length + nFrames * (6 + frameBytes))
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var f = 0
+    while (f < nFrames) {
+      val off = hdr.length + f * (6 + frameBytes)
+      out(off) = 'F'; out(off + 1) = 'R'; out(off + 2) = 'A'
+      out(off + 3) = 'M'; out(off + 4) = 'E'; out(off + 5) = '\n'
+      var t = 0
+      while (t < frameBytes) {
+        out(off + 6 + t) = (pix(f, t) & 0xff).toByte
+        t += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Real y4m parse + frame-sample: validates the magic, parses W/H/F
+    * and the C444 tag from the parameter line, checks EVERY frame's
+    * "FRAME\n" marker and that the stream length is an exact frame
+    * multiple, then checksums every [[FrameEvery]]-th frame's plane
+    * bytes. Malformed payloads fail loudly. */
+  def sampleY4m(bytes: Array[Byte], every: Int): Y4mSampled = {
+    require(every > 0, "sample period must be positive")
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    require(bytes.length > magic.length &&
+      magic.indices.forall(i => bytes(i) == magic(i)),
+      s"not a y4m payload (${bytes.length} bytes)")
+    var nl = magic.length
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    require(nl < bytes.length, "unterminated y4m header")
+    val htxt = new String(bytes, 0, nl, "US-ASCII")
+    def param(tag: Char): Long = {
+      val m = s" $tag(\\d+)".r.findFirstMatchIn(htxt)
+      require(m.isDefined, s"y4m header missing $tag parameter: $htxt")
+      m.get.group(1).toLong
+    }
+    val width = param('W')
+    val height = param('H')
+    val fps = param('F') // numerator; fixture rates are integral (den 1)
+    require(htxt.contains(" C444"), s"unsupported y4m chroma: $htxt")
+    val frameBytes = 3 * width.toInt * height.toInt
+    val body = bytes.length - (nl + 1)
+    require(body % (6 + frameBytes) == 0,
+      s"truncated y4m stream: $body bytes after header")
+    val nFrames = body / (6 + frameBytes)
+    var sum = 0L
+    var sampled = 0L
+    var f = 0
+    while (f < nFrames) {
+      val off = nl + 1 + f * (6 + frameBytes)
+      require(bytes(off) == 'F' && bytes(off + 1) == 'R' &&
+        bytes(off + 2) == 'A' && bytes(off + 3) == 'M' &&
+        bytes(off + 4) == 'E' && bytes(off + 5) == '\n',
+        s"bad FRAME marker at byte $off")
+      if (f % every == 0) {
+        sampled += 1
+        var t = off + 6
+        val end = t + frameBytes
+        while (t < end) { sum += bytes(t) & 0xff; t += 1 }
+      }
+      f += 1
+    }
+    Y4mSampled(-1L, width, height, fps, nFrames, sampled, sum)
+  }
+
+  /** Deterministic y4m fixture: 200 real clips, dims/fps/frame-count and
+    * plane bytes pure index arithmetic on doc_id. */
+  object Y4mFixture {
+    val path: String = graft.core.Fixtures.path("y4m_media.parquet")
+    def ensure(spark: SparkSession): String = synchronized {
+      if (!new java.io.File(path).exists()) {
+        import spark.implicits._
+        val rows = (0L until 200L).map { id =>
+          val w = (id % 8 + 1).toInt
+          val h = (id % 6 + 1).toInt
+          val fps = (24 + id % 7).toInt
+          val frames = (id % 10 + 1).toInt
+          Y4mRow(id, encodeY4m(w, h, fps, frames,
+            (f, t) => ((id * 13 + f * 7 + t * 3) % 256).toInt))
+        }
+        rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
+  /** Registry query: real y4m payloads → partition-batched frame
+    * sampling. Narrow map, no shuffle. */
+  def y4mFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Y4mFixture.ensure(spark)
+    spark.read.parquet(p).as[Y4mRow]
+      .mapPartitions { rows =>
+        rows.map(r => sampleY4m(r.media, FrameEvery).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[y4mFrames]]: header text recovered char-by-char
+    * from hex pairs up to the first 0x0A, dims/fps regexp-extracted from
+    * it, then the identical every-3rd-frame plane checksum at offsets
+    * computed from the parsed dims. */
+  val y4mFramesSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS hx, octet_length(media) AS nb
+       |  FROM read_parquet('${Y4mFixture.path}/*.parquet')),
+       |hl AS (
+       |  SELECT doc_id, hx, nb,
+       |    list_position(list_transform(range(0, nb),
+       |      i -> substr(hx, CAST(i*2+1 AS INT), 2) = '0A'), true) - 1
+       |      AS hdr_len
+       |  FROM raw),
+       |hdr AS (
+       |  SELECT doc_id, hx, nb, hdr_len,
+       |    array_to_string(list_transform(range(0, hdr_len),
+       |      i -> chr(CAST('0x' || substr(hx, CAST(i*2+1 AS INT), 2) AS INT))),
+       |      '') AS htxt
+       |  FROM hl),
+       |dims AS (
+       |  SELECT doc_id, hx, nb, hdr_len,
+       |    CAST(regexp_extract(htxt, ' W(\\d+)', 1) AS BIGINT) AS width,
+       |    CAST(regexp_extract(htxt, ' H(\\d+)', 1) AS BIGINT) AS height,
+       |    CAST(regexp_extract(htxt, ' F(\\d+)', 1) AS BIGINT) AS fps
+       |  FROM hdr),
+       |fr AS (
+       |  SELECT doc_id, hx, hdr_len, width, height, fps,
+       |    (nb - hdr_len - 1) // (6 + 3 * width * height) AS n_frames
+       |  FROM dims)
+       |SELECT doc_id, width, height, fps, n_frames,
+       |  CAST((n_frames + ${FrameEvery - 1}) // $FrameEvery AS BIGINT)
+       |    AS n_sampled,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    list_filter(range(0, n_frames), f -> f % $FrameEvery = 0),
+       |    f -> list_sum(list_transform(range(0, 3 * width * height), t ->
+       |      CAST('0x' || substr(hx,
+       |        CAST((hdr_len + 1 + f * (6 + 3 * width * height) + 6 + t) * 2
+       |          + 1 AS INT), 2) AS BIGINT))))), 0) AS BIGINT) AS sample_sum
+       |FROM fr ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
   val decodedDigestSql: String =
     """SELECT doc_id, 'fake/raw' AS format,

@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSuite}
+import graft.llm.Multimodal._
+
+/** The video twin of BmpSpec/WavSpec: a genuine YUV4MPEG2 encoder/parser
+  * pair — dims and fps are read from the actual parameter line, every
+  * FRAME marker is validated, malformed payloads fail loudly, and the
+  * registry frame-sample query runs the fixture end-to-end. */
+class Y4mSpec extends SparkSuite {
+
+  test("encode/sample round-trip: every-1 sampling sums all plane bytes") {
+    val (w, h, fps, n) = (3, 2, 25, 4)
+    val pix = (f: Int, t: Int) => (f * 19 + t * 7) % 256
+    val s = sampleY4m(encodeY4m(w, h, fps, n, pix), 1)
+    assert(s.width == w && s.height == h && s.fps == fps && s.n_frames == n)
+    assert(s.n_sampled == n)
+    val all = (for { f <- 0 until n; t <- 0 until 3 * w * h }
+      yield pix(f, t).toLong).sum
+    assert(s.sample_sum == all)
+  }
+
+  test("every-3 sampling takes frames 0,3,6,... only") {
+    val (w, h, n) = (2, 2, 8)
+    val pix = (f: Int, t: Int) => (f * 100 + t) % 256
+    val s = sampleY4m(encodeY4m(w, h, 30, n, pix), 3)
+    assert(s.n_frames == n && s.n_sampled == 3) // frames 0, 3, 6
+    val exp = (for { f <- Seq(0, 3, 6); t <- 0 until 3 * w * h }
+      yield pix(f, t).toLong).sum
+    assert(s.sample_sum == exp)
+  }
+
+  test("zero-frame stream parses to empty sample, not a crash") {
+    val s = sampleY4m(encodeY4m(4, 3, 24, 0, (_, _) => 0), 3)
+    assert(s.n_frames == 0 && s.n_sampled == 0 && s.sample_sum == 0)
+  }
+
+  test("parser reads the header, not assumptions: dims from the text line") {
+    // same byte count can encode 6x1 or 1x6 — dims must come from W/H
+    val a = sampleY4m(encodeY4m(6, 1, 24, 2, (f, t) => f + t), 1)
+    val b = sampleY4m(encodeY4m(1, 6, 24, 2, (f, t) => f + t), 1)
+    assert(a.width == 6 && a.height == 1 && b.width == 1 && b.height == 6)
+    assert(a.sample_sum == b.sample_sum) // identical plane bytes
+  }
+
+  test("malformed payloads fail loudly") {
+    intercept[IllegalArgumentException](sampleY4m(Array[Byte](1, 2, 3), 3))
+    val ok = encodeY4m(2, 2, 25, 3, (_, _) => 1)
+    // corrupt the second frame's marker
+    val hdrLen = ok.indexOf('\n'.toByte) + 1
+    val bad = ok.clone()
+    bad(hdrLen + (6 + 12)) = 'X'.toByte
+    intercept[IllegalArgumentException](sampleY4m(bad, 3))
+    // truncated mid-frame
+    intercept[IllegalArgumentException](sampleY4m(ok.dropRight(5), 3))
+    // non-444 chroma tag rejected
+    val c420 = new String(ok, "ISO-8859-1").replace(" C444", " C420")
+      .getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](sampleY4m(c420, 3))
+  }
+
+  test("registry frame-sample query runs over the fixture end-to-end") {
+    val rows = SparkEntry.queries("multimodal_y4m_frames")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    // n_sampled == ceil(n_frames / 3) on every row
+    assert(rows.forall(r => r.getLong(5) == (r.getLong(4) + 2) / 3))
+    // doc 0: 1x1, 24 fps, 1 frame of bytes (t*3 % 256): 0+3+6 = 9
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == 1L && r0.getLong(2) == 1L && r0.getLong(3) == 24L)
+    assert(r0.getLong(4) == 1L && r0.getLong(6) == 9L)
+  }
+}
