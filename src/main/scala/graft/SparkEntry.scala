@@ -30,7 +30,13 @@ object SparkEntry {
         "multimodal_wav_energy" -> QueryDef((s, d) => Multimodal.wavEnergy(s, d),
           Some(Multimodal.wavEnergySql)),
         "multimodal_y4m_frames" -> QueryDef((s, d) => Multimodal.y4mFrames(s, d),
-          Some(Multimodal.y4mFramesSql)))
+          Some(Multimodal.y4mFramesSql)),
+        // image near-dup dedup: 8x8 aHash signatures over the real BMP
+        // decode, then banded-Hamming pairs (the image simhash)
+        "multimodal_phash" -> QueryDef((s, d) => Multimodal.phash(s, d),
+          Some(Multimodal.phashSql)),
+        "multimodal_phash_pairs" -> QueryDef((s, d) => Multimodal.phashPairs(s, d),
+          Some(Multimodal.phashPairsSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

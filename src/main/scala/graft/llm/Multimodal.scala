@@ -854,6 +854,237 @@ object Multimodal {
        |          + 1 AS INT), 2) AS BIGINT))))), 0) AS BIGINT) AS sample_sum
        |FROM fr ORDER BY doc_id""".stripMargin
 
+  // ---- perceptual hash: image near-dup dedup over REAL BMP bytes ---------
+  // The image counterpart of the text simhash family: an 8×8 average-hash
+  // (aHash) over the real 24bpp-BMP decode — nearest-neighbor sample the
+  // image onto a fixed 8×8 luma grid, threshold each cell at the grid
+  // mean, giving a 64-bit signature whose Hamming distance is the classic
+  // near-duplicate-image yardstick. The signature is carried as FOUR
+  // 16-bit band values (b0..b3, each in [0, 65535]) rather than one
+  // signed 64-bit word: the bands are exactly the Hamming-LSH blocking
+  // key the pairs query needs (a pair within Hamming radius r must agree
+  // on ≥1 of 4 bands whenever its flipped bits avoid one band — the
+  // standard pigeonhole argument at r < 4 per-band flips), and staying
+  // in [0, 65535] keeps the DuckDB replay free of the BIGINT sign-bit
+  // minefield. All-integer arithmetic (luma·64 > total, never a float
+  // mean), so cross-engine parity is exact.
+
+  final case class Phash(doc_id: Long, b0: Long, b1: Long, b2: Long,
+      b3: Long, n_bits: Long)
+
+  /** 8×8 aHash over a real BMP payload: header-driven parse (same
+    * validation as [[decodeBmp]]), ⌊X·w/8⌋/⌊Y·h/8⌋ nearest-neighbor grid
+    * sample, 3-channel luma sum per cell, strict `luma·64 > Σluma`
+    * threshold. Bit i (X = i mod 8, Y = i div 8) lands in band i div 16
+    * at weight 1 << (i mod 16). Grid rows are in STORED (bottom-up)
+    * order — the bmpResize convention: a dedup signature only needs
+    * orientation consistency, and stored order keeps the SQL replay's
+    * byte arithmetic honest. */
+  def phashOf(bytes: Array[Byte]): Phash = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (${bytes.length} bytes)")
+    val pxOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24 && le32(bytes, 30) == 0,
+      "unsupported BMP variant")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= pxOff + rowSize * height, "truncated pixel data")
+    val lum = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val off = pxOff + (i / 8 * height / 8) * rowSize + (i % 8 * width / 8) * 3
+      lum(i) = (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) +
+        (bytes(off + 2) & 0xff)
+      total += lum(i)
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var nBits = 0L
+    i = 0
+    while (i < 64) {
+      if (lum(i) * 64 > total) {
+        bands(i / 16) |= 1L << (i % 16)
+        nBits += 1
+      }
+      i += 1
+    }
+    Phash(-1L, bands(0), bands(1), bands(2), bands(3), nBits)
+  }
+
+  /** Deterministic near-dup image fixture: 150 real BMPs in 50 planted
+    * groups of 3 — group g = id/3 fixes dims and the base pixel pattern;
+    * variant v = id%3 inverts a sparse diagonal stripe of pixels
+    * ((x+y) mod (6+3v) = 0), so within-group signatures sit a few
+    * Hamming bits apart while cross-group signatures are unrelated.
+    * The per-group pattern varies the SPATIAL SHAPE (quadratic x²/y²
+    * curvature plus linear frequencies), never just an additive
+    * brightness term — aHash is deliberately brightness-invariant (every
+    * luma and the mean shift together), so a brightness-only group
+    * difference would make all same-dim groups collide; and dims start
+    * at 12×10 so all 64 grid cells sample distinct pixels (tiny images
+    * collapse the signature's entropy). Separate from [[BmpFixture]]
+    * because dedup needs planted structure, not 200 singletons. */
+  object PhashFixture {
+    val path: String = graft.core.Fixtures.path("phash_media.parquet")
+    def ensure(spark: SparkSession): String = synchronized {
+      if (!new java.io.File(path).exists()) {
+        import spark.implicits._
+        val rows = (0L until 150L).map { id =>
+          val g = id / 3
+          val v = (id % 3).toInt
+          val w = (g % 12 + 12).toInt
+          val h = (g % 6 + 10).toInt
+          BmpRow(id, encodeBmp24(w, h, (x, y, c) => {
+            val base = ((x * x * (3 + g % 9) + y * y * (2 + g % 5) +
+              x * (7 + 2 * (g % 13)) + y * (5 + 2 * (g % 11)) + c * 5)
+              % 256).toInt
+            if (v > 0 && (x + y) % (6 + 3 * v) == 0) 255 - base else base
+          }))
+        }
+        rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
+  /** Unordered signature table (shared by the graded query and the pairs
+    * join; the registry query adds the presentation orderBy). */
+  private def phashTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val p = PhashFixture.ensure(spark)
+    spark.read.parquet(p).as[BmpRow]
+      .mapPartitions(rows => rows.map(r => phashOf(r.media).copy(doc_id = r.doc_id)))
+      .toDF()
+  }
+
+  /** Registry query: real BMP payloads → 8×8 aHash signatures. Narrow
+    * partition-batched map, no shuffle. */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    phashTable(spark).orderBy(col("doc_id"))
+
+  private def phashHdrSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""raw AS MATERIALIZED (
+       |  SELECT doc_id, hex(media) AS h
+       |  FROM read_parquet('${PhashFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(18, 4)} AS width,
+       |    ${leField(22, 4)} AS height,
+       |    ${leField(10, 4)} AS px_off
+       |  FROM raw),
+       |lum AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      CAST('0x' || substr(h, CAST((px_off
+       |        + (i // 8 * height // 8) * ((width * 3 + 3) // 4 * 4)
+       |        + (i % 8 * width // 8) * 3) * 2 + 1 AS INT), 2) AS BIGINT)
+       |    + CAST('0x' || substr(h, CAST((px_off
+       |        + (i // 8 * height // 8) * ((width * 3 + 3) // 4 * 4)
+       |        + (i % 8 * width // 8) * 3 + 1) * 2 + 1 AS INT), 2) AS BIGINT)
+       |    + CAST('0x' || substr(h, CAST((px_off
+       |        + (i // 8 * height // 8) * ((width * 3 + 3) // 4 * 4)
+       |        + (i % 8 * width // 8) * 3 + 2) * 2 + 1 AS INT), 2) AS BIGINT))
+       |      AS lum
+       |  FROM hdr),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id,
+       |${(0 until 4).map(k =>
+            s"""    CAST(list_sum(list_transform(range(0, 16), j ->
+               |      CASE WHEN lum[${16 * k} + j + 1] * 64 > total
+               |      THEN 1 << j ELSE 0 END)) AS BIGINT) AS b$k""".stripMargin)
+            .mkString(",\n")},
+       |    CAST(len(list_filter(lum, x -> x * 64 > total)) AS BIGINT)
+       |      AS n_bits
+       |  FROM (SELECT doc_id, lum, list_sum(lum) AS total FROM lum))""".stripMargin
+  }
+
+  /** DuckDB replay of [[phash]]: identical header parse, grid addressing,
+    * integer threshold and band packing over the hex pairs. */
+  val phashSql: String =
+    s"""WITH ${phashHdrSql}
+       |SELECT doc_id, b0, b1, b2, b3, n_bits FROM ph
+       |ORDER BY doc_id""".stripMargin
+
+  /** Any band bucket larger than this is a degenerate signature (e.g.
+    * all-dark band 0) — comparing inside it is quadratic noise, the same
+    * hot-band rule the simhash pairs query applies. */
+  private[llm] val PhashBandCap = 50L
+
+  /** Keep pairs within this Hamming radius of the 64-bit signature —
+    * the classic aHash near-duplicate threshold region. */
+  private[llm] val PhashHammingMax = 12L
+
+  /** Registry query: banded Hamming near-dup pairs over the signatures —
+    * image dedup, blocked exactly like text simhash: candidates must
+    * share one exact 16-bit band (4 buckets per doc, never all-pairs),
+    * hot bands are capped at [[PhashBandCap]], and survivors are graded
+    * by exact Hamming distance ≤ [[PhashHammingMax]]. At 100 TB the
+    * band self-join is the only shuffle and stays linear in docs per
+    * non-degenerate bucket. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phashTable(spark)
+    val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+        col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band_no")
+      .withColumnRenamed("col", "bv")
+    val ok = bands.groupBy(col("band_no"), col("bv"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= PhashBandCap)
+      .select(col("band_no"), col("bv"))
+    val capped = bands.join(ok, Seq("band_no", "bv"))
+    val l = capped.select(col("band_no"), col("bv"),
+      col("doc_id").as("doc_a"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val r = capped.select(col("band_no"), col("bv"),
+      col("doc_id").as("doc_b"), col("b0").as("r0"), col("b1").as("r1"),
+      col("b2").as("r2"), col("b3").as("r3"))
+    l.join(r, Seq("band_no", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("r0"))) +
+          bit_count(col("a1").bitwiseXOR(col("r1"))) +
+          bit_count(col("a2").bitwiseXOR(col("r2"))) +
+          bit_count(col("a3").bitwiseXOR(col("r3")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB replay of [[phashPairs]]: the identical signature CTE, band
+    * unnest, hot-band cap, blocked self-join and Hamming grade. */
+  val phashPairsSql: String =
+    s"""WITH ${phashHdrSql},
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, b0, b1, b2, b3, band_no,
+       |    CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+       |      WHEN 2 THEN b2 ELSE b3 END AS bv
+       |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_no)),
+       |ok AS (
+       |  SELECT band_no, bv FROM bands
+       |  GROUP BY band_no, bv HAVING count(*) <= $PhashBandCap),
+       |capped AS MATERIALIZED (
+       |  SELECT bands.* FROM bands JOIN ok USING (band_no, bv))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS BIGINT) AS hamming
+       |FROM capped a JOIN capped b USING (band_no, bv)
+       |WHERE a.doc_id < b.doc_id
+       |  AND bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB replay of [[decodedDigest]] (see its ASCII-payload note). */
   val decodedDigestSql: String =
     """SELECT doc_id, 'fake/raw' AS format,
