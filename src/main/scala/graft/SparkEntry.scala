@@ -36,7 +36,9 @@ object SparkEntry {
         "multimodal_phash" -> QueryDef((s, d) => Multimodal.phash(s, d),
           Some(Multimodal.phashSql)),
         "multimodal_phash_pairs" -> QueryDef((s, d) => Multimodal.phashPairs(s, d),
-          Some(Multimodal.phashPairsSql)))
+          Some(Multimodal.phashPairsSql)),
+        "multimodal_phash_groups" -> QueryDef((s, d) => Multimodal.phashGroups(s, d),
+          Some(Multimodal.phashGroupsSql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation (SURVEY.md §2B Q04). */

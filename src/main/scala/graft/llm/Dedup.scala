@@ -779,12 +779,15 @@ object Dedup extends QueryGroup {
   // runs until a round changes ZERO labels (correct at any diameter; the
   // expensive pair pipeline is materialized once up front), which the
   // oracle mirrors with an unbounded UNION-deduped recursive CTE.
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val docs = T.documents(s, d).select(col("doc_id"))
+  /** Min-label-propagation connected components over an undirected pair
+    * list — the CC core [[dedupClusters]] runs on the text dup-graph and
+    * `Multimodal` reuses on the image phash-graph. Input: one row per
+    * undirected pair (doc_a, doc_b); output: (doc_id, cluster) for every
+    * node WITH an edge (callers left-join the full population and default
+    * singletons to themselves). */
+  private[llm] def ccLabels(pairs: DataFrame): DataFrame = {
     // materialize the pair pipeline ONCE (eager, lineage truncated) — it is
-    // re-read every round and must not re-execute the shingle self-join;
+    // re-read every round and must not re-execute the candidate join;
     // Materialize.cut is the reliable checkpoint in cluster mode
     val edges = Materialize.cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -826,10 +829,17 @@ object Dedup extends QueryGroup {
       labels = next
     }
     if (changed > 0) throw new IllegalStateException(
-      s"dedup_clusters did not converge in $rounds rounds — component " +
+      s"label propagation did not converge in $rounds rounds — component " +
         "diameter exceeds the cap; raise it or switch to pointer-doubling")
-    System.err.println(s"[graft] dedup_clusters converged in $rounds rounds")
-    docs.join(labels, Seq("doc_id"), "left")
+    System.err.println(s"[graft] label propagation converged in $rounds rounds")
+    labels
+  }
+
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = T.documents(s, d).select(col("doc_id"))
+    docs.join(ccLabels(pairs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))

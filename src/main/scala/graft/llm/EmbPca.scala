@@ -219,13 +219,14 @@ object EmbPca extends QueryGroup {
           .cast(LongType)).otherwise(lit(0L)).as("lam6"))
   }
 
-  private def topPc2(s: SparkSession, d: String): DataFrame = {
-    val c1 = fullMatrixOf(gram(s, d))
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+  /** Hotelling deflation C₂ = C − λ̂₁·v̂₁v̂₁ᵀ in the family's integer
+    * discipline (exact DECIMAL(38,0) products collapsed by one fixed
+    * floor-round), shared by [[topPc2]] and [[whitenTop2]]. */
+  private def deflatedOf(c1: DataFrame, v1: DataFrame,
+      lam: DataFrame): DataFrame = {
     val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
     val v1k = v1.select(col("k"), col("v9").as("vk"))
-    val lam = rayleighLam(c1, v1)
-    val c2 = graft.core.Materialize.cut(
+    graft.core.Materialize.cut(
       c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
         .crossJoin(broadcast(lam))
         .select(col("j"), col("k"),
@@ -234,6 +235,12 @@ object EmbPca extends QueryGroup {
               col("vj").cast(DecimalType(38, 0)) * col("vk").cast(DecimalType(38, 0)))
               .cast(DoubleType) / lit(1.0e18) + lit(0.5)).cast(LongType))
             .as("c")))
+  }
+
+  private def topPc2(s: SparkSession, d: String): DataFrame = {
+    val c1 = fullMatrixOf(gram(s, d))
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val c2 = deflatedOf(c1, v1, rayleighLam(c1, v1))
     val v2 = powerIterate(c2)
     v1.select(col("k"), col("v9").as("p1"))
       .join(v2.select(col("k"), col("v9").as("p2")), Seq("k"))
@@ -293,6 +300,49 @@ object EmbPca extends QueryGroup {
           col("dot15").cast(DoubleType) /
             (sqrt(col("cn2").cast(DoubleType)) * sqrt(col("vn2").cast(DoubleType))))
           .as("cos_pc"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PCA whitening restricted to the top-2 subspace: per vector the
+    * whitened coordinates y_i = (x−μ)·v̂_i / √λ̂_i for the two iterated
+    * directions — the standard decorrelate-and-rescale preprocessing
+    * (and the isotropy repair all-but-the-top approximates by dropping
+    * the term instead of rescaling it). Same determinism recipe as
+    * [[removeTopPc]]: dots are exact integer sums over the centered
+    * 1e6-scale components × 1e9-scale directions, λ̂s are the exact
+    * Rayleigh BIGINTs, and each output is one fixed IEEE chain
+    * (cast, /1e15, /√(λ̂/1e6)). λ̂ ⩽ 0 (possible for the deflated matrix
+    * on a degenerate spectrum) yields a DEFINED null coordinate.
+    * Scale shape: corpus passes are the one Gramian pass plus one
+    * narrow centered-dot aggregation; everything between is dim²-row
+    * algebra with k-row broadcasts. */
+  private def whitenTop2(s: SparkSession, d: String): DataFrame = {
+    val g = gram(s, d)
+    val c1 = fullMatrixOf(g)
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val lam1 = rayleighLam(c1, v1)
+    val c2 = deflatedOf(c1, v1, lam1)
+    val v2 = graft.core.Materialize.cut(powerIterate(c2))
+    val lam2 = rayleighLam(c2, v2)
+    val comp = quantized(s, d)
+      .select(col("vec_id"), posexplode(col("qa")).as(Seq("k", "qv")))
+    val centered = comp.join(broadcast(meanVecOf(g)), Seq("k"))
+      .select(col("vec_id"), col("k"), (col("qv") - col("qm")).as("cv"))
+    centered
+      .join(broadcast(v1.select(col("k"), col("v9").as("va"))), Seq("k"))
+      .join(broadcast(v2.select(col("k"), col("v9").as("vb"))), Seq("k"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("cv") * col("va")).as("dot1"),
+        sum(col("cv") * col("vb")).as("dot2"))
+      .crossJoin(broadcast(lam1.select(col("lam6").as("lam1"))))
+      .crossJoin(broadcast(lam2.select(col("lam6").as("lam2"))))
+      .select(col("vec_id"),
+        when(col("lam1") > 0,
+          col("dot1").cast(DoubleType) / lit(1.0e15) /
+            sqrt(col("lam1").cast(DoubleType) / lit(1.0e6))).as("w1"),
+        when(col("lam2") > 0,
+          col("dot2").cast(DoubleType) / lit(1.0e15) /
+            sqrt(col("lam2").cast(DoubleType) / lit(1.0e6))).as("w2"))
       .orderBy(col("vec_id"))
   }
 
@@ -474,11 +524,76 @@ object EmbPca extends QueryGroup {
        |FROM tr t, lam l""".stripMargin
   }
 
+  /** DuckDB replay of [[whitenTop2]]: the topPc2 chain (λ̂₁, deflation,
+    * second iteration) plus λ̂₂ on the deflated matrix and the identical
+    * centered-dot aggregation against both directions. */
+  private val whitenTop2Sql = {
+    val iters1 = (1 to PowerIters).map(r => iterSql(r)).mkString(",\n")
+    val iters2 = (1 to PowerIters).map(r => iterSql(r, "c2full", "b")).mkString(",\n")
+    val vN = s"v$PowerIters"
+    val vbN = s"vb$PowerIters"
+    s"""WITH $momentsCtes,
+       |cd AS MATERIALIZED (
+       |  SELECT j, k,
+       |    CAST(floor(CAST(cov_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 + 0.5)
+       |      AS BIGINT) AS c
+       |  FROM covq),
+       |cfull AS MATERIALIZED (
+       |  SELECT j, k, c FROM cd
+       |  UNION ALL
+       |  SELECT k AS j, j AS k, c FROM cd WHERE j <> k),
+       |v0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM cfull),
+       |$iters1,
+       |rnum AS (
+       |  SELECT SUM(CAST(c.c AS HUGEINT) * vj.v9 * vk.v9) AS num
+       |  FROM cfull c JOIN $vN vj ON vj.k = c.j JOIN $vN vk ON vk.k = c.k),
+       |rden AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS den FROM $vN),
+       |lam AS (
+       |  SELECT CASE WHEN d.den > 0 THEN
+       |    CAST(floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS lam6 FROM rnum n, rden d),
+       |c2full AS MATERIALIZED (
+       |  SELECT c.j, c.k,
+       |    c.c - CAST(floor(CAST(CAST(l.lam6 AS HUGEINT) * vj.v9 * vk.v9 AS DOUBLE)
+       |      / 1.0e18 + 0.5) AS BIGINT) AS c
+       |  FROM cfull c
+       |  JOIN $vN vj ON vj.k = c.j
+       |  JOIN $vN vk ON vk.k = c.k, lam l),
+       |vb0 AS (SELECT DISTINCT j AS k, CAST(1000000000 AS BIGINT) AS v9 FROM c2full),
+       |$iters2,
+       |rnumb AS (
+       |  SELECT SUM(CAST(c.c AS HUGEINT) * vj.v9 * vk.v9) AS num
+       |  FROM c2full c JOIN $vbN vj ON vj.k = c.j JOIN $vbN vk ON vk.k = c.k),
+       |rdenb AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS den FROM $vbN),
+       |lamb AS (
+       |  SELECT CASE WHEN d.den > 0 THEN
+       |    CAST(floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS lam6 FROM rnumb n, rdenb d),
+       |ctr AS MATERIALIZED (
+       |  SELECT c.vec_id, c.j AS k, c.qv - s.qm AS cv
+       |  FROM comp c JOIN sums s ON s.j = c.j),
+       |agg AS (
+       |  SELECT ctr.vec_id,
+       |    CAST(SUM(ctr.cv * va.v9) AS BIGINT) AS dot1,
+       |    CAST(SUM(ctr.cv * vb.v9) AS BIGINT) AS dot2
+       |  FROM ctr JOIN $vN va ON va.k = ctr.k JOIN $vbN vb ON vb.k = ctr.k
+       |  GROUP BY ctr.vec_id)
+       |SELECT a.vec_id,
+       |  CASE WHEN l1.lam6 > 0 THEN
+       |    CAST(a.dot1 AS DOUBLE) / 1.0e15 / sqrt(CAST(l1.lam6 AS DOUBLE) / 1.0e6)
+       |  END AS w1,
+       |  CASE WHEN l2.lam6 > 0 THEN
+       |    CAST(a.dot2 AS DOUBLE) / 1.0e15 / sqrt(CAST(l2.lam6 AS DOUBLE) / 1.0e6)
+       |  END AS w2
+       |FROM agg a, lam l1, lamb l2 ORDER BY a.vec_id""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "emb_covariance" -> QueryDef(covariance, Some(covarianceSql)),
     "emb_top_pc" -> QueryDef(topPc, Some(topPcSql)),
     "emb_remove_top_pc" -> QueryDef(removeTopPc, Some(removeTopPcSql)),
     "emb_top_pc2" -> QueryDef(topPc2, Some(topPc2Sql)),
     "emb_pca_var_explained" -> QueryDef(varExplained, Some(varExplainedSql)),
+    "emb_whiten_top2" -> QueryDef(whitenTop2, Some(whitenTop2Sql)),
   )
 }

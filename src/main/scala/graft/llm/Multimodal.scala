@@ -1029,7 +1029,12 @@ object Multimodal {
     * by exact Hamming distance ≤ [[PhashHammingMax]]. At 100 TB the
     * band self-join is the only shuffle and stays linear in docs per
     * non-degenerate bucket. */
-  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsTable(spark).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered near-dup pair table (shared by the graded pairs query and
+    * the connected-components grouping). */
+  private def phashPairsTable(spark: SparkSession): DataFrame = {
     val ph = phashTable(spark)
     val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
         col("b3"),
@@ -1057,8 +1062,55 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= PhashHammingMax)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Registry query: connected components over the phash near-dup graph —
+    * the image-dedup endgame, mirroring `dedup_clusters`' relation shape:
+    * every fixture image labeled with its component's min doc_id, the
+    * canonical (minimum) member flagged. Reuses [[Dedup.ccLabels]]'
+    * active-set min-label propagation; singletons never enter the loop. */
+  def phashGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = PhashFixture.ensure(spark)
+    val docs = spark.read.parquet(p).select(col("doc_id"))
+    val pairs = phashPairsTable(spark).select(col("doc_a"), col("doc_b"))
+    docs.join(Dedup.ccLabels(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[phashGroups]]: the pairs CTEs plus an unbounded
+    * UNION-deduped recursive reachability closure, min-label per node. */
+  val phashGroupsSql: String =
+    s"""WITH RECURSIVE ${phashHdrSql},
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, b0, b1, b2, b3, band_no,
+       |    CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+       |      WHEN 2 THEN b2 ELSE b3 END AS bv
+       |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_no)),
+       |ok AS (
+       |  SELECT band_no, bv FROM bands
+       |  GROUP BY band_no, bv HAVING count(*) <= $PhashBandCap),
+       |capped AS MATERIALIZED (
+       |  SELECT bands.* FROM bands JOIN ok USING (band_no, bv)),
+       |prs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b USING (band_no, bv)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      <= $PhashHammingMax),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS lbl FROM raw
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lbl
+       |  FROM edges e JOIN reach r ON e.dst = r.doc_id)
+       |SELECT doc_id, MIN(lbl) AS cluster, doc_id = MIN(lbl) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[phashPairs]]: the identical signature CTE, band
     * unnest, hot-band cap, blocked self-join and Hamming grade. */

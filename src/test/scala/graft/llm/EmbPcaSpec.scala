@@ -126,6 +126,49 @@ class EmbPcaSpec extends SparkSuite {
     assert(math.abs(ortho) < 0.02, s"pc1·pc2 = $ortho")
   }
 
+  test("whiten_top2: unit variance and decorrelation in the top-2 basis") {
+    val sess = spark
+    import sess.implicits._
+    // same two-direction shape as the deflation test, separate fixture
+    val d1 = Array(1.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f).map(_ / math.sqrt(2).toFloat)
+    val d2 = Array(0.0f, 0.0f, 1.0f, -1.0f, 0.0f, 0.0f).map(_ / math.sqrt(2).toFloat)
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 80).map { i =>
+      val a = (rng.nextDouble() * 4 - 2).toFloat
+      val b = (rng.nextDouble() * 1.6 - 0.8).toFloat
+      val v = Array.tabulate(6)(j =>
+        d1(j) * a + d2(j) * b + (rng.nextDouble() * 0.02 - 0.01).toFloat)
+      (i.toLong, v, i % 2)
+    }
+    val dir = graft.core.Fixtures.path("pcaw")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("emb_whiten_top2")(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 80)
+    // whitening's defining property: population variance ~1 on both axes
+    def popVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val (w1, w2) = (out.map(_._1), out.map(_._2))
+    assert(math.abs(popVar(w1) - 1.0) < 0.15, s"var(w1) = ${popVar(w1)}")
+    assert(math.abs(popVar(w2) - 1.0) < 0.15, s"var(w2) = ${popVar(w2)}")
+    // decorrelated axes
+    val m1 = w1.sum / w1.length
+    val m2 = w2.sum / w2.length
+    val corr = w1.zip(w2).map { case (x, y) => (x - m1) * (y - m2) }.sum /
+      (w1.length * math.sqrt(popVar(w1) * popVar(w2)))
+    assert(math.abs(corr) < 0.1, s"corr(w1, w2) = $corr")
+    // w1 tracks the planted strong coefficient, vector by vector
+    val aCoef = rows.map { case (_, v, _) =>
+      v.zip(d1).map { case (x, dd) => x * dd.toDouble }.sum }.toArray
+    val ma = aCoef.sum / aCoef.length
+    val corA = w1.zip(aCoef).map { case (x, y) => (x - m1) * (y - ma) }.sum /
+      (w1.length * math.sqrt(popVar(w1) * popVar(aCoef)))
+    assert(math.abs(corA) > 0.999, s"corr(w1, planted a) = $corA")
+  }
+
   test("degenerate constant embeddings yield the zero vector, not NaN") {
     val sess = spark
     import sess.implicits._

@@ -86,6 +86,27 @@ class PhashSpec extends SparkSuite {
     assert(within >= 20, s"planted recall too low: $within groups matched")
   }
 
+  test("groups: components agree with pairs, canonical is the min member") {
+    val pairs = SparkEntry.queries("multimodal_phash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = SparkEntry.queries("multimodal_phash_groups")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(groups.length == 150, "every fixture image is labeled")
+    val cluster = groups.map(g => g._1 -> g._2).toMap
+    // every near-dup pair landed in one component
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a, $b) split across clusters")
+    }
+    // the label IS the component min, and exactly that member is canonical
+    groups.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster $c not the min member")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == c)
+    }
+    // planted structure: a healthy number of multi-image components
+    val multi = groups.groupBy(_._2).count(_._2.length > 1)
+    assert(multi >= 15, s"only $multi non-singleton components")
+  }
+
   test("pairs plan is band-blocked: no cartesian, caps applied") {
     val df = SparkEntry.queries("multimodal_phash_pairs")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
