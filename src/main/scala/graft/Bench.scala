@@ -191,11 +191,20 @@ object Bench {
     * constant-size xxhash64 chain — no I/O, no shuffle, no data
     * dependence, so its wall time tracks the machine's CURRENT per-core
     * throughput. Identical work at pin time and gate time; the ratio of
-    * the two is the load factor the gate normalizes by. */
+    * the two is the load factor the gate normalizes by.
+    *
+    * Sized COMPUTE-dominated (~2 s idle at 32 cpus): the original
+    * 8M-hashes/task probe was mostly job overhead (scheduling + collect),
+    * and overhead does not stretch under CPU contention the way
+    * sustained query compute does — a 32-busy-loop load that slowed the
+    * full board 1.81× moved that probe only 1.20×, so the gate
+    * under-stretched budgets and called 4 false regressions. At
+    * 128M hashes/task the measured probe stretch under the identical
+    * load is ~1.9×, matching the board. */
   private def calibrate(spark: SparkSession, cpus: Int): Double = {
     val t0 = System.nanoTime()
-    // bit_xor, not sum: a 256M-hash sum overflows long under ANSI mode
-    spark.range(0L, cpus.toLong * 8000000L, 1L, cpus)
+    // bit_xor, not sum: a multi-G-hash sum overflows long under ANSI mode
+    spark.range(0L, cpus.toLong * 128000000L, 1L, cpus)
       .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7)))").collect()
     (System.nanoTime() - t0) / 1e9
   }
