@@ -836,8 +836,12 @@ object Dedup extends QueryGroup {
   }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+    // the >= 0.5 slice of the session-memoized >= 0.3 pair set (identical
+    // rows to deriving jaccardPairs directly; GraphOps.PairsMemo is
+    // fingerprint-invalidated, so a rewritten corpus re-derives) — the
+    // graph family and the clusters family share ONE shingle pipeline
+    // per session instead of five
+    val pairs = GraphOps.PairsMemo.pairsAtLeast(s, d, 0.5)
     val docs = T.documents(s, d).select(col("doc_id"))
     docs.join(ccLabels(pairs), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -845,6 +849,67 @@ object Dedup extends QueryGroup {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- keep-best: quality-ranked survivor per dup cluster ---------------
+  // The curation endgame on top of the components: inside each near-dup
+  // cluster keep the HIGHEST-text_quality member (min doc_id on exact
+  // score ties), not the arbitrary min-id canonical — the rule real
+  // pipelines apply (drop the worse-written copies). Scores are the
+  // text_quality doubles, computed by the identical expression in both
+  // engines, so the argmax compares bit-identical values; the tie-break
+  // is exact-integer. Scale shape: the clusters loop as dedup_clusters,
+  // plus one quality join and two cluster-keyed aggregations — all on
+  // the doc-count-sized relation, never the corpus text.
+  private def keepBest(s: SparkSession, d: String): DataFrame = {
+    val cl = dedupClusters(s, d).select(col("doc_id"), col("cluster"))
+    val q = TextStats.quality(s, d).select(col("doc_id"), col("score"))
+    val scored = cl.join(q, Seq("doc_id"))
+    val best = scored.groupBy(col("cluster")).agg(max(col("score")).as("best"))
+    val keepId = scored.join(best, Seq("cluster"))
+      .filter(col("score") === col("best"))
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("keep_id"))
+    scored.join(keepId, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("score"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val keepBestSql =
+    s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cprs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.5),
+       |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cprs
+       |           UNION ALL SELECT doc_b, doc_a FROM cprs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lbl
+       |  FROM cedges e JOIN reach r ON e.dst = r.doc_id),
+       |cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id),
+       |qw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |qa AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(CASE WHEN word IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM qw GROUP BY doc_id),
+       |sc AS MATERIALIZED (
+       |  SELECT cl.doc_id, cl.cluster,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 0.5 +
+       |      CAST(least(n_words, 100) AS DOUBLE) / 200.0 AS score
+       |  FROM cl JOIN qa ON qa.doc_id = cl.doc_id),
+       |best AS (SELECT cluster, MAX(score) AS best FROM sc GROUP BY cluster),
+       |keepid AS (
+       |  SELECT sc.cluster, MIN(sc.doc_id) AS keep_id
+       |  FROM sc JOIN best ON best.cluster = sc.cluster AND sc.score = best.best
+       |  GROUP BY sc.cluster)
+       |SELECT sc.doc_id, sc.cluster, sc.score, sc.doc_id = k.keep_id AS keep
+       |FROM sc JOIN keepid k ON k.cluster = sc.cluster
+       |ORDER BY sc.doc_id""".stripMargin
 
   private val dedupClustersSql =
     s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -1017,6 +1082,7 @@ object Dedup extends QueryGroup {
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
     "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "dedup_keep_best"       -> QueryDef(keepBest, Some(keepBestSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
   )
 }

@@ -44,7 +44,7 @@ object GraphOps extends QueryGroup {
     * every block, and the memo must survive it. Cold-vs-warm cost is
     * disclosed in SCALING.md — the bench board's pagerank time carries
     * the build, the other two family members read warm. */
-  private object PairsMemo {
+  private[llm] object PairsMemo {
     private val live = scala.collection.mutable.Map.empty[String, (String, String)]
 
     private def fingerprint(d: String): String = {
@@ -60,23 +60,38 @@ object GraphOps extends QueryGroup {
         .digest(state.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
 
-    def pairs(s: SparkSession, d: String): DataFrame = synchronized {
+    private def ensure(s: SparkSession, d: String): String = synchronized {
       val dir = d.replaceFirst("^file:(//)?", "").stripSuffix("/")
       val fp = fingerprint(dir)
-      val path = live.get(dir) match {
+      live.get(dir) match {
         case Some((oldFp, p)) if oldFp == fp => p
         case stale =>
           stale.foreach { case (_, p) =>
             graft.streaming.CommitFiles.rmTree(new java.io.File(p))
           }
           val p = graft.core.Fixtures.path("graph_pairs_memo") + s"/$fp"
+          // the memo keeps the SCORE so every >= 0.3 consumer can slice
+          // its own threshold: the graph family reads the whole set, the
+          // clusters family (dedup_clusters / dedup_keep_best) filters
+          // >= 0.5 — identical rows to a direct derivation either way
           Dedup.jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)
-            .select(col("doc_a"), col("doc_b"))
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
             .write.mode("overwrite").parquet(p)
           live(dir) = (fp, p)
           p
       }
-      s.read.parquet(path)
+    }
+
+    def pairs(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d)).select(col("doc_a"), col("doc_b"))
+
+    /** The >= `minJaccard` slice of the memoized pair set (minJaccard must
+      * be >= the memo's own 0.3 floor or the slice would silently miss
+      * pairs the memo never stored). */
+    def pairsAtLeast(s: SparkSession, d: String, minJaccard: Double): DataFrame = {
+      require(minJaccard >= 0.3, s"memo stores jaccard >= 0.3 only; got $minJaccard")
+      s.read.parquet(ensure(s, d)).filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"))
     }
   }
 

@@ -83,7 +83,7 @@ object TextStats extends QueryGroup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- Quality scoring: length/stopword/word-shape ratios ---------------
-  private def quality(s: SparkSession, d: String): DataFrame = {
+  private[llm] def quality(s: SparkSession, d: String): DataFrame = {
     val wq = words(T.documents(s, d)).groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_words"),
       sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
