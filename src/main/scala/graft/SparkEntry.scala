@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
 import graft.operators.{Analytics, EventAnalytics, Extras, Functions, Merge, MetricBatch, Profiling, Relational}
-import graft.llm.{Ann, BpeTrain, Dedup, EmbPca, EmbStats, GraphOps, MlLsh, Multimodal, Pipeline, Sketches, TextStats}
+import graft.llm.{Ann, BpeTrain, Dedup, EmbPca, EmbStats, GraphOps, MlLsh, Multimodal, Pipeline, Sketches, Subword, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
     Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
       Merge.defs ++ EventAnalytics.defs ++ MetricBatch.defs ++ Profiling.defs ++
       Dedup.defs ++ GraphOps.defs ++ EmbStats.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
-      Sketches.defs ++ BpeTrain.defs ++ EmbPca.defs ++ Seq(
+      Sketches.defs ++ BpeTrain.defs ++ EmbPca.defs ++ Subword.defs ++ Seq(
         // batched binary decode (stubbed codec); scalar projection with a
         // DuckDB replay of the stub arithmetic (ASCII payloads)
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d),

@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryGroup, Tables => T}
+
+/** Optimal subword segmentation by exact-integer Viterbi DP — the
+  * unigram-LM-style tokenization step (Kudo 2018's inference shape) with
+  * a determinism discipline strong enough for the bit-for-bit oracle:
+  * piece scores are INTEGERS (floor-log2 of the corpus count via binary
+  * string length — no transcendental log whose last bit could differ
+  * between libms), and the DP state packs (score, pieces) into one
+  * BIGINT key so the argmax is a plain integer MAX in both engines.
+  *
+  * Model (fully corpus-derived, no trained parameters): the piece
+  * vocabulary is EVERY substring of length 1..[[MaxPieceLen]] of every
+  * distinct word, scored
+  * `iscore(p) = floor(log2(cnt(p))) * 1000 + len(p)` where cnt counts
+  * corpus occurrences (word frequency × in-word occurrences). Viterbi
+  * picks the segmentation maximizing Σ iscore, preferring fewer pieces
+  * on exact score ties — packed key `score·64 + (63 − n_pieces)` makes
+  * that lexicographic preference one integer comparison, and adding a
+  * piece is the linear update `key += iscore·64 − 1`. Single-character
+  * pieces always exist, so every word is segmentable.
+  *
+  * Scale shape: word frequencies are ONE corpus pass (map-side
+  * combine); the piece table and the DP both live on the DISTINCT-word
+  * table (vocabulary-bounded, Zipf — never the corpus); the piece→score
+  * map broadcasts (loud [[MaxPieces]] cap — past it a real deployment
+  * shards the DP as unrolled joins, not claimed here); the final per-doc
+  * stats join the corpus word stream against the vocabulary-bounded
+  * segmentation table (broadcast-sized). The DuckDB oracle unrolls the
+  * identical DP as [[MaxWordLen]] staged CTEs (the power-iteration
+  * recipe), so words are require-guarded to [[MaxWordLen]] chars —
+  * loudly, the sketch_topk contract.
+  */
+object Subword extends QueryGroup {
+
+  private[llm] val MaxPieceLen = 6
+  private[llm] val MaxWordLen = 16
+
+  /** Broadcast-map ceiling: pieces are vocabulary-bounded, but the
+    * collect must still fail loudly rather than OOM the driver. */
+  private[llm] val MaxPieces = 2000000L
+
+  /** (word, freq) over the corpus word stream. */
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    Dedup.words(T.documents(s, d))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** (piece, cnt, iscore): every 1..MaxPieceLen substring of every
+    * distinct word, counted with word multiplicity; iscore via the
+    * binary-string-length integer log2. */
+  private[llm] def pieceScores(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), j ->
+           |  transform(sequence(1, least($MaxPieceLen, length(word) - j)), l ->
+           |    substring(word, j + 1, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .select(col("piece"), col("cnt"),
+        ((length(expr("bin(cnt)")) - 1) * 1000 + length(col("piece")))
+          .cast(LongType).as("iscore"))
+
+  /** The per-word DP, identical arithmetic to the unrolled SQL stages:
+    * dp(0) = 63; dp(i) = max over j of dp(j) + iscore(word[j..i))·64 − 1. */
+  private[llm] def segmentKey(word: String, score: String => Long): Long = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    dp(0) = 63L
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var j = math.max(0, i - MaxPieceLen)
+      while (j < i) {
+        val cand = dp(j) + score(word.substring(j, i)) * 64L - 1L
+        if (cand > best) best = cand
+        j += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** Registry query: per-doc segmentation stats — word count, optimal
+    * piece count, total segmentation score, pieces-per-word (one IEEE
+    * division). Wordless docs surface with zero counts and a NULL
+    * ratio. */
+  private def unigramSegment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = wordFreq(s, d)
+    val tooLong = wf.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
+        "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
+    val ps = pieceScores(wf)
+    val nPieces = ps.count()
+    require(nPieces <= MaxPieces,
+      s"piece vocabulary $nPieces exceeds the broadcast cap $MaxPieces")
+    val pieceMap = ps.select(col("piece"), col("iscore")).as[(String, Long)]
+      .collect().toMap
+    val bc = s.sparkContext.broadcast(pieceMap)
+    val seg = wf.select(col("word")).as[String]
+      .map { w =>
+        val key = segmentKey(w, bc.value(_))
+        (w, key / 64L, 63L - key % 64L)
+      }
+      .toDF("word", "seg_score", "np")
+    val perDoc = Dedup.words(T.documents(s, d))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("seg_score")).as("seg_score"))
+    T.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("seg_score"), lit(0L)).as("seg_score"),
+        when(col("n_words") > 0,
+          col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: identical piece table, then the DP unrolled as
+    * [[MaxWordLen]] staged CTEs over the distinct-word table — stage i
+    * maxes over the ≤ [[MaxPieceLen]] predecessor stages, each arm one
+    * join against the piece table on the exact substring. */
+  private val unigramSegmentSql: String = {
+    val stages = (1 to MaxWordLen).map { i =>
+      val arms = (math.max(0, i - MaxPieceLen) until i).map { j =>
+        s"""    SELECT d.word, d.wl, d.key + ps.iscore * 64 - 1 AS key
+           |    FROM dp$j d JOIN ps ON ps.piece = substr(d.word, ${j + 1}, ${i - j})
+           |    WHERE d.wl >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT word, wl, MAX(key) AS key FROM (
+         |$arms
+         |  ) GROUP BY word, wl)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to MaxWordLen)
+      .map(i => s"  SELECT word, key FROM dp$i WHERE wl = $i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH wrd AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |wfreq AS (SELECT word, COUNT(*) AS freq FROM wrd GROUP BY word),
+       |pi AS (
+       |  SELECT substr(word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece, freq
+       |  FROM wfreq, range(0, $MaxWordLen) r(j), range(1, ${MaxPieceLen + 1}) q(l)
+       |  WHERE j + l <= length(word)),
+       |ps AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt,
+       |    CAST((length(bin(CAST(SUM(freq) AS BIGINT))) - 1) * 1000
+       |      + length(piece) AS BIGINT) AS iscore
+       |  FROM pi GROUP BY piece),
+       |dp0 AS (SELECT word, length(word) AS wl, CAST(63 AS BIGINT) AS key
+       |        FROM wfreq),
+       |$stages,
+       |seg AS MATERIALIZED (
+       |  SELECT word, key // 64 AS seg_score, 63 - key % 64 AS np FROM (
+       |$finals
+       |  )),
+       |dstats AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(sg.np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(sg.seg_score) AS BIGINT) AS seg_score
+       |  FROM wrd w JOIN seg sg ON sg.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_pieces, 0) AS n_pieces,
+       |  COALESCE(st.seg_score, 0) AS seg_score,
+       |  CASE WHEN n_words > 0 THEN
+       |    CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |  END AS pieces_per_word
+       |FROM documents d LEFT JOIN dstats st ON st.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  override val defs: Seq[(String, QueryDef)] = Seq(
+    "text_unigram_segment" -> QueryDef(unigramSegment, Some(unigramSegmentSql)),
+  )
+}
