@@ -84,6 +84,40 @@ object Subword extends QueryGroup {
     dp(n)
   }
 
+  /** The DP's argmax path, backtracked with the SMALLEST-predecessor tie
+    * rule (≡ the oracle's MIN(j) — both engines walk the identical
+    * segmentation, which the E-step's piece counts depend on). */
+  private[llm] def segmentPieces(word: String, score: String => Long): Seq[String] = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    dp(0) = 63L
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var j = math.max(0, i - MaxPieceLen)
+      while (j < i) {
+        val cand = dp(j) + score(word.substring(j, i)) * 64L - 1L
+        if (cand > best) best = cand
+        j += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = n
+    while (i > 0) {
+      var j = math.max(0, i - MaxPieceLen)
+      var chosen = -1
+      while (chosen < 0 && j < i) {
+        if (dp(j) + score(word.substring(j, i)) * 64L - 1L == dp(i)) chosen = j
+        else j += 1
+      }
+      out += word.substring(chosen, i)
+      i = chosen
+    }
+    out.reverse.toSeq
+  }
+
   /** Registry query: per-doc segmentation stats — word count, optimal
     * piece count, total segmentation score, pieces-per-word (one IEEE
     * division). Wordless docs surface with zero counts and a NULL
@@ -125,30 +159,21 @@ object Subword extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay: identical piece table, then the DP unrolled as
-    * [[MaxWordLen]] staged CTEs over the distinct-word table — stage i
-    * maxes over the ≤ [[MaxPieceLen]] predecessor stages, each arm one
-    * join against the piece table on the exact substring. */
-  private val unigramSegmentSql: String = {
-    val stages = (1 to MaxWordLen).map { i =>
-      val arms = (math.max(0, i - MaxPieceLen) until i).map { j =>
-        s"""    SELECT d.word, d.wl, d.key + ps.iscore * 64 - 1 AS key
-           |    FROM dp$j d JOIN ps ON ps.piece = substr(d.word, ${j + 1}, ${i - j})
-           |    WHERE d.wl >= $i""".stripMargin
-      }.mkString("\n    UNION ALL\n")
-      s"""dp$i AS MATERIALIZED (
-         |  SELECT word, wl, MAX(key) AS key FROM (
-         |$arms
-         |  ) GROUP BY word, wl)""".stripMargin
-    }.mkString(",\n")
-    val finals = (1 to MaxWordLen)
-      .map(i => s"  SELECT word, key FROM dp$i WHERE wl = $i")
-      .mkString("\n  UNION ALL\n")
-    s"""WITH wrd AS MATERIALIZED (
+  // ---- DuckDB oracle ----------------------------------------------------
+  // The DP unrolls as MaxWordLen staged CTEs over the distinct-word table
+  // (the power-iteration recipe): stage i maxes over the ≤ MaxPieceLen
+  // predecessor stages, each arm one join against the piece table on the
+  // exact substring. Generators are parameterized so the EM round's
+  // second chain (re-scored pieces) is the same code.
+
+  /** Shared prologue: corpus words, frequencies, piece table `ps`. */
+  private val prologueSql: String =
+    s"""wrd AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |    FROM documents) WHERE word <> ''),
-       |wfreq AS (SELECT word, COUNT(*) AS freq FROM wrd GROUP BY word),
+       |wfreq AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM wrd GROUP BY word),
        |pi AS (
        |  SELECT substr(word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece, freq
        |  FROM wfreq, range(0, $MaxWordLen) r(j), range(1, ${MaxPieceLen + 1}) q(l)
@@ -157,14 +182,41 @@ object Subword extends QueryGroup {
        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt,
        |    CAST((length(bin(CAST(SUM(freq) AS BIGINT))) - 1) * 1000
        |      + length(piece) AS BIGINT) AS iscore
-       |  FROM pi GROUP BY piece),
-       |dp0 AS (SELECT word, length(word) AS wl, CAST(63 AS BIGINT) AS key
+       |  FROM pi GROUP BY piece)""".stripMargin
+
+  /** dp0..dpN chain named `$p0`..`$p$N`, scored by piece table `psName`. */
+  private def dpChainSql(p: String, psName: String): String = {
+    val stages = (1 to MaxWordLen).map { i =>
+      val arms = (math.max(0, i - MaxPieceLen) until i).map { j =>
+        s"""    SELECT d.word, d.wl, d.key + $psName.iscore * 64 - 1 AS key
+           |    FROM $p$j d JOIN $psName ON $psName.piece = substr(d.word, ${j + 1}, ${i - j})
+           |    WHERE d.wl >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT word, wl, MAX(key) AS key FROM (
+         |$arms
+         |  ) GROUP BY word, wl)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}0 AS (SELECT word, length(word) AS wl, CAST(63 AS BIGINT) AS key
        |        FROM wfreq),
-       |$stages,
-       |seg AS MATERIALIZED (
+       |$stages""".stripMargin
+  }
+
+  /** Per-word (word, seg_score, np) read from each word's own stage. */
+  private def segSql(name: String, p: String): String = {
+    val finals = (1 to MaxWordLen)
+      .map(i => s"  SELECT word, key FROM $p$i WHERE wl = $i")
+      .mkString("\n  UNION ALL\n")
+    s"""$name AS MATERIALIZED (
        |  SELECT word, key // 64 AS seg_score, 63 - key % 64 AS np FROM (
        |$finals
-       |  )),
+       |  ))""".stripMargin
+  }
+
+  private val unigramSegmentSql: String =
+    s"""WITH $prologueSql,
+       |${dpChainSql("dp", "ps")},
+       |${segSql("seg", "dp")},
        |dstats AS (
        |  SELECT w.doc_id, COUNT(*) AS n_words,
        |    CAST(SUM(sg.np) AS BIGINT) AS n_pieces,
@@ -179,9 +231,133 @@ object Subword extends QueryGroup {
        |  END AS pieces_per_word
        |FROM documents d LEFT JOIN dstats st ON st.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Backward path reconstruction, unrolled: step t selects the SMALLEST
+    * predecessor achieving the stage's max (≡ [[segmentPieces]]' first-j
+    * backtrack), emitting one piece per step until position 0. */
+  private val emPathSql: String = {
+    val dpall = (1 to MaxWordLen)
+      .map(i => s"  SELECT word, CAST($i AS BIGINT) AS i, key FROM dp$i WHERE wl >= $i")
+      .mkString("\n  UNION ALL\n")
+    val steps = (1 to MaxWordLen).map { t =>
+      s"""st$t AS MATERIALIZED (
+         |  SELECT s.word, s.nj AS i, MIN(da.i) AS nj
+         |  FROM st${t - 1} s
+         |  JOIN dpall di ON di.word = s.word AND di.i = s.nj
+         |  JOIN dpall da ON da.word = s.word
+         |    AND da.i >= s.nj - $MaxPieceLen AND da.i < s.nj
+         |  JOIN ps ON ps.piece =
+         |    substr(s.word, CAST(da.i + 1 AS INT), CAST(s.nj - da.i AS INT))
+         |  WHERE s.nj > 0 AND da.key + ps.iscore * 64 - 1 = di.key
+         |  GROUP BY s.word, s.nj)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to MaxWordLen)
+      .map(t => s"""  SELECT word,
+                   |    substr(word, CAST(nj + 1 AS INT), CAST(i - nj AS INT)) AS piece
+                   |  FROM st$t""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""dpall AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS i, CAST(63 AS BIGINT) AS key FROM wfreq
+       |  UNION ALL
+       |$dpall),
+       |st0 AS (SELECT word, CAST(NULL AS BIGINT) AS i, length(word) AS nj
+       |        FROM wfreq),
+       |$steps,
+       |emits AS (
+       |$emits)""".stripMargin
+  }
+
+  private val unigramEmRoundSql: String =
+    s"""WITH $prologueSql,
+       |${dpChainSql("dp", "ps")},
+       |$emPathSql,
+       |use1 AS (
+       |  SELECT e.piece, CAST(SUM(f.freq) AS BIGINT) AS used
+       |  FROM emits e JOIN wfreq f ON f.word = e.word GROUP BY e.piece),
+       |psb AS MATERIALIZED (
+       |  SELECT ps.piece,
+       |    CAST((length(bin(COALESCE(u.used, 0) + 1)) - 1) * 1000
+       |      + length(ps.piece) AS BIGINT) AS iscore
+       |  FROM ps LEFT JOIN use1 u ON u.piece = ps.piece),
+       |${dpChainSql("dpb", "psb")},
+       |${segSql("sega", "dp")},
+       |${segSql("segb", "dpb")},
+       |dstats AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(a.np) AS BIGINT) AS n_pieces_r0,
+       |    CAST(SUM(b.np) AS BIGINT) AS n_pieces_r1,
+       |    CAST(SUM(a.seg_score) AS BIGINT) AS score_r0,
+       |    CAST(SUM(b.seg_score) AS BIGINT) AS score_r1
+       |  FROM wrd w
+       |  JOIN sega a ON a.word = w.word
+       |  JOIN segb b ON b.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_pieces_r0, 0) AS n_pieces_r0,
+       |  COALESCE(n_pieces_r1, 0) AS n_pieces_r1,
+       |  COALESCE(score_r0, 0) AS score_r0,
+       |  COALESCE(score_r1, 0) AS score_r1
+       |FROM documents d LEFT JOIN dstats st ON st.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Registry query: ONE hard-EM training round (Kudo 2018's EM with the
+    * Viterbi E-step) — segment with the corpus-count scores, count which
+    * pieces the optimal paths actually USE (frequency-weighted), re-score
+    * `floor(log2(used+1))·1000+len`, re-segment. Concentrates mass on
+    * pieces that win segmentations, the unigram-trainer dynamic; both the
+    * E-step path (smallest-predecessor tie rule) and the M-step counts
+    * are exact integers, so the oracle replays the round bit-for-bit.
+    * Scale shape as [[unigramSegment]] ×2 plus one vocabulary-bounded
+    * usage aggregation. */
+  private def unigramEmRound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = graft.core.Materialize.cut(wordFreq(s, d))
+    val tooLong = wf.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
+        "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
+    val ps0 = pieceScores(wf)
+    require(ps0.count() <= MaxPieces, s"piece vocabulary exceeds $MaxPieces")
+    val m0 = s.sparkContext.broadcast(
+      ps0.select(col("piece"), col("iscore")).as[(String, Long)].collect().toMap)
+    val seg0 = graft.core.Materialize.cut(
+      wf.as[(String, Long)].map { case (w, f) =>
+        val key = segmentKey(w, m0.value(_))
+        (w, f, key / 64L, 63L - key % 64L, segmentPieces(w, m0.value(_)))
+      }.toDF("word", "freq", "score0", "np0", "pieces"))
+    val used = seg0.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+    val ps1 = ps0.join(used, Seq("piece"), "left")
+      .select(col("piece"),
+        ((length(expr("bin(coalesce(used, 0) + 1)")) - 1) * 1000 +
+          length(col("piece"))).cast(LongType).as("iscore"))
+    val m1 = s.sparkContext.broadcast(
+      ps1.as[(String, Long)].collect().toMap)
+    val seg1 = wf.as[(String, Long)].map { case (w, _) =>
+      val key = segmentKey(w, m1.value(_))
+      (w, key / 64L, 63L - key % 64L)
+    }.toDF("word", "score1", "np1")
+    val ws = seg0.select(col("word"), col("score0"), col("np0"))
+      .join(seg1, Seq("word"))
+    val perDoc = Dedup.words(T.documents(s, d))
+      .join(broadcast(ws), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np0")).as("n_pieces_r0"), sum(col("np1")).as("n_pieces_r1"),
+        sum(col("score0")).as("score_r0"), sum(col("score1")).as("score_r1"))
+    T.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces_r0"), lit(0L)).as("n_pieces_r0"),
+        coalesce(col("n_pieces_r1"), lit(0L)).as("n_pieces_r1"),
+        coalesce(col("score_r0"), lit(0L)).as("score_r0"),
+        coalesce(col("score_r1"), lit(0L)).as("score_r1"))
+      .orderBy(col("doc_id"))
   }
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "text_unigram_segment" -> QueryDef(unigramSegment, Some(unigramSegmentSql)),
+    "unigram_em_round" -> QueryDef(unigramEmRound, Some(unigramEmRoundSql)),
   )
 }

@@ -48,6 +48,31 @@ class SubwordSpec extends SparkSuite {
     }
   }
 
+  test("segmentPieces reconstructs a path consistent with the DP key") {
+    def score(p: String): Long = (p.map(_.toInt).sum % 11) * 1000L + p.length
+    for (w <- Seq("a", "abcab", "abcdefgh", "zzzzzzzzzzzz")) {
+      val key = Subword.segmentKey(w, score)
+      val pieces = Subword.segmentPieces(w, score)
+      assert(pieces.mkString("") == w, "pieces concatenate to the word")
+      assert(pieces.forall(_.length <= Subword.MaxPieceLen))
+      assert(pieces.map(score).sum == key / 64L, "path score == DP score")
+      assert(pieces.length.toLong == 63L - key % 64L, "path length == DP count")
+    }
+  }
+
+  test("EM round agrees with segment on round 0 and keeps invariants") {
+    val seg = SparkEntry.queries("text_unigram_segment")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val em = SparkEntry.queries("unigram_em_round")(spark, sfDir).collect()
+    em.foreach { r =>
+      val (doc, nw) = (r.getLong(0), r.getLong(1))
+      // round 0 of the EM query IS the segment query's result
+      assert(r.getLong(2) == seg(doc)._1, s"np_r0 mismatch for doc $doc")
+      assert(r.getLong(4) == seg(doc)._2, s"score_r0 mismatch for doc $doc")
+      assert(r.getLong(3) >= nw, "round-1 pieces per word >= 1")
+    }
+  }
+
   test("words beyond the DP unroll fail loudly, not silently truncate") {
     val sess = spark
     import sess.implicits._
