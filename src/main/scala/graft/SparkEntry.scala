@@ -31,6 +31,8 @@ object SparkEntry {
           Some(Multimodal.wavEnergySql)),
         "multimodal_y4m_frames" -> QueryDef((s, d) => Multimodal.y4mFrames(s, d),
           Some(Multimodal.y4mFramesSql)),
+        "multimodal_y4m_scenes" -> QueryDef((s, d) => Multimodal.y4mScenes(s, d),
+          Some(Multimodal.y4mScenesSql)),
         // image near-dup dedup: 8x8 aHash signatures over the real BMP
         // decode, then banded-Hamming pairs (the image simhash)
         "multimodal_phash" -> QueryDef((s, d) => Multimodal.phash(s, d),

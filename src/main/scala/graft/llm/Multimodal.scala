@@ -729,13 +729,14 @@ object Multimodal {
     out
   }
 
-  /** Real y4m parse + frame-sample: validates the magic, parses W/H/F
-    * and the C444 tag from the parameter line, checks EVERY frame's
+  /** The shared real-y4m parser: validates the magic, parses W/H/F and
+    * the C444 tag from the parameter line, checks EVERY frame's
     * "FRAME\n" marker and that the stream length is an exact frame
-    * multiple, then checksums every [[FrameEvery]]-th frame's plane
-    * bytes. Malformed payloads fail loudly. */
-  def sampleY4m(bytes: Array[Byte], every: Int): Y4mSampled = {
-    require(every > 0, "sample period must be positive")
+    * multiple, and returns (width, height, fps, per-frame plane-byte
+    * sums). Malformed payloads fail loudly. Both the frame-sample and
+    * the scene-cut queries ride this one parse. */
+  private[llm] def y4mFrameSums(
+      bytes: Array[Byte]): (Long, Long, Long, Array[Long]) = {
     val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
     require(bytes.length > magic.length &&
       magic.indices.forall(i => bytes(i) == magic(i)),
@@ -758,8 +759,7 @@ object Multimodal {
     require(body % (6 + frameBytes) == 0,
       s"truncated y4m stream: $body bytes after header")
     val nFrames = body / (6 + frameBytes)
-    var sum = 0L
-    var sampled = 0L
+    val sums = new Array[Long](nFrames)
     var f = 0
     while (f < nFrames) {
       val off = nl + 1 + f * (6 + frameBytes)
@@ -767,15 +767,29 @@ object Multimodal {
         bytes(off + 2) == 'A' && bytes(off + 3) == 'M' &&
         bytes(off + 4) == 'E' && bytes(off + 5) == '\n',
         s"bad FRAME marker at byte $off")
-      if (f % every == 0) {
-        sampled += 1
-        var t = off + 6
-        val end = t + frameBytes
-        while (t < end) { sum += bytes(t) & 0xff; t += 1 }
-      }
+      var sum = 0L
+      var t = off + 6
+      val end = t + frameBytes
+      while (t < end) { sum += bytes(t) & 0xff; t += 1 }
+      sums(f) = sum
       f += 1
     }
-    Y4mSampled(-1L, width, height, fps, nFrames, sampled, sum)
+    (width, height, fps, sums)
+  }
+
+  /** Real y4m frame-sample over [[y4mFrameSums]]'s parse: checksums
+    * every `every`-th frame's plane bytes. */
+  def sampleY4m(bytes: Array[Byte], every: Int): Y4mSampled = {
+    require(every > 0, "sample period must be positive")
+    val (width, height, fps, sums) = y4mFrameSums(bytes)
+    var sum = 0L
+    var sampled = 0L
+    var f = 0
+    while (f < sums.length) {
+      if (f % every == 0) { sampled += 1; sum += sums(f) }
+      f += 1
+    }
+    Y4mSampled(-1L, width, height, fps, sums.length.toLong, sampled, sum)
   }
 
   /** Deterministic y4m fixture: 200 real clips, dims/fps/frame-count and
@@ -813,12 +827,11 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of [[y4mFrames]]: header text recovered char-by-char
-    * from hex pairs up to the first 0x0A, dims/fps regexp-extracted from
-    * it, then the identical every-3rd-frame plane checksum at offsets
-    * computed from the parsed dims. */
-  val y4mFramesSql: String =
-    s"""WITH raw AS (
+  /** Shared oracle prologue (CTEs `raw`..`fr`): header text recovered
+    * char-by-char from hex pairs up to the first 0x0A, dims/fps
+    * regexp-extracted from it, frame count from the parsed dims. */
+  private val y4mPrologueSql: String =
+    s"""raw AS (
        |  SELECT doc_id, media, hex(media) AS hx, octet_length(media) AS nb
        |  FROM read_parquet('${Y4mFixture.path}/*.parquet')),
        |hl AS (
@@ -842,7 +855,12 @@ object Multimodal {
        |fr AS (
        |  SELECT doc_id, hx, hdr_len, width, height, fps,
        |    (nb - hdr_len - 1) // (6 + 3 * width * height) AS n_frames
-       |  FROM dims)
+       |  FROM dims)""".stripMargin
+
+  /** DuckDB replay of [[y4mFrames]]: the identical every-3rd-frame plane
+    * checksum at offsets computed from the parsed dims. */
+  val y4mFramesSql: String =
+    s"""WITH $y4mPrologueSql
        |SELECT doc_id, width, height, fps, n_frames,
        |  CAST((n_frames + ${FrameEvery - 1}) // $FrameEvery AS BIGINT)
        |    AS n_sampled,
@@ -853,6 +871,92 @@ object Multimodal {
        |        CAST((hdr_len + 1 + f * (6 + 3 * width * height) + 6 + t) * 2
        |          + 1 AS INT), 2) AS BIGINT))))), 0) AS BIGINT) AS sample_sum
        |FROM fr ORDER BY doc_id""".stripMargin
+
+  // ---- scene-cut detection: frame-differencing over the real stream ------
+  // The video-curation primitive on top of the same honest parse: a shot
+  // boundary ("cut") is a frame whose plane-byte sum jumps by more than
+  // [[CutPerByte]] per byte from its predecessor — frame-differencing
+  // energy, the classic first-pass cut detector. All-integer (sums and
+  // absolute deltas of byte values), so cross-engine parity is exact;
+  // the threshold scales with the parsed frame size, not a magic
+  // constant, so clips of different dims grade on the same footing.
+
+  final case class Y4mScene(doc_id: Long, n_frames: Long, n_deltas: Long,
+      n_cuts: Long, max_delta: Long, first_cut: Option[Long])
+
+  /** Cut threshold: mean per-byte |delta| strictly above this. The
+    * fixture's per-byte deltas have median ≈ 7, p90 ≈ 10, so 8 splits
+    * clips non-trivially (47/200 clips carry ≥ 1 cut). */
+  private[llm] val CutPerByte = 8L
+
+  /** Per-clip scene-cut stats from [[y4mFrameSums]]'s parse: delta f
+    * (1-based over frames) is |sum(f) − sum(f−1)|; a cut is a delta
+    * strictly above CutPerByte·frameBytes. `first_cut` is the first
+    * cutting frame index, None when the clip has no cut (including
+    * single-frame clips, which have zero deltas). */
+  def sceneY4m(bytes: Array[Byte]): Y4mScene = {
+    val (width, height, _, sums) = y4mFrameSums(bytes)
+    val thr = CutPerByte * 3L * width * height
+    var nCuts = 0L
+    var maxD = 0L
+    var first: Option[Long] = None
+    var f = 1
+    while (f < sums.length) {
+      val d = math.abs(sums(f) - sums(f - 1))
+      if (d > maxD) maxD = d
+      if (d > thr) {
+        nCuts += 1
+        if (first.isEmpty) first = Some(f.toLong)
+      }
+      f += 1
+    }
+    Y4mScene(-1L, sums.length.toLong, math.max(0L, sums.length - 1L),
+      nCuts, maxD, first)
+  }
+
+  /** Registry query: real y4m payloads → partition-batched scene-cut
+    * detection. Narrow map, no shuffle — the 100 TB story is the same as
+    * [[y4mFrames]]: each clip is one row, decode cost is linear in clip
+    * bytes, nothing leaves the partition. */
+  def y4mScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Y4mFixture.ensure(spark)
+    spark.read.parquet(p).as[Y4mRow]
+      .mapPartitions { rows =>
+        rows.map(r => sceneY4m(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[y4mScenes]]: per-frame plane sums from the hex
+    * pairs, 1-based consecutive |deltas|, threshold-counted; the list
+    * elements are HUGEINT internally (list_sum), every output casts to
+    * BIGINT. `list_position` of the first over-threshold delta IS the
+    * 1-based cutting frame index; NULL when no cut. */
+  val y4mScenesSql: String =
+    s"""WITH $y4mPrologueSql,
+       |fsum AS (
+       |  SELECT doc_id, n_frames, 3 * width * height AS fb,
+       |    list_transform(range(0, n_frames), f ->
+       |      list_sum(list_transform(range(0, 3 * width * height), t ->
+       |        CAST('0x' || substr(hx,
+       |          CAST((hdr_len + 1 + f * (6 + 3 * width * height) + 6 + t) * 2
+       |            + 1 AS INT), 2) AS BIGINT)))) AS fs
+       |  FROM fr),
+       |dl AS (
+       |  SELECT doc_id, n_frames, $CutPerByte * fb AS thr,
+       |    list_transform(range(1, n_frames), f ->
+       |      abs(fs[CAST(f + 1 AS INT)] - fs[CAST(f AS INT)])) AS ds
+       |  FROM fsum)
+       |SELECT doc_id, n_frames,
+       |  CAST(n_frames - 1 AS BIGINT) AS n_deltas,
+       |  CAST(COALESCE(list_sum(list_transform(ds,
+       |    d -> CASE WHEN d > thr THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_cuts,
+       |  CAST(COALESCE(list_max(ds), 0) AS BIGINT) AS max_delta,
+       |  CAST(NULLIF(list_position(list_transform(ds, d -> d > thr), true), 0)
+       |    AS BIGINT) AS first_cut
+       |FROM dl ORDER BY doc_id""".stripMargin
 
   // ---- perceptual hash: image near-dup dedup over REAL BMP bytes ---------
   // The image counterpart of the text simhash family: an 8×8 average-hash

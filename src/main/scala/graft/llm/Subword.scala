@@ -356,8 +356,205 @@ object Subword extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- unigram_prune: the SentencePiece vocabulary-pruning step ----------
+  // Kudo 2018's training loop alternates EM rounds with PRUNING: drop the
+  // sub-vocabulary of least-useful pieces until the target size, keeping
+  // every single character so segmentation stays total. This query runs
+  // one Viterbi E-step (usage counts, the unigram_em_round machinery),
+  // keeps all length-1 pieces plus the top-[[KeepMulti]] multi-char
+  // pieces by (used DESC, piece ASC) — a deterministic TOTAL order, so
+  // the distributed sort-limit and the oracle's ORDER BY ... LIMIT pick
+  // the identical survivor set — re-scores survivors from their usage
+  // counts, and re-segments the corpus against the pruned vocabulary.
+
+  /** Pruned multi-char vocabulary size (singles always survive). */
+  private[llm] val KeepMulti = 64
+
+  /** Sentinel score for pieces pruned out of the vocabulary: negative
+    * enough that a pruned arm can never win the DP max (real keys stay
+    * in [63, ~6.5e7]), small enough that dp(j) + Missing·64 − 1 cannot
+    * underflow a Long. Mirrors the oracle's INNER join, which simply
+    * generates no arm for a pruned piece. */
+  private[llm] val Missing = -(1L << 40)
+
+  /** Registry query: per-doc segmentation stats under the PRUNED
+    * vocabulary — same output shape as [[unigramSegment]], different
+    * (coarser) segmentations wherever a pruned piece used to win.
+    * Scale shape: E-step as [[unigramEmRound]]; the survivor pick is a
+    * distributed TopK (TakeOrderedAndProject, KeepMulti-bounded), never
+    * a global window; re-segmentation rides the same vocabulary-bounded
+    * broadcast DP. */
+  private def unigramPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = graft.core.Materialize.cut(wordFreq(s, d))
+    val tooLong = wf.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
+        "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
+    val ps0 = pieceScores(wf)
+    require(ps0.count() <= MaxPieces, s"piece vocabulary exceeds $MaxPieces")
+    val m0 = s.sparkContext.broadcast(
+      ps0.select(col("piece"), col("iscore")).as[(String, Long)].collect().toMap)
+    // E-step: frequency-weighted usage of each piece on the optimal paths
+    val used = wf.as[(String, Long)]
+      .flatMap { case (w, f) => segmentPieces(w, m0.value(_)).map((_, f)) }
+      .toDF("piece", "freq")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+    val cand = ps0.join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("used"), lit(0L)).as("used"))
+    val keep = cand.filter(length(col("piece")) === 1)
+      .union(cand.filter(length(col("piece")) > 1)
+        .orderBy(col("used").desc, col("piece").asc).limit(KeepMulti))
+    val ps1 = keep.select(col("piece"),
+      ((length(expr("bin(used + 1)")) - 1) * 1000 +
+        length(col("piece"))).cast(LongType).as("iscore"))
+    val m1 = s.sparkContext.broadcast(ps1.as[(String, Long)].collect().toMap)
+    val seg = wf.select(col("word")).as[String]
+      .map { w =>
+        val key = segmentKey(w, m1.value.getOrElse(_, Missing))
+        (w, key / 64L, 63L - key % 64L)
+      }
+      .toDF("word", "seg_score", "np")
+    val perDoc = Dedup.words(T.documents(s, d))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("seg_score")).as("seg_score"))
+    T.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("seg_score"), lit(0L)).as("seg_score"),
+        when(col("n_words") > 0,
+          col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramPruneSql: String =
+    s"""WITH $prologueSql,
+       |${dpChainSql("dp", "ps")},
+       |$emPathSql,
+       |use1 AS (
+       |  SELECT e.piece, CAST(SUM(f.freq) AS BIGINT) AS used
+       |  FROM emits e JOIN wfreq f ON f.word = e.word GROUP BY e.piece),
+       |cand AS (
+       |  SELECT ps.piece, CAST(COALESCE(u.used, 0) AS BIGINT) AS used
+       |  FROM ps LEFT JOIN use1 u ON u.piece = ps.piece),
+       |keep AS MATERIALIZED (
+       |  SELECT piece, used FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, used FROM (
+       |    SELECT piece, used FROM cand WHERE length(piece) > 1
+       |    ORDER BY used DESC, piece ASC LIMIT $KeepMulti)),
+       |psp AS MATERIALIZED (
+       |  SELECT piece, CAST((length(bin(used + 1)) - 1) * 1000
+       |    + length(piece) AS BIGINT) AS iscore
+       |  FROM keep),
+       |${dpChainSql("dpp", "psp")},
+       |${segSql("segp", "dpp")},
+       |dstats AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(sg.np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(sg.seg_score) AS BIGINT) AS seg_score
+       |  FROM wrd w JOIN segp sg ON sg.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_pieces, 0) AS n_pieces,
+       |  COALESCE(st.seg_score, 0) AS seg_score,
+       |  CASE WHEN n_words > 0 THEN
+       |    CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |  END AS pieces_per_word
+       |FROM documents d LEFT JOIN dstats st ON st.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- unigram_segment_sharded: the DP without the broadcast map ---------
+  // [[unigramSegment]] collects the piece→score map to the driver behind
+  // the loud [[MaxPieces]] cap. This variant IS the documented past-the-
+  // cap path, and it does NOT replay the 16 sequential stages (16
+  // barrier jobs would be all scheduler overhead): the segmentation max
+  // is an interval DP over the tropical (max, +) semiring, so it
+  // parallelizes by SQUARING — seed best[j, i) for every piece-length
+  // interval with ONE shuffle join of the exploded substring intervals
+  // against the piece TABLE (no collect, no broadcast variable, no
+  // driver ceiling; AQE still free to broadcast a small piece table),
+  // then compose adjacent intervals `best[j, m) + best[m, i)` doubling
+  // the covered PIECE COUNT each round: ⌈log₂ MaxWordLen⌉ = 4 rounds
+  // for 16 instead of 16 stages. Each round is one word-keyed
+  // self-join + max-agg (rows per word ≤ wl·(wl+1)/2 = 136, so the
+  // intermediate is |vocab|·136 — vocabulary-bounded like everything
+  // else). The packed key already encodes (score, −pieces), so the
+  // interval max composes to exactly the staged DP's winner. Same
+  // arithmetic, same oracle SQL as [[unigramSegment]].
+
+  private def unigramSegmentSharded(s: SparkSession, d: String): DataFrame = {
+    val wf = graft.core.Materialize.cut(wordFreq(s, d))
+    val tooLong = wf.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
+        "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
+    val ps = pieceScores(wf).select(col("piece"), col("iscore"))
+    // best[j, i) over single pieces: v = iscore·64 − 1 (the key delta)
+    val base = wf
+      .select(col("word"), expr(
+        s"""explode(flatten(transform(sequence(0, length(word) - 1), j ->
+           |  transform(sequence(1, least($MaxPieceLen, length(word) - j)), l ->
+           |    named_struct('j', j, 'i', j + l,
+           |      'piece', substring(word, j + 1, l))))))""".stripMargin).as("iv"))
+      .select(col("word"), col("iv.j").as("j"), col("iv.i").as("i"),
+        col("iv.piece").as("piece"))
+      .join(ps, Seq("piece"))
+      .select(col("word"), col("j"), col("i"),
+        (col("iscore") * 64L - 1L).as("v"))
+    var best = graft.core.Materialize.cut(base)
+    // round r covers segmentations of ≤ 2^r pieces (a 16-char word can be
+    // 16 single-char pieces), so ⌈log₂ MaxWordLen⌉ = 4 squaring rounds
+    var covered = 1
+    while (covered < MaxWordLen) {
+      val composed = best.as("a")
+        .join(best.as("b"),
+          col("a.word") === col("b.word") && col("a.i") === col("b.j"))
+        .select(col("a.word").as("word"), col("a.j").as("j"),
+          col("b.i").as("i"), (col("a.v") + col("b.v")).as("v"))
+      best = graft.core.Materialize.cut(
+        best.union(composed)
+          .groupBy(col("word"), col("j"), col("i"))
+          .agg(max(col("v")).as("v")))
+      covered *= 2
+    }
+    val seg = best.filter(col("j") === 0)
+      .join(wf.select(col("word")), Seq("word"))
+      .filter(col("i") === length(col("word")))
+      .select(col("word"), (lit(63L) + col("v")).as("key"))
+      .select(col("word"), expr("key div 64").as("seg_score"),
+        (lit(63L) - col("key") % 64L).as("np"))
+    // word-keyed shuffle join, deliberately NOT broadcast: the sharded
+    // path's contract is that no stage depends on fitting in one JVM
+    val perDoc = Dedup.words(T.documents(s, d))
+      .join(seg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("seg_score")).as("seg_score"))
+    T.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("seg_score"), lit(0L)).as("seg_score"),
+        when(col("n_words") > 0,
+          col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "text_unigram_segment" -> QueryDef(unigramSegment, Some(unigramSegmentSql)),
     "unigram_em_round" -> QueryDef(unigramEmRound, Some(unigramEmRoundSql)),
+    "unigram_prune" -> QueryDef(unigramPrune, Some(unigramPruneSql)),
+    // identical semantics to text_unigram_segment — the oracle is shared;
+    // what differs is the physical path (no broadcast map, no collect)
+    "unigram_segment_sharded" ->
+      QueryDef(unigramSegmentSharded, Some(unigramSegmentSql)),
   )
 }

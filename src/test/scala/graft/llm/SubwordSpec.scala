@@ -73,6 +73,32 @@ class SubwordSpec extends SparkSuite {
     }
   }
 
+  test("sharded interval-DP equals the broadcast DP row-for-row") {
+    // same semantics, different physical path (squaring join rounds, no
+    // driver map): any divergence is a bug in the composition algebra
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows("unigram_segment_sharded") == rows("text_unigram_segment"))
+  }
+
+  test("pruned vocabulary coarsens monotonically and stays total") {
+    val full = SparkEntry.queries("text_unigram_segment")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pruned = SparkEntry.queries("unigram_prune")(spark, sfDir).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val (doc, nw, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (fnw, fnp) = full(doc)
+      assert(nw == fnw, s"doc $doc: pruning must not drop words")
+      // singles always survive, so segmentation stays total; losing
+      // pieces can only split words into MORE pieces, never fewer
+      assert(np >= fnp, s"doc $doc: pruned segmentation got finer")
+      if (nw > 0) assert(np >= nw, s"doc $doc: under one piece per word")
+    }
+  }
+
   test("words beyond the DP unroll fail loudly, not silently truncate") {
     val sess = spark
     import sess.implicits._

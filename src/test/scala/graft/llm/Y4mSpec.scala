@@ -69,4 +69,51 @@ class Y4mSpec extends SparkSuite {
     assert(r0.getLong(1) == 1L && r0.getLong(2) == 1L && r0.getLong(3) == 24L)
     assert(r0.getLong(4) == 1L && r0.getLong(6) == 9L)
   }
+
+  test("scene cuts: constructed jumps land at the exact frame indices") {
+    // 2x2 C444, fb = 12 bytes/frame; per-frame constant pixels so
+    // frame sums are value*12 and deltas are exact
+    val vals = Array(0, 0, 100, 100, 0)
+    val clip = encodeY4m(2, 2, 25, vals.length, (f, _) => vals(f))
+    val sc = sceneY4m(clip)
+    assert(sc.n_frames == 5 && sc.n_deltas == 4)
+    // deltas: 0, 1200, 0, 1200; thr = 8*12 = 96
+    assert(sc.n_cuts == 2 && sc.max_delta == 1200L)
+    assert(sc.first_cut.contains(2L)) // first jump is INTO frame 2
+  }
+
+  test("scene cut threshold is strict: == CutPerByte/byte is not a cut") {
+    // per-byte delta exactly 8 -> frame delta 96 == thr -> no cut;
+    // per-byte 9 -> 108 > 96 -> cut
+    val at = sceneY4m(encodeY4m(2, 2, 25, 2, (f, _) => f * 8))
+    assert(at.n_cuts == 0 && at.first_cut.isEmpty && at.max_delta == 96L)
+    val over = sceneY4m(encodeY4m(2, 2, 25, 2, (f, _) => f * 9))
+    assert(over.n_cuts == 1 && over.first_cut.contains(1L) &&
+      over.max_delta == 108L)
+  }
+
+  test("scene cuts: single-frame and empty clips have no deltas") {
+    val one = sceneY4m(encodeY4m(3, 2, 24, 1, (_, t) => t))
+    assert(one.n_frames == 1 && one.n_deltas == 0 && one.n_cuts == 0 &&
+      one.max_delta == 0L && one.first_cut.isEmpty)
+    val zero = sceneY4m(encodeY4m(3, 2, 24, 0, (_, _) => 0))
+    assert(zero.n_frames == 0 && zero.n_deltas == 0 && zero.first_cut.isEmpty)
+  }
+
+  test("registry scene query: fixture carries real cuts, stats cohere") {
+    val rows = SparkEntry.queries("multimodal_y4m_scenes")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val (nf, nd, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd == math.max(0L, nf - 1), s"doc ${r.getLong(0)} deltas")
+      assert(nc <= nd, "cuts bounded by deltas")
+      if (nc > 0) {
+        val fc = r.getLong(5)
+        assert(fc >= 1 && fc <= nd, "first cut is a valid 1-based delta")
+      } else assert(r.isNullAt(5), "cutless clip has NULL first_cut")
+    }
+    // the threshold must split the fixture non-trivially, both ways
+    val withCuts = rows.count(_.getLong(3) > 0)
+    assert(withCuts > 0 && withCuts < 200, s"degenerate fixture: $withCuts")
+  }
 }
