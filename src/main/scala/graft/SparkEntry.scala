@@ -25,10 +25,14 @@ object SparkEntry {
           Some(Multimodal.bmpResizeSql)),
         "multimodal_bmp_hist" -> QueryDef((s, d) => Multimodal.bmpHist(s, d),
           Some(Multimodal.bmpHistSql)),
+        "multimodal_bmp_edges" -> QueryDef((s, d) => Multimodal.bmpEdges(s, d),
+          Some(Multimodal.bmpEdgesSql)),
         "multimodal_wav" -> QueryDef((s, d) => Multimodal.wavDecode(s, d),
           Some(Multimodal.wavDecodeSql)),
         "multimodal_wav_energy" -> QueryDef((s, d) => Multimodal.wavEnergy(s, d),
           Some(Multimodal.wavEnergySql)),
+        "multimodal_wav_silence" -> QueryDef((s, d) => Multimodal.wavSilence(s, d),
+          Some(Multimodal.wavSilenceSql)),
         "multimodal_y4m_frames" -> QueryDef((s, d) => Multimodal.y4mFrames(s, d),
           Some(Multimodal.y4mFramesSql)),
         "multimodal_y4m_scenes" -> QueryDef((s, d) => Multimodal.y4mScenes(s, d),

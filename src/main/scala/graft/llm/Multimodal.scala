@@ -593,6 +593,120 @@ object Multimodal {
        |FROM px ORDER BY doc_id""".stripMargin
   }
 
+  final case class BmpEdges(doc_id: Long, n_px: Long, gx_sum: Long,
+      gy_sum: Long, edge_energy: Long, max_grad: Long, sharpness_q3: Long)
+
+  /** Real gradient-energy extraction over the REAL BMP payload — the
+    * sharpness/blur signal of image curation (a blurry or flat image has
+    * low first-difference energy, the classic no-reference focus
+    * measure). Per-pixel intensity is the exact integer channel sum
+    * (B+G+R, 0..765); gx/gy are Σ|first differences| along stored rows
+    * and columns (the fixture's bottom-up storage flip leaves both sums
+    * and the max untouched). sharpness_q3 is per-pixel edge energy
+    * ×1000, floor — all-integer, so the DuckDB replay is exact. */
+  def bmpEdgesOf(bytes: Array[Byte]): BmpEdges = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (${bytes.length} bytes)")
+    val pxOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24 && le32(bytes, 30) == 0,
+      "unsupported BMP variant")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= pxOff + rowSize * height, "truncated pixel data")
+    def inten(x: Int, y: Int): Long = {
+      val off = pxOff + y * rowSize + x * 3
+      ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) +
+        (bytes(off + 2) & 0xff)).toLong
+    }
+    var gx = 0L
+    var gy = 0L
+    var maxG = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = inten(x, y)
+        if (x > 0) {
+          val d = math.abs(v - inten(x - 1, y))
+          gx += d; if (d > maxG) maxG = d
+        }
+        if (y > 0) {
+          val d = math.abs(v - inten(x, y - 1))
+          gy += d; if (d > maxG) maxG = d
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = width.toLong * height
+    BmpEdges(-1L, nPx, gx, gy, gx + gy, maxG, (gx + gy) * 1000L / nPx)
+  }
+
+  /** Registry query: real BMP payloads → partition-batched gradient
+    * energy. Narrow map, no shuffle — the same 100 TB shape as every
+    * codec query: one row per image, decode linear in payload bytes. */
+  def bmpEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = BmpFixture.ensure(spark)
+    spark.read.parquet(p).as[BmpRow]
+      .mapPartitions { rows =>
+        rows.map(r => bmpEdgesOf(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[bmpEdges]]: per-pixel intensity list via the
+    * padding-aware addressing (pixel p → row p div w at the 4-byte
+    * stride, channel bytes summed), then |first differences| filtered to
+    * same-row (p mod w ≠ 0) for gx and p ≥ w for gy. */
+  val bmpEdgesSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    def chan(c: Int): String =
+      s"""CAST('0x' || substr(h, CAST((px_off
+         |        + (p // width) * ((width * 3 + 3) // 4 * 4)
+         |        + (p % width) * 3 + $c) * 2 + 1 AS INT), 2) AS BIGINT)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${BmpFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(18, 4)} AS width,
+       |    ${leField(22, 4)} AS height,
+       |    ${leField(10, 4)} AS px_off
+       |  FROM raw),
+       |px AS (
+       |  SELECT doc_id, width, width * height AS n_px,
+       |    list_transform(range(0, width * height), p ->
+       |      ${chan(0)}
+       |      + ${chan(1)}
+       |      + ${chan(2)}) AS iv
+       |  FROM hdr),
+       |gr AS (
+       |  SELECT doc_id, n_px,
+       |    list_transform(list_filter(range(0, n_px), p -> p % width != 0),
+       |      p -> abs(iv[CAST(p + 1 AS INT)] - iv[CAST(p AS INT)])) AS gxs,
+       |    list_transform(list_filter(range(0, n_px), p -> p >= width),
+       |      p -> abs(iv[CAST(p + 1 AS INT)]
+       |        - iv[CAST(p + 1 - width AS INT)])) AS gys
+       |  FROM px)
+       |SELECT doc_id, n_px,
+       |  CAST(COALESCE(list_sum(gxs), 0) AS BIGINT) AS gx_sum,
+       |  CAST(COALESCE(list_sum(gys), 0) AS BIGINT) AS gy_sum,
+       |  CAST(COALESCE(list_sum(gxs), 0) + COALESCE(list_sum(gys), 0)
+       |    AS BIGINT) AS edge_energy,
+       |  CAST(greatest(COALESCE(list_max(gxs), 0), COALESCE(list_max(gys), 0))
+       |    AS BIGINT) AS max_grad,
+       |  CAST((COALESCE(list_sum(gxs), 0) + COALESCE(list_sum(gys), 0))
+       |    * 1000 // n_px AS BIGINT) AS sharpness_q3
+       |FROM gr ORDER BY doc_id""".stripMargin
+  }
+
   final case class WavEnergy(doc_id: Long, channels: Long, n_windows: Long,
       energy_sum: Long, energy_peak: Long, peak_window: Long)
 
@@ -682,6 +796,125 @@ object Multimodal {
        |  CAST(COALESCE(list_position(ew, list_max(ew)), 0) - 1 AS BIGINT)
        |    AS peak_window
        |FROM win ORDER BY doc_id""".stripMargin
+  }
+
+  final case class WavSilence(doc_id: Long, channels: Long, n_frames: Long,
+      n_silent: Long, n_runs: Long, longest_run: Long, lead_silence: Long)
+
+  /** Silence threshold: a sample frame is silent when EVERY channel byte
+    * deviates from the 8-bit midpoint by at most this. 32 puts the
+    * fixture's near-uniform bytes at ≈ 25% silent per channel, so mono
+    * and stereo clips both carry non-trivial run structure. */
+  private[llm] val SilenceDev = 32L
+
+  /** Real silence detection over the REAL WAV payload — the audio-trim /
+    * VAD-first-pass primitive of audio curation: find maximal runs of
+    * silent sample frames, their count and longest length, and the
+    * leading-silence length (the trim offset a cleaner would cut).
+    * All-integer, exact across engines. */
+  def wavSilenceOf(bytes: Array[Byte]): WavSilence = {
+    val d = decodeWav(bytes) // header validation; sums unused here
+    val channels = le16(bytes, 22)
+    val n = d.n_samples.toInt
+    var nSilent = 0L
+    var nRuns = 0L
+    var longest = 0L
+    var lead = 0L
+    var cur = 0L
+    var leadOpen = true
+    var f = 0
+    while (f < n) {
+      var silent = true
+      var c = 0
+      while (c < channels && silent) {
+        val v = (bytes(44 + f * channels + c) & 0xff) - 128
+        if (math.abs(v) > SilenceDev) silent = false
+        c += 1
+      }
+      if (silent) {
+        nSilent += 1
+        cur += 1
+        if (cur > longest) longest = cur
+        if (leadOpen) lead += 1
+      } else {
+        if (cur > 0) nRuns += 1
+        cur = 0
+        leadOpen = false
+      }
+      f += 1
+    }
+    if (cur > 0) nRuns += 1
+    WavSilence(-1L, channels, n, nSilent, nRuns, longest, lead)
+  }
+
+  /** Registry query: real WAV payloads → partition-batched silence-run
+    * detection. Narrow per-partition map, no shuffle. */
+  def wavSilence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = WavFixture.ensure(spark)
+    spark.read.parquet(p).as[WavRow]
+      .mapPartitions { rows =>
+        rows.map(r => wavSilenceOf(r.media).copy(doc_id = r.doc_id))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[wavSilence]]: per-frame silent flags from the hex
+    * pairs (max channel |deviation| ≤ [[SilenceDev]]), then the classic
+    * gaps-and-islands grouping (frame − ROW_NUMBER over silent frames)
+    * to recover maximal runs; lead_silence is the run starting at frame
+    * 0. */
+  val wavSilenceSql: String = {
+    def leField(byteOff: Int, nBytes: Int): String =
+      (0 until nBytes).reverse
+        .map(i => s"substr(h, ${2 * (byteOff + i) + 1}, 2)")
+        .mkString("CAST('0x' || ", " || ", " AS BIGINT)")
+    s"""WITH raw AS (
+       |  SELECT doc_id, media, hex(media) AS h
+       |  FROM read_parquet('${WavFixture.path}/*.parquet')),
+       |hdr AS (
+       |  SELECT doc_id, h,
+       |    ${leField(22, 2)} AS channels,
+       |    ${leField(40, 4)} AS data_size
+       |  FROM raw),
+       |fr AS (
+       |  SELECT doc_id, channels, data_size // channels AS n_frames, h
+       |  FROM hdr),
+       |frames AS (
+       |  SELECT doc_id, channels, n_frames,
+       |    unnest(range(0, n_frames)) AS f, h
+       |  FROM fr),
+       |flags AS (
+       |  SELECT doc_id, f,
+       |    list_max(list_transform(range(0, channels), c ->
+       |      abs(CAST('0x' || substr(h,
+       |        CAST((44 + f * channels + c) * 2 + 1 AS INT), 2) AS BIGINT)
+       |        - 128))) <= $SilenceDev AS silent
+       |  FROM frames),
+       |isl AS (
+       |  SELECT doc_id, f,
+       |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+       |  FROM flags WHERE silent),
+       |runs AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+       |    CAST(MIN(f) AS BIGINT) AS run_start
+       |  FROM isl GROUP BY doc_id, grp),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(run_len) AS BIGINT) AS n_silent,
+       |    CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       |    CAST(COALESCE(MAX(CASE WHEN run_start = 0 THEN run_len END), 0)
+       |      AS BIGINT) AS lead_silence
+       |  FROM runs GROUP BY doc_id)
+       |SELECT fr.doc_id, fr.channels, fr.n_frames,
+       |  COALESCE(a.n_silent, 0) AS n_silent,
+       |  COALESCE(a.n_runs, 0) AS n_runs,
+       |  COALESCE(a.longest_run, 0) AS longest_run,
+       |  COALESCE(a.lead_silence, 0) AS lead_silence
+       |FROM fr LEFT JOIN agg a ON a.doc_id = fr.doc_id
+       |ORDER BY fr.doc_id""".stripMargin
   }
 
   // ---- YUV4MPEG2: the video counterpart ----------------------------------

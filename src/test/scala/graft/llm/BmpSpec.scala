@@ -127,4 +127,37 @@ class BmpSpec extends SparkSuite {
     assert(r0.getLong(4) == 15L)
     assert(rows.forall(r => r.getLong(3) == r.getLong(1) * r.getLong(2)))
   }
+
+  test("gradient energy: constructed steps land exactly") {
+    // 3x2, intensity = channel sum; step of +30/channel along x, +60 along y
+    val e = bmpEdgesOf(encodeBmp24(3, 2, (x, y, _) => x * 30 + y * 60))
+    // I(x,y) = 3*(30x + 60y): gx deltas 90 (4 of them), gy deltas 180 (3)
+    assert(e.gx_sum == 4 * 90 && e.gy_sum == 3 * 180 && e.max_grad == 180)
+    assert(e.edge_energy == 900 && e.sharpness_q3 == 900 * 1000 / 6)
+    // flat image: zero everywhere
+    val f = bmpEdgesOf(encodeBmp24(4, 4, (_, _, _) => 77))
+    assert(f.edge_energy == 0 && f.max_grad == 0 && f.sharpness_q3 == 0)
+  }
+
+  test("gradient energy: 1-wide and 1-tall images drop the missing axis") {
+    val col1 = bmpEdgesOf(encodeBmp24(1, 5, (_, y, _) => y * 10))
+    assert(col1.gx_sum == 0 && col1.gy_sum == 4 * 30)
+    val row1 = bmpEdgesOf(encodeBmp24(5, 1, (x, _, _) => x * 10))
+    assert(row1.gy_sum == 0 && row1.gx_sum == 4 * 30)
+  }
+
+  test("registry edges query: blur ordering and degenerate dims hold") {
+    val rows = SparkEntry.queries("multimodal_bmp_edges")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3), "energy = gx + gy")
+      assert(r.getLong(6) == r.getLong(4) * 1000 / r.getLong(1))
+      // a single first difference can never exceed the 765 intensity range
+      assert(r.getLong(5) <= 765L)
+    }
+    // degenerate dims appear: 1x1 images (both axes gone — ids ≡ 0 mod 16
+    // always have h = 1 too) and 1-tall rows with live gx
+    assert(rows.exists(r => r.getLong(2) == 0 && r.getLong(3) == 0))
+    assert(rows.exists(r => r.getLong(3) == 0 && r.getLong(2) > 0))
+  }
 }

@@ -92,4 +92,48 @@ class WavSpec extends SparkSuite {
     // duration is floor(n*1000/rate) for every row
     assert(rows.forall(r => r.getLong(6) == r.getLong(3) * 1000 / r.getLong(2)))
   }
+
+  test("silence runs: constructed pattern recovers exact run structure") {
+    // mono: frames 0-2 silent(128), 3 loud, 4-5 silent, 6 loud, 7 silent
+    // (160 deviates by exactly 32 — inclusive threshold keeps it silent)
+    val pat = Array(128, 128, 128, 255, 130, 120, 0, 160)
+    val s = wavSilenceOf(encodeWav8(1, 8000, pat.length, (i, _) => pat(i)))
+    assert(s.n_frames == 8 && s.n_silent == 6)
+    assert(s.n_runs == 3 && s.longest_run == 3 && s.lead_silence == 3)
+    // threshold is inclusive: 128±32 silent, ±33 loud
+    val edge = wavSilenceOf(encodeWav8(1, 8000, 2,
+      (i, _) => if (i == 0) 128 + 32 else 128 + 33))
+    assert(edge.n_silent == 1 && edge.lead_silence == 1 && edge.n_runs == 1)
+  }
+
+  test("silence runs: a stereo frame is silent only if EVERY channel is") {
+    // ch0 always silent, ch1 loud on frame 1 -> frame 1 breaks the run
+    val s = wavSilenceOf(encodeWav8(2, 8000, 3,
+      (i, c) => if (c == 1 && i == 1) 255 else 128))
+    assert(s.n_silent == 2 && s.n_runs == 2 && s.longest_run == 1)
+    assert(s.lead_silence == 1)
+  }
+
+  test("silence runs: all-silent and no-silent clips hit the boundaries") {
+    val all = wavSilenceOf(encodeWav8(1, 8000, 5, (_, _) => 128))
+    assert(all.n_silent == 5 && all.n_runs == 1 && all.longest_run == 5 &&
+      all.lead_silence == 5)
+    val none = wavSilenceOf(encodeWav8(1, 8000, 5, (_, _) => 255))
+    assert(none.n_silent == 0 && none.n_runs == 0 && none.longest_run == 0 &&
+      none.lead_silence == 0)
+  }
+
+  test("registry silence query: fixture splits non-trivially") {
+    val rows = SparkEntry.queries("multimodal_wav_silence")(spark, sfDir).collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val (nf, ns, nr, lg, ld) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(ns <= nf && lg <= ns && ld <= lg, s"doc ${r.getLong(0)} bounds")
+      assert((nr == 0) == (ns == 0), "runs iff silent frames")
+      if (nr > 0) assert(ns <= nr * lg, "runs cover the silent frames")
+    }
+    val withLead = rows.count(_.getLong(6) > 0)
+    assert(withLead > 0 && withLead < 200, s"degenerate lead split: $withLead")
+  }
 }
