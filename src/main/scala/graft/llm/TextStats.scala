@@ -497,6 +497,100 @@ object TextStats extends QueryGroup {
       |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS h2_nats
       |FROM bg JOIN lp USING (h1, h2) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_kneser_ney: interpolated Kneser-Ney bigram cross-entropy -----
+  // The standard n-gram smoothing (Kneser & Ney 1995, interpolated form
+  // with fixed discount D = 0.75):
+  //   p(w2|w1) = (c(w1,w2) − D)/c(w1·) + λ(w1)·p_cont(w2)
+  //   λ(w1)    = D · N1+(w1·) / c(w1·)
+  //   p_cont(w2) = N1+(·w2) / N1+(··)
+  // where N1+ counts DISTINCT bigram types. The continuation
+  // distribution is what distinguishes KN from the Jelinek-Mercer
+  // mixture of text_bigram_lm: a word that is frequent but glued to one
+  // context ("francisco") gets a LOW backoff weight — frequency of
+  // novel-context appearance, not raw frequency. Scored bigrams are
+  // corpus-observed (the corpus includes the doc), so c ≥ 1 > D and
+  // every probability is positive.
+  //
+  // Shape: identical to text_bigram_lm — one lead() window (single
+  // doc_id exchange) for doc bigrams, then every model table is a hash
+  // agg over the (h1,h2) bigram-type relation: c(w1·) and N1+(w1·)
+  // group by h1, N1+(·w2) group by h2, N1+(··) is one scalar. All
+  // vocabulary-bounded (≤|V|²+2|V| rows), AQE broadcasts the scoring
+  // joins at any corpus size. Portability: the whole mixture is a fixed
+  // IEEE chain inside ONE ln(), rounded once through DECIMAL(18,6) per
+  // distinct bigram; per-doc sums are exact decimals and the final /n
+  // is one IEEE division. Docs with <2 words are absent (unscorable).
+  private def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val pos = words(T.documents(s, d))
+      .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = pos
+      .withColumn("wh2", lead(col("wh"), 1).over(w))
+      .filter(col("wh2").isNotNull)
+      .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
+      .agg(count(lit(1)).as("c"))
+    val bgModel = graft.core.Materialize.cut(
+      bg.groupBy(col("h1"), col("h2"))
+        .agg(sum(col("c")).cast(LongType).as("cb")))
+    // context totals and left-type counts share one h1 aggregation
+    val ctx = bgModel.groupBy(col("h1"))
+      .agg(sum(col("cb")).cast(LongType).as("ct1"),
+        count(lit(1)).cast(LongType).as("nt1"))
+    val cont = bgModel.groupBy(col("h2"))
+      .agg(count(lit(1)).cast(LongType).as("nr2"))
+    val nTypes = bgModel.agg(count(lit(1)).cast(LongType).as("nb"))
+    val lp = bgModel
+      .join(ctx, Seq("h1"))
+      .join(cont, Seq("h2"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("h1"), col("h2"),
+        log((col("cb").cast(DoubleType) - lit(0.75)) /
+            col("ct1").cast(DoubleType) +
+          (lit(0.75) * col("nt1").cast(DoubleType) /
+            col("ct1").cast(DoubleType)) *
+          (col("nr2").cast(DoubleType) / col("nb").cast(DoubleType)))
+          .cast(DecimalType(18, 6)).as("logp"))
+    bg.join(lp, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
+        (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
+          sum(col("c")).cast(LongType)).as("kn_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val kneserNeySql =
+    """WITH occ AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x'||substring(md5(word),1,12) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |          generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM documents) WHERE word <> ''),
+      |bgocc AS (
+      |  SELECT doc_id, wh AS h1,
+      |    lead(wh) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      |  FROM occ),
+      |bg AS (SELECT doc_id, h1, h2, COUNT(*) AS c FROM bgocc
+      |       WHERE h2 IS NOT NULL GROUP BY doc_id, h1, h2),
+      |bgm AS MATERIALIZED (
+      |  SELECT h1, h2, CAST(SUM(c) AS BIGINT) AS cb FROM bg GROUP BY h1, h2),
+      |ctx AS (SELECT h1, CAST(SUM(cb) AS BIGINT) AS ct1,
+      |          CAST(COUNT(*) AS BIGINT) AS nt1 FROM bgm GROUP BY h1),
+      |cont AS (SELECT h2, CAST(COUNT(*) AS BIGINT) AS nr2 FROM bgm GROUP BY h2),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bgm),
+      |lp AS (
+      |  SELECT m.h1, m.h2,
+      |    CAST(ln((CAST(m.cb AS DOUBLE) - 0.75) / CAST(x.ct1 AS DOUBLE) +
+      |            (0.75 * CAST(x.nt1 AS DOUBLE) / CAST(x.ct1 AS DOUBLE)) *
+      |            (CAST(r.nr2 AS DOUBLE) / CAST(nb.nb AS DOUBLE)))
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM bgm m
+      |  JOIN ctx x ON x.h1 = m.h1
+      |  JOIN cont r ON r.h2 = m.h2
+      |  CROSS JOIN nb)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  -CAST(SUM(c * logp) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS kn_nats
+      |FROM bg JOIN lp USING (h1, h2) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- text_entropy: per-doc unigram self-entropy ------------------------
   // The information-density quality signal complementary to
   // text_perplexity: perplexity scores each doc under the CORPUS unigram
@@ -1020,6 +1114,7 @@ object TextStats extends QueryGroup {
     "text_collocations"  -> QueryDef(collocations, Some(collocationsSql)),
     "text_perplexity"    -> QueryDef(perplexity, Some(perplexitySql)),
     "text_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
+    "text_kneser_ney"    -> QueryDef(kneserNey, Some(kneserNeySql)),
     "text_entropy"       -> QueryDef(entropy, Some(entropySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),

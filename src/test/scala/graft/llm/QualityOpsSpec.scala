@@ -248,4 +248,65 @@ class QualityOpsSpec extends SparkSuite {
     assert(rows(1L) < rows(2L),
       s"natural ${rows(1L)} should beat scramble ${rows(2L)}")
   }
+
+  test("text_kneser_ney: matches an independent in-memory KN model") {
+    val sess = spark
+    import sess.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "a dog sat on a log"),
+      (4L, "the dog and the cat and the fish"),
+      (5L, "one")) // single word: no bigrams, must be absent
+    val docs = texts.map { case (i, t) => (i, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.core.Fixtures.path("kneserney")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_kneser_ney")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // interpolated KN with D = 0.75, from first principles
+    val docWords = texts.map { case (i, t) =>
+      i -> t.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val docBgs = docWords.view.mapValues(ws => ws.zip(ws.drop(1))).toMap
+    val allBg = docBgs.values.flatten.toSeq
+    val cb = allBg.groupBy(identity).view.mapValues(_.size).toMap
+    val types = cb.keySet
+    val ct1 = allBg.groupBy(_._1).view.mapValues(_.size).toMap
+    val nt1 = types.groupBy(_._1).view.mapValues(_.size).toMap
+    val nr2 = types.groupBy(_._2).view.mapValues(_.size).toMap
+    val nb = types.size.toDouble
+    def logp(bg: (String, String)): Double = {
+      val d = 0.75
+      math.log((cb(bg) - d) / ct1(bg._1) +
+        (d * nt1(bg._1) / ct1(bg._1)) * (nr2(bg._2) / nb))
+    }
+    assert(!got.contains(5L), got)
+    for ((doc, bgs) <- docBgs if bgs.nonEmpty) {
+      val want = -bgs.map(logp).sum / bgs.size
+      val (n, kn) = got(doc)
+      assert(n == bgs.size, s"doc $doc bigram count")
+      assert(math.abs(kn - want) < 1e-5, s"doc $doc: got $kn want $want")
+    }
+  }
+
+  test("text_kneser_ney: diverse continuations beat glued ones") {
+    // the KN signature no raw-frequency mixture has: 'z q' and 'z r'
+    // have identical counts and context, but r follows many distinct
+    // words while q is glued to z — continuation probability must make
+    // the 'z r' doc strictly more probable (lower cross-entropy)
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "z q"), (2L, "z r"),
+      (3L, "a r"), (4L, "b r"), (5L, "c r"))
+      .map { case (i, t) => (i, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.core.Fixtures.path("kneserney_cont")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_kneser_ney")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(2L) < rows(1L),
+      s"diverse-context r ${rows(2L)} should beat glued q ${rows(1L)}")
+  }
 }
