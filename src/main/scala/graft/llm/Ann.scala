@@ -105,6 +105,179 @@ object Ann extends QueryGroup {
   private def lshTopk(s: SparkSession, d: String): DataFrame =
     lshTopkAt(s, d, planes = 4, multiProbe = false)
 
+  // ---- retrieval_mmr: Maximal Marginal Relevance diversification ---------
+  // The result-diversification re-ranker (Carbonell & Goldstein 1998)
+  // between retrieval and the context window: from each probe's top-10
+  // relevance pool, greedily pick 5 where pick r maximizes
+  // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7 — near-dup
+  // hits crowd each other out, the property no pure-relevance top-k has.
+  //
+  // Determinism: rel and every pairwise sim round through DECIMAL(10,4)
+  // (the family cosine rule) BEFORE the greedy arithmetic, so both
+  // engines iterate on identical doubles; the score is then one fixed
+  // IEEE chain (0.7·rel − 0.3·maxsim — literal 0.3, never 1−0.7, whose
+  // IEEE value differs in the last ulp), ties to the lower neighbor_id.
+  // The OUTPUT score rounds through DECIMAL(10,5), not (10,4): with
+  // 4-decimal rel/maxsim and 1-decimal weights the true score has
+  // exactly 5 decimals, so a (10,4) cast sits mathematically ON the
+  // .00005 half-way boundary whenever the 5th decimal is 5 — where
+  // Java's HALF_UP over the exact binary expansion and DuckDB's
+  // scaled-double ties-to-even legitimately disagree (bit us at 2/25
+  // rows). At scale 5 the cast recovers the exact value in both
+  // engines and no boundary exists.
+  //
+  // Scale shape: the pool is rank-bounded (≤ |probes|·10 rows), the pair
+  // table ≤ |probes|·10·9 rows — nothing downstream of the one
+  // brute-force scoring pass (the declared q31 small-scale convention;
+  // at real scale the pool comes from the ANN index instead, same
+  // bounded shape) touches corpus-sized data. The greedy itself runs
+  // per-probe inside ONE `flatMapGroups` over ≤ MmrPool candidates —
+  // one shuffle keyed by probe, O(pool²·k) arithmetic in memory per
+  // group, arbitrary probe count. (A first cut drove the k rounds from
+  // the driver as k DataFrame jobs: same answer, 4 extra job waves of
+  // pure overhead for data this shape guarantees is tiny.)
+  private[llm] val MmrPool = 10
+  private[llm] val MmrK = 5
+
+  private def mmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = normed(s, d)
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pool = graft.core.Materialize.cut(
+      n.crossJoin(broadcast(probes))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= MmrPool)
+        .select(col("q_id"), col("vec_id"),
+          col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("rel")))
+    val pm = pool.join(n.select(col("vec_id"), col("emb"), col("nsq")),
+      Seq("vec_id"))
+    // per-candidate sims to the REST of its probe's pool, carried as an
+    // array so each probe group arrives as ≤ MmrPool rows
+    val sims = pm.as("a").join(pm.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("sq"), col("a.vec_id").as("c"),
+        col("b.vec_id").as("sv"),
+        (dot(col("a.emb"), col("b.emb")) /
+          (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))))
+          .cast(DecimalType(10, 4)).cast(DoubleType).as("sim"))
+      .groupBy(col("sq"), col("c"))
+      .agg(collect_list(struct(col("sv").as("_1"), col("sim").as("_2")))
+        .as("sims"))
+    // left join: a 1-candidate pool has no pairs but still selects
+    val picked = pool
+      .join(sims, pool("q_id") === sims("sq") && pool("vec_id") === sims("c"),
+        "left")
+      .select(pool("q_id"), pool("vec_id"), col("rel"), col("sims"))
+      .as[(Long, Long, Double, Option[Seq[(Long, Double)]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Option[Seq[(Long, Double)]])]) =>
+        val cands = it.toArray
+        val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+        cands.foreach { c =>
+          c._4.getOrElse(Nil).foreach { case (sv, v) => sim((c._2, sv)) = v }
+        }
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Double, Double)]
+        while (sel.size < MmrK && sel.size < cands.length) {
+          var bestId = -1L; var bestRel = 0.0; var bestScore = 0.0
+          cands.foreach { c =>
+            if (!sel.contains(c._2)) {
+              // identical IEEE chain to the oracle's 0.7*rel - 0.3*maxsim
+              val score =
+                if (sel.isEmpty) 0.7 * c._3
+                else 0.7 * c._3 - 0.3 * sel.map(sv => sim((c._2, sv))).max
+              if (bestId < 0 || score > bestScore ||
+                  (score == bestScore && c._2 < bestId)) {
+                bestId = c._2; bestRel = c._3; bestScore = score
+              }
+            }
+          }
+          sel += bestId
+          out += ((q, bestId, sel.size.toLong, bestRel, bestScore))
+        }
+        out.iterator
+      }
+      .toDF("q_id", "neighbor_id", "mmr_rank", "rel", "score")
+    picked
+      .select(col("q_id"), col("neighbor_id"), col("mmr_rank"), col("rel"),
+        col("score").cast(DecimalType(10, 5)).cast(DoubleType).as("mmr_score"))
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
+  /** One unrolled greedy stage of the MMR oracle: sel$r = picks so far,
+    * c$r = remaining candidates with their max sim to any pick, s$r =
+    * this round's argmax. */
+  private def mmrStageSql(r: Int): String = {
+    val selUnion = (1 until r).map(i =>
+      s"SELECT q_id, neighbor_id FROM s$i").mkString(" UNION ALL ")
+    s"""sel$r AS ($selUnion),
+       |c$r AS (
+       |  SELECT p.q_id, p.neighbor_id, p.rel, MAX(pr.sim) AS maxsim
+       |  FROM pool p
+       |  JOIN pr ON pr.q_id = p.q_id AND pr.c = p.neighbor_id
+       |  JOIN sel$r sel ON sel.q_id = pr.q_id AND sel.neighbor_id = pr.sv
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel$r x
+       |    WHERE x.q_id = p.q_id AND x.neighbor_id = p.neighbor_id)
+       |  GROUP BY p.q_id, p.neighbor_id, p.rel),
+       |s$r AS (
+       |  SELECT q_id, neighbor_id, rel, score FROM (
+       |    SELECT q_id, neighbor_id, rel,
+       |      0.7 * rel - 0.3 * maxsim AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY 0.7 * rel - 0.3 * maxsim DESC, neighbor_id) AS rn
+       |    FROM c$r) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of [[mmr]]: identical brute-force top-[[MmrPool]]
+    * pool and DECIMAL(10,4) pre-rounding, then [[MmrK]] − 1 unrolled
+    * greedy stages (the emb_top_pc staged-CTE precedent). */
+  private val mmrSql: String =
+    s"""WITH n AS (
+       |  SELECT e.vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    ${Dedup.guardedNsq} AS nsq
+       |  FROM embeddings e
+       |  WHERE ${Dedup.guardedNsq} > 0),
+       |p0 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    list_inner_product(q.emb, c.emb) / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id,
+       |    CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS rel
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn FROM p0)
+       |  WHERE rn <= $MmrPool),
+       |pm AS (
+       |  SELECT pool.q_id, pool.neighbor_id, pool.rel, n.emb, n.nsq
+       |  FROM pool JOIN n ON n.vec_id = pool.neighbor_id),
+       |pr AS MATERIALIZED (
+       |  SELECT a.q_id, a.neighbor_id AS c, b.neighbor_id AS sv,
+       |    CAST(CAST(list_inner_product(a.emb, b.emb) /
+       |      (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(10,4)) AS DOUBLE) AS sim
+       |  FROM pm a JOIN pm b
+       |    ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (
+       |  SELECT q_id, neighbor_id, rel, 0.7 * rel AS score
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY rel DESC, neighbor_id) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |${(2 to MmrK).map(mmrStageSql).mkString(",\n")}
+       |SELECT q_id, neighbor_id, CAST(k AS BIGINT) AS mmr_rank, rel,
+       |  CAST(CAST(score AS DECIMAL(10,5)) AS DOUBLE) AS mmr_score
+       |FROM (${(1 to MmrK).map(i =>
+             s"SELECT q_id, neighbor_id, rel, score, $i AS k FROM s$i")
+             .mkString("\n      UNION ALL ")})
+       |ORDER BY q_id, mmr_rank""".stripMargin
+
   // ---- retrieval_eval_ndcg: MRR / nDCG@5 grading of the ANN path ---------
   // The retrieval-quality scorecard: grade the production candidate path
   // (ann_lsh_topk's bucketed top-5) against brute-force cosine truth, per
@@ -840,6 +1013,7 @@ object Ann extends QueryGroup {
     "ann_ivf_topk"           -> QueryDef(ivfTopk, Some(ivfTopkSql)),
     "ann_pq_adc"             -> QueryDef(pqAdcTopk, Some(pqAdcSql)),
     "ann_ivfpq_topk"         -> QueryDef((s, d) => ivfPq(s, d), Some(ivfPqSql)),
+    "retrieval_mmr"          -> QueryDef(mmr, Some(mmrSql)),
     "sample_cluster_diverse" -> QueryDef(clusterDiverse, Some(clusterDiverseSql)),
     "hll_distinct"           -> QueryDef(hllDistinct, Some(hllDistinctSql)),
   )
