@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
-import graft.operators.{Analytics, EventAnalytics, Extras, Functions, Merge, MetricBatch, Profiling, Relational}
+import graft.operators.{Analytics, EventAnalytics, Extras, Functions, Merge, MetricBatch, Mining, Profiling, Relational}
 import graft.llm.{Ann, BpeTrain, Dedup, EmbPca, EmbStats, GraphOps, MlLsh, Multimodal, Pipeline, Sketches, Subword, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Ordered registry of every declared engine query (SURVEY.md §2B). */
   def registry: Seq[(String, QueryDef)] =
     Relational.defs ++ Functions.defs ++ Analytics.defs ++ Extras.defs ++
-      Merge.defs ++ EventAnalytics.defs ++ MetricBatch.defs ++ Profiling.defs ++
+      Merge.defs ++ EventAnalytics.defs ++ MetricBatch.defs ++ Mining.defs ++ Profiling.defs ++
       Dedup.defs ++ GraphOps.defs ++ EmbStats.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
       Sketches.defs ++ BpeTrain.defs ++ EmbPca.defs ++ Subword.defs ++ Seq(
         // batched binary decode (stubbed codec); scalar projection with a
