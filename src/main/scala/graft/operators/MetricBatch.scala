@@ -139,30 +139,37 @@ object MetricBatch extends QueryGroup {
     * sees precisely the rows `g-20 … g-1`, and the exact-decimal power
     * sums make the per-segment results bit-identical to the global form.
     * Tasks scale as Σ ceil(series_rows / segRows), not |series|. */
-  private[operators] def anomalyRangeSplit(events: DataFrame,
-      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
-    require(segRows >= 21,
-      s"anomaly range-split: segRows=$segRows cannot cover the 20-row frame")
-    val rows = events
-      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
-        dec(col("value")).as("v"))
+  /** Two-phase distributed prefix sum shared by the range-split forms:
+    * append the exact per-series global index `g` (1-based, ordered by
+    * (ts, event_id)) and the fixed-size segment id `seg`. Phase 1 is
+    * parallel by (series, time bucket); phase 2's window runs over the
+    * metadata-scale (series × buckets) summary, never the data. */
+  private def withGlobalIndex(rows: DataFrame, bucketMs: Long,
+      segRows: Int): DataFrame = {
+    val bucketed = rows
       .withColumn("bkt", expr(s"unix_millis(ts) div ${bucketMs}L"))
-    // phase 1: position within (series, bucket) — parallel by bucket
     val wB = Window.partitionBy(col("event_type"), col("bkt"))
       .orderBy(col("ts"), col("event_id"))
-    val posed = rows.withColumn("pos", row_number().over(wB))
-    // phase 2: bucket offsets from the metadata-scale summary; the window
-    // here runs per series but over series×buckets ROWS, not the data
-    val offs = rows.groupBy(col("event_type"), col("bkt"))
+    val posed = bucketed.withColumn("pos", row_number().over(wB))
+    val offs = bucketed.groupBy(col("event_type"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(
         Window.partitionBy(col("event_type")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("event_type"), col("bkt"), col("off"))
-    val g = posed.join(offs, Seq("event_type", "bkt"))
+    posed.join(offs, Seq("event_type", "bkt"))
       .withColumn("g", col("off") + col("pos"))
       .withColumn("seg", expr(s"(g - 1) div ${segRows}L"))
       .drop("bkt", "pos", "off")
+  }
+
+  private[operators] def anomalyRangeSplit(events: DataFrame,
+      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
+    require(segRows >= 21,
+      s"anomaly range-split: segRows=$segRows cannot cover the 20-row frame")
+    val g = withGlobalIndex(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        dec(col("value")).as("v")), bucketMs, segRows)
     val core = g.withColumn("ctx", lit(false))
     // frame-overlap duplication: a segment's last 20 rows also feed the
     // NEXT segment's window partition (context-only — filtered before zTail)
@@ -203,9 +210,157 @@ object MetricBatch extends QueryGroup {
       |FROM z WHERE variance > 0 AND abs(z) > 2.5
       |ORDER BY event_type, ts, event_id""".stripMargin
 
+  // ---- metric_moving_median: Hampel-style robust residuals --------------
+  // The z-score detector above is itself skewed by the outliers it hunts
+  // (mean and variance are not robust); the standard hardening is the
+  // Hampel filter: score each observation against the MEDIAN of its
+  // centered ±10 window. The median of a FULL 21-row frame is an order
+  // statistic — an exact element, no interpolation — so both engines
+  // sort the same 21 doubles and pick index 10: bit-identical, and the
+  // n = 21 filter removes the even-count interpolation case entirely
+  // (whose lower+(upper-lower)·frac chain is not pinned across engines).
+  // Output is rank-bounded: top-20 by |residual| under a total order.
+
+  /** median/filter/projection tail shared by the global and range-split
+    * forms — input carries (event_type, ts, event_id, value, n, med). */
+  private def medianTail(base: DataFrame): DataFrame =
+    base.filter(col("n") === 21)
+      .withColumn("resid", col("value") - col("med"))
+      .withColumn("abs_resid", abs(col("resid")))
+      .orderBy(col("abs_resid").desc, col("event_type"), col("ts"),
+        col("event_id"))
+      .limit(20)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        col("med"), col("resid"), col("abs_resid"))
+
+  /** Textbook one-partition-per-series form (the semantic reference —
+    * `MedianSplitSpec` diffs the split path against it). */
+  private[operators] def movingMedianGlobal(events: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-10, 10)
+    medianTail(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("med", percentile(col("value"), lit(0.5)).over(win)))
+  }
+
+  /** (series, segment) range-split of the same computation — the
+    * CENTERED-frame generalization of [[anomalyRangeSplit]]: context
+    * duplicates BOTH ways (a segment's last 10 rows feed the next
+    * segment's preceding frame; its first 10 feed the previous segment's
+    * following frame), so every core row sees exactly its global
+    * g−10 … g+10 frame. Tasks scale with data volume, not series count. */
+  private[operators] def movingMedianRangeSplit(events: DataFrame,
+      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
+    require(segRows >= 21,
+      s"median range-split: segRows=$segRows cannot cover the ±10 frame")
+    val g = withGlobalIndex(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      bucketMs, segRows)
+    val pis = col("g") - col("seg") * segRows // 1-based position in segment
+    val core = g.withColumn("ctx", lit(false))
+    val ctxNext = g.filter(pis > segRows - 10)
+      .withColumn("seg", col("seg") + 1).withColumn("ctx", lit(true))
+    val ctxPrev = g.filter(pis <= 10 && col("seg") > 0)
+      .withColumn("seg", col("seg") - 1).withColumn("ctx", lit(true))
+    val wS = Window.partitionBy(col("event_type"), col("seg"))
+      .orderBy(col("g")).rowsBetween(-10, 10)
+    medianTail(core.unionByName(ctxNext).unionByName(ctxPrev)
+      .withColumn("n", count(lit(1)).over(wS))
+      .withColumn("med", percentile(col("value"), lit(0.5)).over(wS))
+      .filter(!col("ctx")))
+  }
+
+  private def movingMedian(s: SparkSession, d: String): DataFrame =
+    movingMedianRangeSplit(T.events(s, d))
+
+  private val movingMedianSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    COUNT(*) OVER win AS n, median(value) OVER win AS med
+      |  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING))
+      |SELECT event_type, ts, event_id, value, med, value - med AS resid,
+      |  abs(value - med) AS abs_resid
+      |FROM w WHERE n = 21
+      |ORDER BY abs_resid DESC, event_type, ts, event_id LIMIT 20""".stripMargin
+
+  // ---- metric_trend: per-series OLS trend over time ---------------------
+  // Dashboard trend detection: least-squares value ~ time per series,
+  // from the same exact-decimal power sums as q33 (order-independent,
+  // engine-exact), closed forms as pinned IEEE chains. x = whole seconds
+  // since the GLOBAL min timestamp (exact integer arithmetic on
+  // microseconds — `div`, never a float epoch), so products stay small
+  // enough for exact DECIMAL(18,0)/(30,4) accumulation. Degenerate
+  // series (single point / zero time- or value-variance) are DEFINED
+  // nulls via the same guards as q33, never a divide-by-zero.
+  private def trend(s: SparkSession, d: String): DataFrame =
+    trendOf(T.events(s, d))
+
+  private[operators] def trendOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+    val base = ev.agg(min(col("us")).as("base_us"))
+    val xed = ev.crossJoin(broadcast(base))
+      .withColumn("x", expr("(us - base_us) div 1000000"))
+    val xdec = col("x").cast(DecimalType(18, 0))
+    val agg = xed.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(xdec).cast(DoubleType).as("sx"),
+      sum((col("x") * col("x")).cast(DecimalType(18, 0)))
+        .cast(DoubleType).as("sx2"),
+      sum(col("v")).cast(DoubleType).as("sy"),
+      sum(col("v") * col("v")).cast(DoubleType).as("sy2"),
+      sum(xdec * col("v")).cast(DoubleType).as("sxy"))
+    val n = col("n").cast(DoubleType)
+    val dx = n * col("sx2") - col("sx") * col("sx")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) / dx
+    val r = Stats.pearson(n, col("sx"), col("sx2"), col("sy"), col("sy2"),
+      col("sxy"))
+    agg.select(col("event_type"), col("n"),
+      when(dx > 0, slope).as("slope"),
+      when(dx > 0, (col("sy") - slope * col("sx")) / n).as("intercept"),
+      (r * r).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trendSql =
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS base_us FROM events),
+      |e AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT base_us FROM b))
+      |      // 1000000 AS x,
+      |    CAST(value AS DECIMAL(12,4)) AS v
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(x*x AS DECIMAL(18,0))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(v) AS DOUBLE) AS sy,
+      |    CAST(SUM(v*v) AS DOUBLE) AS sy2,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * v) AS DOUBLE) AS sxy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CASE WHEN n*sx2 - sx*sx > 0
+      |    THEN (n*sxy - sx*sy) / (n*sx2 - sx*sx) END AS slope,
+      |  CASE WHEN n*sx2 - sx*sx > 0
+      |    THEN (sy - ((n*sxy - sx*sy) / (n*sx2 - sx*sx)) * sx) / n
+      |  END AS intercept,
+      |  CASE WHEN n*sx2 - sx*sx > 0 AND n*sy2 - sy*sy > 0 THEN
+      |    ((n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy))) *
+      |    ((n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)))
+      |  END AS r2
+      |FROM a ORDER BY event_type""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q29_metric_window" -> QueryDef(q29, Some(q29Sql)),
     "q29b_sliding_window" -> QueryDef(q29b, Some(q29bSql)),
     "metric_anomaly" -> QueryDef(anomaly, Some(anomalySql)),
+    "metric_moving_median" -> QueryDef(movingMedian, Some(movingMedianSql)),
+    "metric_trend" -> QueryDef(trend, Some(trendSql)),
   )
 }
