@@ -356,11 +356,165 @@ object MetricBatch extends QueryGroup {
       |  END AS r2
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---- metric_cusum: one-sided CUSUM drift detection ---------------------
+  // The z-score/Hampel detectors flag POINT outliers; the standard tool
+  // for a sustained small SHIFT (a metric drifting above its baseline) is
+  // the one-sided CUSUM: S_i = max(0, S_{i-1} + x_i − target − slack).
+  // The recurrence looks inherently sequential, but the classic identity
+  // S_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sums of the slacked
+  // deviations) turns it into two running windows — and because every
+  // quantity is kept in EXACT decimal (the per-series deviation is
+  // n·x − Σx − n·k, n-scaled so the mean never divides), the windows are
+  // order-independent exact sums: bit-identical across engines AND across
+  // the bucket-parallel two-phase scan below. Output is rank-bounded:
+  // top-20 by the (n-scaled) CUSUM statistic under a total order.
+  private val big0 = lit(BigDecimal(0)).cast(DecimalType(38, 4))
+  private val slackK = lit(BigDecimal("5.0000")).cast(DecimalType(12, 4))
+
+  /** Exact n-scaled slacked deviations: yv = n·v − Σv − n·k per series. */
+  private def cusumPrep(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("ts"), col("event_id"),
+      col("value"), dec(col("value")).as("v"))
+    val a = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      sum(col("v")).cast(DecimalType(22, 4)).as("sv"))
+    val nDec = col("n").cast(DecimalType(20, 0))
+    e.join(broadcast(a), Seq("event_type"))
+      .withColumn("yv",
+        (nDec * col("v") - col("sv") - nDec * slackK).cast(DecimalType(38, 4)))
+      .drop("n", "sv", "v")
+  }
+
+  // s stays DECIMAL(38,4): a cast to DOUBLE is rounded differently by the
+  // two engines (Spark correctly-rounds via BigDecimal; DuckDB divides the
+  // scaled integer in floating point — one ulp apart on 11-digit values)
+  private def cusumTail(base: DataFrame): DataFrame =
+    base.withColumn("s", (col("pv") - col("mn")).cast(DecimalType(38, 4)))
+      .orderBy(col("s").desc, col("event_type"), col("ts"), col("event_id"))
+      .limit(20)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        col("s"))
+
+  /** Textbook one-partition-per-series prefix scan (the oracle form). */
+  private[operators] def cusumGlobal(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusumTail(cusumPrep(events)
+      .withColumn("pv", sum(col("yv")).over(w).cast(DecimalType(38, 4)))
+      .withColumn("mn", least(big0, min(col("pv")).over(w))))
+  }
+
+  /** Bucket-parallel two-phase prefix scan: phase 1 computes the local
+    * running sum/min WITHIN each (series, time bucket); phase 2 combines
+    * per-bucket totals and minima on the metadata-scale (series × buckets)
+    * summary — global prefix = bucket offset + local prefix, global
+    * running min = min(best over previous buckets, offset + local min).
+    * Decimal addition is associative, so this is bit-identical to the
+    * sequential form (`CusumScanSpec`) while the UNBOUNDED PRECEDING
+    * window parallelizes by data volume, not series count. */
+  private[operators] def cusumBucketScan(events: DataFrame,
+      bucketMs: Long = 3600000L): DataFrame = {
+    val y = cusumPrep(events)
+      .withColumn("bkt", expr(s"unix_millis(ts) div ${bucketMs}L"))
+    val wL = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = y
+      .withColumn("lp", sum(col("yv")).over(wL).cast(DecimalType(38, 4)))
+      .withColumn("lm", min(col("lp")).over(wL))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bs = local.groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("yv")).cast(DecimalType(38, 4)).as("tot"),
+        min(col("lp")).as("bmin"))
+      .withColumn("off",
+        coalesce(sum(col("tot")).over(wPrev), big0).cast(DecimalType(38, 4)))
+      .withColumn("gm", (col("off") + col("bmin")).cast(DecimalType(38, 4)))
+      .withColumn("gprev", min(col("gm")).over(wPrev)) // null in bucket 0
+      .select(col("event_type"), col("bkt"), col("off"), col("gprev"))
+    cusumTail(local.join(bs, Seq("event_type", "bkt"))
+      .withColumn("pv", (col("off") + col("lp")).cast(DecimalType(38, 4)))
+      // least() skips nulls: a first bucket has no previous-bucket minimum
+      .withColumn("mn", least(big0, col("gprev"),
+        (col("off") + col("lm")).cast(DecimalType(38, 4)))))
+  }
+
+  private def cusum(s: SparkSession, d: String): DataFrame =
+    cusumBucketScan(T.events(s, d))
+
+  private val cusumSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |    CAST(value AS DECIMAL(12,4)) AS v
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS DECIMAL(22,4)) AS sv
+      |  FROM e GROUP BY event_type),
+      |y AS (
+      |  SELECT e.event_type, e.ts, e.event_id, e.value,
+      |    CAST(CAST(a.n AS DECIMAL(20,0)) * e.v - a.sv
+      |      - CAST(a.n AS DECIMAL(20,0)) * CAST(5.0000 AS DECIMAL(12,4))
+      |      AS DECIMAL(38,4)) AS yv
+      |  FROM e JOIN a USING (event_type)),
+      |p AS (
+      |  SELECT *, CAST(SUM(yv) OVER w AS DECIMAL(38,4)) AS pv
+      |  FROM y WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT *, LEAST(CAST(0 AS DECIMAL(38,4)), MIN(pv) OVER w) AS mn
+      |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, ts, event_id, value, CAST(pv - mn AS DECIMAL(38,4)) AS s
+      |FROM m
+      |ORDER BY s DESC, event_type, ts, event_id LIMIT 20""".stripMargin
+
+  // ---- metric_seasonal: hour-of-day profile + deseasonalized outliers ----
+  // Operational metrics have daily shape; scoring against the GLOBAL mean
+  // flags every rush hour. The baseline fix: profile each (series, hour)
+  // — a metadata-scale aggregate (series × 24 rows) from exact decimal
+  // sums with ONE pinned IEEE division — broadcast it back, and rank
+  // residuals against the hour's own average. Rank-bounded top-20 under
+  // a total order; the profile join is a broadcast at any corpus size.
+  private def seasonal(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select(col("event_type"), col("ts"),
+      col("event_id"), col("value"), dec(col("value")).as("v"))
+      .withColumn("hr", hour(col("ts")).cast(LongType))
+    val prof = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"),
+        (sum(col("v")).cast(DoubleType) / count(lit(1))).as("hour_avg"))
+    e.join(broadcast(prof), Seq("event_type", "hr"))
+      .withColumn("resid", col("value") - col("hour_avg"))
+      .withColumn("abs_resid", abs(col("resid")))
+      .orderBy(col("abs_resid").desc, col("event_type"), col("ts"),
+        col("event_id"))
+      .limit(20)
+      .select(col("event_type"), col("hr"), col("ts"), col("event_id"),
+        col("value"), col("n_obs"), col("hour_avg"), col("resid"))
+  }
+
+  private val seasonalSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |    CAST(value AS DECIMAL(12,4)) AS v,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type, hr, COUNT(*) AS n_obs,
+      |    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS hour_avg
+      |  FROM e GROUP BY event_type, hr)
+      |SELECT e.event_type, e.hr, e.ts, e.event_id, e.value, p.n_obs,
+      |  p.hour_avg, e.value - p.hour_avg AS resid
+      |FROM e JOIN p USING (event_type, hr)
+      |ORDER BY abs(e.value - p.hour_avg) DESC, e.event_type, e.ts, e.event_id
+      |LIMIT 20""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "q29_metric_window" -> QueryDef(q29, Some(q29Sql)),
     "q29b_sliding_window" -> QueryDef(q29b, Some(q29bSql)),
     "metric_anomaly" -> QueryDef(anomaly, Some(anomalySql)),
     "metric_moving_median" -> QueryDef(movingMedian, Some(movingMedianSql)),
     "metric_trend" -> QueryDef(trend, Some(trendSql)),
+    "metric_cusum" -> QueryDef(cusum, Some(cusumSql)),
+    "metric_seasonal" -> QueryDef(seasonal, Some(seasonalSql)),
   )
 }
