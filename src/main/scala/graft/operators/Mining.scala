@@ -146,8 +146,50 @@ object Mining extends QueryGroup {
        |  SELECT ib, ia, pair_cnt, supp_b, lift FROM lifted)
        |ORDER BY conf DESC, antecedent, consequent LIMIT $TopK""".stripMargin
 
+  // ---- mine_seq_triples: sequential patterns over user event streams ----
+  // The ORDERED counterpart of the basket pairs (and the trigram extension
+  // of q56's transition matrix): which contiguous event-type sequences
+  // a→b→c recur across user journeys. Contiguous n-grams via two lead()s
+  // over ONE (user; ts, event_id) exchange+sort — the window streams, so
+  // a power-user's million-event history never materializes as an array
+  // (the collect_list formulation would). Support counts DISTINCT users
+  // (a pattern one user loops a thousand times is one vote), occurrences
+  // count raw windows; both are exact BIGINTs and the candidate space is
+  // |event types|³-bounded, so the aggregation output is vocabulary-scale
+  // regardless of corpus size. Top-20 under a total order.
+  private def seqTriples(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(countDistinct(col("user_id")).as("support"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("support").desc, col("occurrences").desc,
+        col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
+  private val seqTriplesSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS a,
+      |    LEAD(event_type, 1) OVER w AS b,
+      |    LEAD(event_type, 2) OVER w AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT a, b, c, COUNT(DISTINCT user_id) AS support,
+      |  COUNT(*) AS occurrences
+      |FROM e WHERE b IS NOT NULL AND c IS NOT NULL
+      |GROUP BY a, b, c
+      |ORDER BY support DESC, occurrences DESC, a, b, c LIMIT 20""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "mine_pairs" -> QueryDef(minePairs, Some(minePairsSql)),
     "mine_assoc_rules" -> QueryDef(mineRules, Some(mineRulesSql)),
+    "mine_seq_triples" -> QueryDef(seqTriples, Some(seqTriplesSql)),
   )
 }
