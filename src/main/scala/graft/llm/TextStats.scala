@@ -861,6 +861,119 @@ object TextStats extends QueryGroup {
       |  FROM tf GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- retrieval_prf: Rocchio pseudo-relevance feedback ------------------
+  // The classic recall lever when queries are short: run BM25 once, treat
+  // each probe's top-3 results as pseudo-relevant, mine their term
+  // distributions for the 2 strongest NEW terms (idf-weighted feedback
+  // counts — the Rocchio centroid restricted to its top components), and
+  // re-rank with the expanded 5-term query.
+  //
+  // Scale shape: every stage after the corpus aggregates is
+  // PROBE-bounded. The feedback set is 3·|probes| rows; mining joins it
+  // into the postings on doc_id (three posting rows per feedback doc's
+  // term — doc-length-bounded, never a corpus scan); both scoring passes
+  // are the same broadcast-into-postings join as `text_bm25`. Two passes
+  // over the queried posting lists is the textbook PRF cost, and the
+  // persisted `PostingsIndex` serves both.
+  //
+  // Parity: expansion ranking uses escore = idf · Σc — DECIMAL(18,6) ×
+  // exact BIGINT feedback counts, exact in both engines — with (escore
+  // DESC, wh) total order; everything else inherits text_bm25's pinned
+  // rounding points.
+  private def prf(s: SparkSession, d: String): DataFrame = {
+    // tf stays un-materialized like text_bm25's (its 4-consumer cache
+    // measured slower); re-measured here with SEVEN consumers and a
+    // localCheckpoint cut: 6.09 s vs 6.18 s — the scoring joins and
+    // rank windows dominate, not the corpus explode+agg recompute
+    val tf = termFreqs(T.documents(s, d))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
+      st.select(col("n_docs")))
+    val fw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val fb = bm25Score(tf, qidf, dl, st.select(col("avgdl")))
+      .withColumn("rn", row_number().over(fw)).filter(col("rn") <= 3)
+      .select(col("q_doc"), col("doc_id"))
+    // feedback-term mining: the 3·|probes|-row fb set broadcasts into the
+    // postings; candidates are the feedback docs' own term lists only
+    val ew = Window.partitionBy(col("q_doc"))
+      .orderBy(col("escore").desc, col("wh"))
+    val expTerms = tf.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("q_doc"), col("wh")).agg(sum(col("c")).as("fc"))
+      .join(df_, Seq("wh")).crossJoin(broadcast(st.select(col("n_docs"))))
+      .withColumn("idf",
+        log((((col("n_docs") - col("df")).cast(DoubleType) + 0.5) /
+          (col("df").cast(DoubleType) + 0.5)) + 1.0)
+          .cast(DecimalType(18, 6)))
+      .withColumn("escore", col("idf") * col("fc").cast(DecimalType(18, 0)))
+      // NEW terms only: the original query terms are already in play
+      .join(qidf.select(col("q_doc"), col("wh")), Seq("q_doc", "wh"),
+        "left_anti")
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") <= 2)
+      .select(col("q_doc"), col("wh"), col("idf"))
+    val rw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    bm25Score(tf, qidf.unionByName(expTerms), dl, st.select(col("avgdl")))
+      .withColumn("rn", row_number().over(rw).cast(LongType))
+      .filter(col("rn") <= 10)
+      .select(col("q_doc"), col("rn"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .orderBy(col("q_doc"), col("rn"))
+  }
+
+  private val prfSql = bm25Cte +
+    """,
+      |fb AS (
+      |  SELECT q_doc, doc_id FROM (
+      |    SELECT q_doc, doc_id, ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY score_dec DESC, doc_id) AS rn
+      |    FROM sc)
+      |  WHERE rn <= 3),
+      |ec AS (
+      |  SELECT q_doc, tf.wh, CAST(SUM(c) AS BIGINT) AS fc
+      |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+      |  GROUP BY q_doc, tf.wh),
+      |ei AS (
+      |  SELECT q_doc, ec.wh,
+      |    CAST(ln(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |      (CAST(df AS DOUBLE) + 0.5)) + 1.0) AS DECIMAL(18,6)) AS idf,
+      |    CAST(ln(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |      (CAST(df AS DOUBLE) + 0.5)) + 1.0) AS DECIMAL(18,6))
+      |      * CAST(fc AS DECIMAL(18,0)) AS escore
+      |  FROM ec JOIN dfq ON ec.wh = dfq.wh CROSS JOIN st
+      |  WHERE NOT EXISTS (SELECT 1 FROM qt
+      |                    WHERE qt.q_doc = ec.q_doc AND qt.wh = ec.wh)),
+      |ex AS (
+      |  SELECT q_doc, wh, idf FROM (
+      |    SELECT q_doc, wh, idf, ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY escore DESC, wh) AS ern
+      |    FROM ei)
+      |  WHERE ern <= 2),
+      |qt2 AS (SELECT * FROM qt UNION ALL SELECT * FROM ex),
+      |cand2 AS (
+      |  SELECT q_doc, tf.doc_id AS doc_id,
+      |    CAST(CAST(idf AS DOUBLE) *
+      |      ((CAST(c AS DOUBLE) * 2.2) /
+      |        (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+      |      AS DECIMAL(20,10)) AS contrib
+      |  FROM tf JOIN qt2 USING (wh) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN st
+      |  WHERE tf.doc_id <> q_doc),
+      |sc2 AS (SELECT q_doc, doc_id, SUM(contrib) AS score_dec,
+      |          CAST(COUNT(*) AS BIGINT) AS n_terms
+      |        FROM cand2 GROUP BY q_doc, doc_id)
+      |SELECT q_doc, rn, doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM (
+      |  SELECT q_doc, doc_id, n_terms, score_dec,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+      |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rn
+      |  FROM sc2)
+      |WHERE rn <= 10 ORDER BY q_doc, rn""".stripMargin
+
   // ---- retrieval_rrf: hybrid lexical+semantic fusion --------------------
   // The standard hybrid-RAG retrieval shape: the SAME probe rule
   // (id % 100 = 7) asks both halves — BM25 over the inverted index
@@ -1118,6 +1231,7 @@ object TextStats extends QueryGroup {
     "text_entropy"       -> QueryDef(entropy, Some(entropySql)),
     "text_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "retrieval_rrf"      -> QueryDef(rrf, Some(rrfSql)),
+    "retrieval_prf"      -> QueryDef(prf, Some(prfSql)),
     "text_classifier"    -> QueryDef(classifier, Some(classifierSql)),
     "multimodal_bytes"   -> QueryDef(multimodal, Some(multimodalSql)),
   )
