@@ -62,6 +62,63 @@ object Profiling extends QueryGroup {
       |  UNION ALL SELECT 'o_orderpriority', nulls_o_orderpriority, dist_o_orderpriority, n_rows FROM a)
       |ORDER BY col_name""".stripMargin
 
+  // ---- profile_fd: functional-dependency discovery ------------------------
+  // The profiler step ABOVE per-column stats: which column determines
+  // which (A→B ⇔ every A value maps to one B value ⇔ ndv(A) = ndv(A,B)
+  // under no nulls — the TANE/Deequ uniqueness test). TPC-H hides a real
+  // one: p_brand → p_mfgr (brand "Brand#xy" embeds its manufacturer), so
+  // the fixture exercises both verdicts.
+  //
+  // Scale shape: ONE unpivot of the scan into (pair, a, b) rows — the
+  // pair lattice is SCHEMA-sized (k·(k−1) for k profiled columns), the
+  // loop below iterates column NAMES, never rows — then one hash agg
+  // with two distinct counts per pair. Exact ndv over cols²×rows
+  // expanded rows is the honest cost of exact FD discovery; at 100 TB
+  // you run this on a sample or swap ndv for HLL sketches, and this is
+  // the oracle-checkable exact twin (the profile_columns framing).
+  //
+  // The profiled set mixes raw columns with two DERIVED ones (mfgr =
+  // the brand's manufacturer prefix, noun = the name's second word) so
+  // the fixture carries a dependency the profiler must find
+  // (p_brand → mfgr) amid pairs where none exists — the profiler, of
+  // course, cannot tell derived from raw.
+  private val fdCols = Seq("p_brand", "mfgr", "p_type", "p_size", "noun")
+
+  private def fdProfile(s: SparkSession, d: String): DataFrame = {
+    val base = T.part(s, d).select(col("p_brand"),
+      substring(col("p_brand"), 1, 7).as("mfgr"), col("p_type"),
+      col("p_size"), split(col("p_name"), " ").getItem(1).as("noun"))
+    val pairs = for { a <- fdCols; b <- fdCols if a != b } yield (a, b)
+    val exploded = base.select(explode(array(pairs.map {
+      case (a, b) => struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(a).cast(StringType).as("va"), col(b).cast(StringType).as("vb"))
+    }: _*)).as("p")).select(col("p.*"))
+    exploded.groupBy(col("col_a"), col("col_b"))
+      .agg(count_distinct(col("va")).as("n_distinct_a"),
+        count_distinct(col("va"), col("vb")).as("n_distinct_ab"))
+      .withColumn("fd_holds", col("n_distinct_a") === col("n_distinct_ab"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  // generated from the SAME fdCols list as the Spark side — the pair
+  // lattice cannot drift between engine and oracle
+  private val fdSql = {
+    val selects = (for { a <- fdCols; b <- fdCols if a != b } yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |    COUNT(DISTINCT CAST($a AS VARCHAR)) AS n_distinct_a,
+         |    COUNT(DISTINCT (CAST($a AS VARCHAR), CAST($b AS VARCHAR))) AS n_distinct_ab
+         |  FROM base""".stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT p_brand, substring(p_brand, 1, 7) AS mfgr, p_type, p_size,
+       |    string_split(p_name, ' ')[2] AS noun
+       |  FROM part)
+       |SELECT col_a, col_b, n_distinct_a, n_distinct_ab,
+       |  n_distinct_a = n_distinct_ab AS fd_holds
+       |FROM (
+       |  $selects)
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   // ---- q52_zorder_layout: Morton-curve clustering extents ---------------
   // The data-layout primitive: cluster by a Z-order key and row-group
   // min/max stats prune range predicates on BOTH dimensions. The query
@@ -556,6 +613,7 @@ object Profiling extends QueryGroup {
 
   override val defs: Seq[(String, QueryDef)] = Seq(
     "profile_columns" -> QueryDef(profile, Some(profileSql)),
+    "profile_fd" -> QueryDef(fdProfile, Some(fdSql)),
     "profile_join_skew" -> QueryDef(joinSkew, Some(joinSkewSql)),
     "q59_compaction_plan" -> QueryDef(compactionPlan, Some(compactionPlanSql)),
     "profile_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
