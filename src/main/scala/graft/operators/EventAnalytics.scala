@@ -127,6 +127,54 @@ object EventAnalytics extends QueryGroup {
       |FROM dau LEFT JOIN newu USING (day)
       |ORDER BY day""".stripMargin
 
+  // ---- q60_rolling_distinct: rolling 7-day active users (WAU) ------------
+  // The dashboard metric SQL windows cannot express directly: COUNT
+  // (DISTINCT) over a sliding frame (Spark forbids distinct window aggs,
+  // and distinct is not additive, so a running sum of daily counts is
+  // wrong whenever a user spans days). The scalable exact form: dedupe to
+  // (user, day) once, fan each user-day out to the ≤7 report days it
+  // contributes to (a ×7 expansion of the DEDUPED metadata-scale rows,
+  // never the raw events), and count distinct users per report day.
+  // Stickiness = DAU/WAU is one IEEE division of exact BIGINTs.
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val ud = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+      .withColumnRenamed("day", "report_day")
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .withColumn("report_day", date_add(col("day"), col("off")))
+      // only days the data contains: the grid join, not a calendar guess
+      .join(days, Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .withColumnRenamed("day", "report_day")
+    dau.join(wau, Seq("report_day"))
+      .withColumn("stickiness",
+        col("dau").cast(DoubleType) / col("wau7").cast(DoubleType))
+      .orderBy(col("report_day"))
+  }
+
+  private val q60Sql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS report_day FROM ud),
+      |contrib AS (
+      |  SELECT ud.user_id, ud.day + CAST(o.off AS INTEGER) AS report_day
+      |  FROM ud CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS off) o),
+      |wau AS (
+      |  SELECT report_day, COUNT(DISTINCT user_id) AS wau7
+      |  FROM contrib SEMI JOIN days USING (report_day)
+      |  GROUP BY report_day),
+      |dau AS (SELECT day AS report_day, COUNT(*) AS dau FROM ud GROUP BY day)
+      |SELECT report_day, dau, wau7,
+      |  CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (report_day)
+      |ORDER BY report_day""".stripMargin
+
   // ---- events_dedup_window: telemetry burst suppression ------------------
   // Client retries and double-fires produce bursts of the same
   // (user, event_type) within seconds; a clickstream pipeline suppresses
@@ -340,5 +388,6 @@ object EventAnalytics extends QueryGroup {
     "q57_attribution" -> QueryDef(q57, Some(q57Sql)),
     "q49_retention" -> QueryDef(q49, Some(q49Sql)),
     "q50_funnel" -> QueryDef(q50, Some(q50Sql)),
-    "q51_user_growth" -> QueryDef(q51, Some(q51Sql)))
+    "q51_user_growth" -> QueryDef(q51, Some(q51Sql)),
+    "q60_rolling_distinct" -> QueryDef(q60, Some(q60Sql)))
 }
