@@ -419,6 +419,82 @@ object Dedup extends QueryGroup {
        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY doc_a, doc_b)""".stripMargin
 
+  // ---- Set-similarity join via prefix filtering (SSJoin/PPJoin) ----------
+  // The EXACT-recall alternative to the stop-shingle cap: the cap keeps
+  // the shared-shingle join linear by REDEFINING the sets (frequent
+  // shingles vanish — recall is lost whenever a near-dup pair's overlap
+  // lives in boilerplate). Prefix filtering (Chaudhuri et al. SSJoin
+  // 2006; Bayardo et al. 2007) keeps the FULL sets and still bounds the
+  // join: order every set by one global token order (rarest first) and
+  // index only each doc's first m − ⌈t·m⌉ + 1 tokens — any pair with
+  // Jaccard ≥ t provably collides inside those prefixes, so the
+  // candidate join runs on a (1−t)-fraction of the rarest tokens and
+  // misses nothing. Candidates are then verified with exact integer
+  // arithmetic (3·|A∩B| ≥ |A|+|B| ⇔ J ≥ 1/2 — never a float threshold).
+  // The oracle is the EXHAUSTIVE uncapped join, so the driver grades the
+  // lossless claim itself on every run.
+  /** Exact Jaccard ≥ 1/2 pairs over UNCAPPED distinct shingle sets. */
+  private[llm] def prefixFilterPairs(docs: DataFrame): DataFrame = {
+    val dsh = shingles(docs)
+      .select(col("doc_id"), h48(col("sh")).as("sh"))
+      .distinct()
+      .cache() // df + sizes + prefix + both verify sides read it
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val dfT = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pref = dsh.join(dfT, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      // t = 1/2 prefix bound: m − ⌈m/2⌉ + 1 = ⌊m/2⌋ + 1 rarest tokens
+      .filter(col("rn") <= col("nsh") / 2 + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verification fan-out is CANDIDATE-bounded: each candidate pair
+    // expands to doc_a's set once, then an equi-join on (doc_b, sh)
+    // keeps the shared tokens only
+    val inter = cand
+      .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        Seq("doc_b"))
+      .filter(col("n_common") * 3 >= col("na") + col("nb"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_common")).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def prefixFilter(s: SparkSession, d: String): DataFrame =
+    prefixFilterPairs(T.documents(s, d))
+
+  // exhaustive uncapped oracle — equality IS the lossless-recall proof
+  private val prefixFilterSql =
+    s"""$shingleCte,
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dshh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM dshh a JOIN dshh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_common, sa.nsh AS na, sb.nsh AS nb,
+       |  CAST(n_common AS DOUBLE) /
+       |    CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE 3 * n_common >= sa.nsh + sb.nsh
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- Shingle-set Jaccard near-dup pairs (join on shared shingle) ------
   // Stop-shingle removal (doc-frequency cap) keeps the self-join linear in
   // pair count — the standard blocking guard at scale.
@@ -1078,6 +1154,7 @@ object Dedup extends QueryGroup {
     "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
     "dedup_simhash_pairs"   -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    "dedup_prefix_filter"   -> QueryDef(prefixFilter, Some(prefixFilterSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
