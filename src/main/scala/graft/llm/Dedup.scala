@@ -419,6 +419,78 @@ object Dedup extends QueryGroup {
        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY doc_a, doc_b)""".stripMargin
 
+  // ---- Content-defined chunking (FastCDC-style, word granularity) --------
+  // Fixed-size chunking (chunk_documents) breaks under INSERTION: one
+  // prepended word shifts every later chunk boundary, and no chunk of the
+  // edited document matches the original. Content-defined chunking cuts
+  // where the CONTENT says to — here, after any word whose 48-bit hash is
+  // ≡ 0 (mod 16), giving ~16-word expected chunks — so an edit only
+  // disturbs the chunk it lands in and boundaries re-synchronize at the
+  // next content cut (the storage-dedup CDC principle, word-granular).
+  // The query surfaces the cross-corpus duplicate chunks: fingerprint
+  // each chunk, group, report the most-shared ones.
+  //
+  // Scale shape: boundary flags are a narrow map over the token stream;
+  // chunk ids are ONE per-doc running sum (the doc_id exchange the text
+  // family reuses); chunk assembly is a per-(doc, chunk) agg whose
+  // output is corpus-linear with ~16× fewer rows than tokens; the
+  // duplicate report is a fingerprint hash agg. No pairwise anything.
+  /** (doc_id, chunk_id, chunk fingerprint, n_words) per CDC chunk. */
+  private[llm] def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    words(docs)
+      // cut AFTER a boundary word: the chunk id is the count of boundary
+      // words strictly BEFORE this position
+      .withColumn("bnd", when(pmod(h48(col("word")), lit(16L)) === 0, 1L)
+        .otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("bnd")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n_words"),
+        // collect_list is unordered under a group agg — sort by the
+        // carried pos so the assembled text is deterministic
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("fp"))
+  }
+
+  private def cdcDupChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunks(T.documents(s, d))
+      .groupBy(col("fp"), col("n_words"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("fp"))
+      .limit(25)
+
+  private val cdcDupChunksSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) WHERE word <> ''),
+      |b AS (
+      |  SELECT doc_id, word, pos,
+      |    CASE WHEN CAST('0x' || substring(md5(word), 1, 12) AS BIGINT)
+      |      % 16 = 0 THEN 1 ELSE 0 END AS bnd
+      |  FROM wrd),
+      |c AS (
+      |  SELECT doc_id, word, pos,
+      |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM b),
+      |chunks AS (
+      |  SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+      |  FROM c GROUP BY doc_id, cid)
+      |SELECT fp, n_words, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM chunks
+      |GROUP BY fp, n_words
+      |HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, fp
+      |LIMIT 25""".stripMargin
+
   // ---- Set-similarity join via prefix filtering (SSJoin/PPJoin) ----------
   // The EXACT-recall alternative to the stop-shingle cap: the cap keeps
   // the shared-shingle join linear by REDEFINING the sets (frequent
@@ -1155,6 +1227,7 @@ object Dedup extends QueryGroup {
     "dedup_simhash_pairs"   -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "dedup_prefix_filter"   -> QueryDef(prefixFilter, Some(prefixFilterSql)),
+    "dedup_cdc_chunks"      -> QueryDef(cdcDupChunks, Some(cdcDupChunksSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
