@@ -87,7 +87,11 @@ object Profiling extends QueryGroup {
   private def fdProfile(s: SparkSession, d: String): DataFrame = {
     val base = T.part(s, d).select(col("p_brand"),
       substring(col("p_brand"), 1, 7).as("mfgr"), col("p_type"),
-      col("p_size"), split(col("p_name"), " ").getItem(1).as("noun"))
+      col("p_size"),
+      // get(), not [1]: a one-word p_name must profile as '' (degenerate
+      // fixtures), not throw INVALID_ARRAY_INDEX under ANSI
+      coalesce(get(split(col("p_name"), " "), lit(1)), lit(""))
+        .as("noun"))
     val pairs = for { a <- fdCols; b <- fdCols if a != b } yield (a, b)
     val exploded = base.select(explode(array(pairs.map {
       case (a, b) => struct(lit(a).as("col_a"), lit(b).as("col_b"),
@@ -110,7 +114,7 @@ object Profiling extends QueryGroup {
          |  FROM base""".stripMargin).mkString("\n  UNION ALL ")
     s"""WITH base AS MATERIALIZED (
        |  SELECT p_brand, substring(p_brand, 1, 7) AS mfgr, p_type, p_size,
-       |    string_split(p_name, ' ')[2] AS noun
+       |    COALESCE(string_split(p_name, ' ')[2], '') AS noun
        |  FROM part)
        |SELECT col_a, col_b, n_distinct_a, n_distinct_ab,
        |  n_distinct_a = n_distinct_ab AS fd_holds
