@@ -273,6 +273,91 @@ object Dedup extends QueryGroup {
        |GROUP BY doc_a, doc_b
        |ORDER BY jaccard_est DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
+  // ---- MinHash LSH recall evaluation (the banding S-curve) ---------------
+  // The tuning question every LSH deployment answers before trusting its
+  // blocking: at each true-similarity level, what fraction of pairs does
+  // the banding actually catch? Ground truth is the EXHAUSTIVE Jaccard
+  // pair set (uncapped — the same sets the signatures hash) restricted to
+  // J ≥ 0.3; candidates are the production banding (8 bands of 1 row,
+  // hot-band df ≤ 50 guard — exactly `dedup_minhash_pairs`' construction).
+  // Buckets are integer-exact: tenths = (10·inter) div union, never a
+  // float floor; recall is the one terminal IEEE division. At 100 TB the
+  // truth side is sampled (exhaustion is the evaluation's cost, not the
+  // pipeline's) — this is the oracle-checkable exact form.
+  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val dsh = shingles(T.documents(s, d))
+      .select(col("doc_id"), h48(col("sh")).as("sh")).distinct()
+      .cache() // truth self-join reads both sides
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val truth = dsh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        Seq("doc_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 3)
+      .withColumn("jaccard_tenths", expr("(inter * 10) div uni"))
+    val sig = minhashSig(s, d)
+    val cool = sig.groupBy(col("i"), col("minhash"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= 50).select(col("i"), col("minhash"))
+    val kept = sig.join(cool, Seq("i", "minhash"))
+    val cand = kept
+      .select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("i"), col("minhash")),
+        Seq("i", "minhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("caught", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jaccard_tenths"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("caught")).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast(DoubleType) / col("n_pairs").cast(DoubleType))
+      .orderBy(col("jaccard_tenths"))
+  }
+
+  private val lshRecallSql =
+    s"""$shingleCte,
+       |dshh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS sh FROM shg),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dshh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM dshh a JOIN dshh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    (n_common * 10) // (sa.nsh + sb.nsh - n_common) AS jaccard_tenths
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE n_common * 10 >= (sa.nsh + sb.nsh - n_common) * 3),
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |    CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h1,
+       |    CAST('0x' || substring(md5(sh), 17, 12) AS BIGINT) AS h2
+       |  FROM dsh),
+       |sig AS (
+       |  SELECT doc_id, i, MIN((h1 + i * h2) % 1000003) AS minhash
+       |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS i)
+       |  GROUP BY doc_id, i),
+       |cool AS (SELECT i, minhash FROM sig GROUP BY i, minhash HAVING COUNT(*) <= 50),
+       |kept AS (SELECT sig.doc_id, sig.i, sig.minhash
+       |         FROM sig JOIN cool USING (i, minhash)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.i = b.i AND a.minhash = b.minhash
+       |    AND a.doc_id < b.doc_id)
+       |SELECT jaccard_tenths, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(c.doc_a) AS BIGINT) AS n_caught,
+       |  CAST(COUNT(c.doc_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)
+       |GROUP BY jaccard_tenths ORDER BY jaccard_tenths""".stripMargin
+
   // ---- SimHash (16-bit, term-frequency weighted) -------------------------
   // Bit j of a word = (j-th hex nibble of md5(word)) >= 8; per-doc bit =
   // sign of the ±1 vote sum — all-integer arithmetic, exactly portable.
@@ -1228,6 +1313,7 @@ object Dedup extends QueryGroup {
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "dedup_prefix_filter"   -> QueryDef(prefixFilter, Some(prefixFilterSql)),
     "dedup_cdc_chunks"      -> QueryDef(cdcDupChunks, Some(cdcDupChunksSql)),
+    "dedup_lsh_recall"      -> QueryDef(lshRecall, Some(lshRecallSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
