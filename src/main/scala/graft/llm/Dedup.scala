@@ -192,6 +192,64 @@ object Dedup extends QueryGroup {
       |      FROM p)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // ---- ann_mips_topk: maximum inner-product search -----------------------
+  // Recommenders rank by RAW inner product ⟨q, x⟩ — cosine normalizes
+  // away the magnitude a learned item embedding deliberately carries
+  // (popular items have longer vectors), so the cosine family cannot
+  // serve them directly. This is the exact brute-force MIPS baseline
+  // (broadcast probes, per-probe window top-k — q31's shape, minus the
+  // norm division). The SCALE path is the Neyshabur–Srebro reduction:
+  // augment x → [x, √(M²−|x|²)] (M = max corpus norm) and q → [q, 0];
+  // augmented cosine order equals inner-product order, so every cosine
+  // ANN index in this library (LSH / IVF / PQ) serves MIPS unchanged —
+  // `MipsReductionSpec` proves the order equivalence on the fixture.
+  private def mipsTopk(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("ip", dot(col("q_emb"), col("emb")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("ip").cast(DecimalType(10, 4)).cast(DoubleType)
+          .as("inner_product"),
+        col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val mipsTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.emb, c.emb) AS ip
+      |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      |SELECT q_id, neighbor_id,
+      |  CAST(CAST(ip AS DECIMAL(10,4)) AS DOUBLE) AS inner_product, rn
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rn
+      |      FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** The MIPS→cosine reduction, exposed for the spec and for callers
+    * routing MIPS through a cosine index: augmented corpus vectors
+    * [x, √(M²−|x|²)] (all exactly norm M) and probe augmentation [q, 0].
+    * With every corpus norm equal, cosine order per probe IS ⟨q, x⟩
+    * order. */
+  private[llm] def mipsAugment(e: DataFrame): DataFrame = {
+    val nsq = e.withColumn("nsq", dot(col("emb"), col("emb")))
+    val m2 = nsq.agg(max(col("nsq")).as("m2"))
+    nsq.crossJoin(broadcast(m2))
+      .withColumn("aug",
+        concat(col("emb"), array(sqrt(col("m2") - col("nsq")))))
+      .drop("nsq", "m2")
+  }
+
   // ---- MinHash signatures (8 hash functions over shingle sets) ----------
   // One md5 per shingle; the 8-member hash family is the standard affine
   // construction h_i = (h1 + i*h2) mod p over two 48-bit halves of the
@@ -1314,6 +1372,7 @@ object Dedup extends QueryGroup {
     "dedup_prefix_filter"   -> QueryDef(prefixFilter, Some(prefixFilterSql)),
     "dedup_cdc_chunks"      -> QueryDef(cdcDupChunks, Some(cdcDupChunksSql)),
     "dedup_lsh_recall"      -> QueryDef(lshRecall, Some(lshRecallSql)),
+    "ann_mips_topk"         -> QueryDef(mipsTopk, Some(mipsTopkSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
