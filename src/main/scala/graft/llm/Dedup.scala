@@ -634,6 +634,58 @@ object Dedup extends QueryGroup {
       |ORDER BY n_docs DESC, n_occurrences DESC, fp
       |LIMIT 25""".stripMargin
 
+  // ---- text_dup_coverage: duplicated-n-gram token coverage ----------------
+  // The memorization-risk signal dedup papers report alongside pair
+  // counts: what fraction of each document's TOKENS sits inside at least
+  // one 5-gram that also appears in another document. Pair-level dedup
+  // misses it (a doc can be 40% boilerplate without any single near-dup
+  // partner); intra-doc repetition is text_repetition's job — here the
+  // duplicated set is cross-doc (distinct-doc df ≥ 2).
+  //
+  // Scale shape: duplicated-shingle detection is one hash agg on 48-bit
+  // hashes; coverage expands each duplicated OCCURRENCE to its 5 token
+  // positions (a ≤5× fan-out of the duplicated subset only, never the
+  // corpus), dedupes (doc, pos), and counts — all narrow or keyed by
+  // doc_id, the text family's standard exchange.
+  private def dupCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val sh = shingles(docs)
+      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
+    val dup = sh.groupBy(col("shh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("shh"))
+    val covered = sh.join(dup, Seq("shh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 4)).as("cp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    words(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage", col("n_covered").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupCoverageSql =
+    s"""$shingleCte,
+       |shh AS (SELECT doc_id, pos,
+       |  CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS shh FROM shg),
+       |dup AS (SELECT shh FROM shh GROUP BY shh
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + o.off AS cp
+       |        FROM shh SEMI JOIN dup USING (shh)
+       |        CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS off) o),
+       |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+       |       FROM cov GROUP BY doc_id),
+       |tk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |       FROM wrd GROUP BY doc_id)
+       |SELECT tk.doc_id, n_tokens, COALESCE(n_covered, 0) AS n_covered,
+       |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS coverage
+       |FROM tk LEFT JOIN nc ON nc.doc_id = tk.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   // ---- Set-similarity join via prefix filtering (SSJoin/PPJoin) ----------
   // The EXACT-recall alternative to the stop-shingle cap: the cap keeps
   // the shared-shingle join linear by REDEFINING the sets (frequent
@@ -1373,6 +1425,7 @@ object Dedup extends QueryGroup {
     "dedup_cdc_chunks"      -> QueryDef(cdcDupChunks, Some(cdcDupChunksSql)),
     "dedup_lsh_recall"      -> QueryDef(lshRecall, Some(lshRecallSql)),
     "ann_mips_topk"         -> QueryDef(mipsTopk, Some(mipsTopkSql)),
+    "text_dup_coverage"     -> QueryDef(dupCoverage, Some(dupCoverageSql)),
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),

@@ -294,8 +294,66 @@ object GraphOps extends QueryGroup {
        |    AS cum_share
        |FROM h CROSS JOIN t ORDER BY degree""".stripMargin
 
+  // ---- graph_kcore: k-core peeling of the similarity graph --------------
+  // The density filter between "has a neighbor" and "sits in a clique":
+  // iteratively remove nodes with degree < k until the k-core remains —
+  // a chain of pairwise near-dups dissolves, a dup COMMUNITY survives.
+  // Fixed at k=2, FOUR peeling rounds (the semantics is "4 rounds", so
+  // both engines run the identical bounded computation whether or not
+  // the fixture converges earlier — the pagerank fixed-iteration rule).
+  // Each round is one degree agg + two semi-join filters on 8-byte ids;
+  // Materialize.cut bounds lineage per round; all counts exact BIGINT.
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    val K = 2
+    val Rounds = 4
+    val pairs = PairsMemo.pairs(s, d)
+    var edges = Materialize.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    for (_ <- 1 to Rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= K).select(col("src").as("node"))
+      edges = Materialize.cut(edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+      .orderBy(col("core_degree").desc, col("node"))
+  }
+
+  // every round's CTEs are MATERIALIZED: e_i references e_{i−1} three
+  // times (degree agg + two IN filters), and inlined that re-plans the
+  // whole shingle pipeline 3^rounds times — DuckDB ran out of memory at
+  // sf0.1 before materialization forced each round to compute once
+  private val kcoreSql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "edges" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM $prev GROUP BY src HAVING COUNT(*) >= 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT src, dst FROM $prev
+         |  WHERE src IN (SELECT node FROM k$i) AND dst IN (SELECT node FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${Dedup.jaccardCte},
+       |prs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |$rounds
+       |SELECT src AS node, COUNT(*) AS core_degree FROM e4
+       |GROUP BY src ORDER BY core_degree DESC, node""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_triangles" -> QueryDef(triangles, Some(trianglesSql)),
-    "graph_degree_dist" -> QueryDef(degreeDist, Some(degreeDistSql)))
+    "graph_degree_dist" -> QueryDef(degreeDist, Some(degreeDistSql)),
+    "graph_kcore" -> QueryDef(kcore, Some(kcoreSql)))
 }
