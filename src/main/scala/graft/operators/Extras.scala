@@ -104,13 +104,19 @@ object Extras extends QueryGroup {
   // shape behind label joins ("what did the user buy after seeing
   // this?"). Same one-window plan, frame reversed; no self-join.
   private def q53(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // DESCENDING running frame, not first() over [CURRENT, UNBOUNDED
+    // FOLLOWING]: Spark's unbounded-following frame re-scans from the
+    // current row to the partition end for EVERY row — O(n²) per user,
+    // and the 10× sweep measured it superlinear (10.5× at 10× rows).
+    // last() over the reversed running frame is the same value with the
+    // incremental O(n) frame; the second sort shares the exchange.
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
     T.events(s, d)
       .withColumn("next_purchase_value",
-        first(when(col("event_type") === "purchase", col("value")),
+        last(when(col("event_type") === "purchase", col("value")),
           ignoreNulls = true).over(w))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("next_purchase_value"))
@@ -186,20 +192,26 @@ object Extras extends QueryGroup {
   // ---- q54: nearest-direction as-of lookup ------------------------------
   // Completes the as-of family (backward q38/q41, forward q53): each event
   // resolves to the purchase with the smallest |time delta| in its user's
-  // stream, ties to the earlier side. Two windows over ONE sort — the
-  // backward last() and forward first() share the same partition/order, so
-  // Spark plans a single per-user sort and no join at all; exact
-  // microsecond deltas keep the tie rule portable.
+  // stream, ties to the earlier side. Two running-frame windows over one
+  // user_id exchange (ascending for prev, descending for next — both
+  // incremental O(n) frames, never the quadratic unbounded-following
+  // scan); no join at all; exact microsecond deltas keep the tie rule
+  // portable.
   private def q54(s: SparkSession, d: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val order = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val back = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    val fwd = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val back = W.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // forward side as a DESCENDING running frame (the q53 rule): the
+    // unbounded-following frame is O(n²) per user in Spark
+    val fwd = W.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
     val purchase = when(col("event_type") === "purchase",
       struct(unix_micros(col("ts")).as("pus"), col("value").as("pv")))
     T.events(s, d)
       .withColumn("prev", last(purchase, ignoreNulls = true).over(back))
-      .withColumn("next", first(purchase, ignoreNulls = true).over(fwd))
+      .withColumn("next", last(purchase, ignoreNulls = true).over(fwd))
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("nearest_purchase_value",
         when(col("prev").isNull, col("next.pv"))
