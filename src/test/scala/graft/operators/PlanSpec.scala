@@ -484,4 +484,15 @@ class PlanSpec extends SparkSuite {
       assert(df.queryExecution.analyzed != null, s"$name failed analysis")
     }
   }
+
+  test("asof family: no quadratic unbounded-FOLLOWING window frame") {
+    // Spark's unbounded-following frame re-scans to the partition end per
+    // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both
+    // forward lookups must stay DESCENDING running frames
+    for (name <- Seq("q53_asof_forward", "q54_asof_nearest")) {
+      val plan = physical(name)
+      assert(!plan.toLowerCase.contains("unboundedfollowing"),
+        s"$name reintroduced an unbounded-following frame:\n${plan.take(1500)}")
+    }
+  }
 }
