@@ -79,6 +79,45 @@ class StreamCusumSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart carries the running statistic across queries") {
+    MetricPipeline.ensureRocksDbStateStore(spark)
+    def freshDir(name: String): String = {
+      val dir = graft.core.Fixtures.path(name)
+      val root = new java.io.File(dir)
+      if (root.exists()) CommitFiles.rmTree(root)
+      dir
+    }
+    val srcDir = freshDir("cusum_src")
+    val outDir = freshDir("cusum_out_pq")
+    val ckpt = freshDir("cusum_ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val all = (0 until 6).map(i => ev("cpu", i, 13.0)) // fold: alarms at 2, 5
+    def addChunk(i: Int, rows: Seq[MetricEvent]): Unit = {
+      val tmp = freshDir(s"cusum_stage$i")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"c$i%02d.parquet"))
+    }
+    def run(): Unit = {
+      val in = spark.readStream.schema(all.toDF().schema).parquet(srcDir)
+        .as[MetricEvent]
+      val q = alarms(in, Target, Slack, H).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addChunk(0, all.take(3)); run() // epoch: S reaches 6 → alarm at id 2
+    addChunk(1, all.drop(3)); run() // RESTARTED query: S must resume at 0
+    val got = spark.read.parquet(outDir).as[CusumAlarm].collect().toSeq
+      .sortBy(_.eventId).map(a => (a.eventId, a.s))
+    val want = fold(all.map(e => (e.eventId.toInt, e.value)))
+    assert(want.map(_._1) == Seq(2L, 5L), s"fold shape drifted: $want")
+    assert(got == want, s"got $got want $want")
+  }
+
   test("series are independent: one series' drift never alarms another") {
     MetricPipeline.ensureRocksDbStateStore(spark)
     val input = MemoryStream[MetricEvent](spark)
