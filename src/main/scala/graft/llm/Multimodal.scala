@@ -544,7 +544,11 @@ object Multimodal {
   }
 
   /** Registry query: real BMP payloads → partition-batched histogram
-    * feature vectors. Narrow map, no shuffle. */
+    * feature vectors. Narrow map, no shuffle. The 16-bin vector is
+    * surfaced LONG-FORM (doc_id, bin, n — 16 ordered rows per doc, with
+    * the per-doc n_px/mode_bin scalars repeated): the driver's hasher
+    * sorts raw pandas frames and cannot grade a nested column, so no
+    * registry query may emit a top-level LIST (`OutputSurfaceSpec`). */
   def bmpHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = BmpFixture.ensure(spark)
@@ -553,13 +557,17 @@ object Multimodal {
         rows.map(r => bmpHistOf(r.media).copy(doc_id = r.doc_id))
       }
       .toDF()
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_px"), col("mode_bin"),
+        posexplode(col("hist")).as(Seq("bin", "n")))
+      .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"),
+        col("n_px"), col("mode_bin"))
+      .orderBy(col("doc_id"), col("bin"))
   }
 
   /** DuckDB replay of [[bmpHist]]: the identical padding-skipping pixel
     * addressing (channel index i → row i div 3w, offset i mod 3w inside
     * the stride-aligned row), then 16 per-bin counts over the byte
-    * list. */
+    * list, unnested long-form to match the Spark surface. */
   val bmpHistSql: String = {
     def leField(byteOff: Int, nBytes: Int): String =
       (0 until nBytes).reverse
@@ -580,17 +588,17 @@ object Multimodal {
        |      CAST('0x' || substr(h, CAST((px_off
        |        + (i // (width * 3)) * ((width * 3 + 3) // 4 * 4)
        |        + (i % (width * 3))) * 2 + 1 AS INT), 2) AS BIGINT) // 16) AS bins
-       |  FROM hdr)
-       |SELECT doc_id, n_px,
-       |  list_transform(range(0, 16), b ->
-       |    CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist,
-       |  CAST(list_position(
+       |  FROM hdr),
+       |hx AS (
+       |  SELECT doc_id, n_px,
        |    list_transform(range(0, 16), b ->
-       |      CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)),
-       |    list_max(list_transform(range(0, 16), b ->
-       |      CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)))) - 1
-       |    AS BIGINT) AS mode_bin
-       |FROM px ORDER BY doc_id""".stripMargin
+       |      CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist
+       |  FROM px)
+       |SELECT doc_id, CAST(t.b AS BIGINT) AS bin,
+       |  hist[CAST(t.b AS INT) + 1] AS n, n_px,
+       |  CAST(list_position(hist, list_max(hist)) - 1 AS BIGINT) AS mode_bin
+       |FROM hx, range(0, 16) t(b)
+       |ORDER BY doc_id, bin""".stripMargin
   }
 
   final case class BmpEdges(doc_id: Long, n_px: Long, gx_sum: Long,

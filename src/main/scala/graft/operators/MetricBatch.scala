@@ -384,15 +384,19 @@ object MetricBatch extends QueryGroup {
       .drop("n", "sv", "v")
   }
 
-  // s stays DECIMAL(38,4): a cast to DOUBLE is rounded differently by the
-  // two engines (Spark correctly-rounds via BigDecimal; DuckDB divides the
-  // scaled integer in floating point — one ulp apart on 11-digit values)
+  // s is computed in DECIMAL(38,4) (a cast to DOUBLE is rounded differently
+  // by the two engines: Spark correctly-rounds via BigDecimal; DuckDB
+  // divides the scaled integer in floating point — one ulp apart on
+  // 11-digit values) but SURFACED as a canonical string: the driver's
+  // hasher cannot canonicalize a >18-precision decimal, so per the
+  // q40_decimal_canary precedent both sides render the exact value as
+  // text ('2345678.1234' — scale 4 prints identically in both engines).
   private def cusumTail(base: DataFrame): DataFrame =
     base.withColumn("s", (col("pv") - col("mn")).cast(DecimalType(38, 4)))
       .orderBy(col("s").desc, col("event_type"), col("ts"), col("event_id"))
       .limit(20)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"),
-        col("s"))
+        col("s").cast(StringType).as("s"))
 
   /** Textbook one-partition-per-series prefix scan (the oracle form). */
   private[operators] def cusumGlobal(events: DataFrame): DataFrame = {
@@ -464,9 +468,11 @@ object MetricBatch extends QueryGroup {
       |  SELECT *, LEAST(CAST(0 AS DECIMAL(38,4)), MIN(pv) OVER w) AS mn
       |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT event_type, ts, event_id, value, CAST(pv - mn AS DECIMAL(38,4)) AS s
+      |SELECT event_type, ts, event_id, value,
+      |  CAST(CAST(pv - mn AS DECIMAL(38,4)) AS VARCHAR) AS s
       |FROM m
-      |ORDER BY s DESC, event_type, ts, event_id LIMIT 20""".stripMargin
+      |ORDER BY CAST(pv - mn AS DECIMAL(38,4)) DESC, event_type, ts, event_id
+      |LIMIT 20""".stripMargin
 
   // ---- metric_seasonal: hour-of-day profile + deseasonalized outliers ----
   // Operational metrics have daily shape; scoring against the GLOBAL mean

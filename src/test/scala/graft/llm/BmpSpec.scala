@@ -110,12 +110,16 @@ class BmpSpec extends SparkSuite {
   }
 
   test("registry histogram query runs over the fixture end-to-end") {
+    // long-form surface: (doc_id, bin, n, n_px, mode_bin), 16 rows per doc
     val rows = SparkEntry.queries("multimodal_bmp_hist")(spark, sfDir).collect()
-    assert(rows.length == 200)
-    // every histogram sums to 3*n_px (3 channels per pixel)
-    assert(rows.forall { r =>
-      r.getSeq[Long](2).sum == 3 * r.getLong(1)
-    })
+    assert(rows.length == 200 * 16)
+    // every doc's 16 bin counts sum to 3*n_px (3 channels per pixel)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.map(_.getLong(2)).sum == 3 * rs.head.getLong(3),
+        s"doc $doc bin counts don't cover the channel bytes")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 16L),
+        s"doc $doc missing bins")
+    }
   }
 
   test("registry query decodes the generated BMP fixture") {

@@ -40,6 +40,26 @@ def rows_of(cols, names):
 BANNED_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
                 "UINTEGER", "UBIGINT")
 
+# Mirror of graft.OutputSurfaceSpec, applied to the SPARK output parquet:
+# the driver sorts the raw pandas frame and hashes values, so a top-level
+# nested column (sort_values: "unhashable type: numpy.ndarray") or a
+# >18-precision decimal (hashed through double; the two engines round the
+# conversion 1 ulp apart on 11+-digit values) is ungradable even when this
+# replica's canonicalizer would pass it.  Both round-10 reds were exactly
+# these surfaces — the replica MUST be as strict as the driver.
+SURFACE_ALLOW = set()  # name -> intentionally empty; mirror the Spec's list
+
+def spark_surface_lint(tbl):
+    import pyarrow as pa
+    bad = []
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_nested(t):
+            bad.append(f"{field.name}: nested {t} (driver sort_values cannot hash it)")
+        elif pa.types.is_decimal(t) and t.precision > 18:
+            bad.append(f"{field.name}: {t} (>18-precision decimal; driver hashes via double)")
+    return bad
+
 def type_lint(con, name, sql):
     """Return list of 'col: TYPE' offenders in the oracle's output schema."""
     import re
@@ -68,6 +88,11 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
         tbl = pq.read_table(files[0])
+        if name not in SURFACE_ALLOW:
+            surface = spark_surface_lint(tbl)
+            if surface:
+                print(f"FAIL {name}: driver-ungradable Spark surface {surface}")
+                n_fail += 1;  continue
         mine_names = tbl.column_names
         mine = rows_of([tbl.column(i).to_pylist() for i in range(tbl.num_columns)], mine_names)
         try:
