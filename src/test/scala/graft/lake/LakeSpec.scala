@@ -1,0 +1,130 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The lakehouse read path's proof obligations: manifest pruning reads
+  * STRICTLY fewer files and loses NOTHING; time travel reads exactly the
+  * committed version and fails loudly otherwise; derived fixtures
+  * invalidate on source rewrite and never surface a partial build. */
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Dense synthetic orders spanning BOTH clustered dimensions (64 ck
+    * strata × 64 date strata — sf0.001's custkey range is too narrow to
+    * exercise the ck half of the curve), laid out through the real
+    * fixture machinery. */
+  private lazy val layout: String = {
+    val src = graft.core.Fixtures.path("lakespec_grid")
+    val rows = (0 until 4096).map { i =>
+      val ck = (i % 64).toLong * 1024L // ck bits 10-15 vary
+      val day = (i / 64) * 32          // 64 dates across 1995-2000
+      val ts = new java.sql.Timestamp((9131L + day) * 86400000L)
+      (i.toLong, ck, if (i % 3 == 0) "O" else "F", i * 1.5, ts, "1-URGENT")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
+    LakeFixture.ensure(spark, src)
+  }
+
+  test("manifest pruning reduces the files actually read") {
+    val all = spark.read.parquet(layout)
+    val pruned = ZLayout.prunedOrders(spark, layout, 2048L, 4095L, 9500L, 9800L)
+    val allFiles = all.inputFiles.length
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles > 0, "predicate matches data; scan must be non-empty")
+    assert(prunedFiles < allFiles,
+      s"pruning read $prunedFiles of $allFiles files — no skip happened")
+    // the skip is real I/O avoidance, not a post-scan filter: the scan's
+    // file list is the manifest subset — a 2-D window over a 64×64 grid
+    // must skip the overwhelming majority of files
+    assert(prunedFiles.toDouble / allFiles < 0.2,
+      s"2-D selective predicate should skip most files ($prunedFiles/$allFiles)")
+  }
+
+  test("pruning is lossless: pruned scan == unpruned filter, row for row") {
+    val pruned = ZLayout.prunedOrders(spark, layout, 2048L, 4095L, 9500L, 9800L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val full = spark.read.parquet(layout)
+      .filter(col("ck").between(2048L, 4095L) && col("dy").between(9500L, 9800L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0, "the grid guarantees hits in this window")
+  }
+
+  test("an empty manifest selection yields an empty, schema-stable scan") {
+    val none = ZLayout.prunedOrders(spark, layout, 2048L, 4095L, 1L, 2L)
+    assert(none.count() == 0)
+    assert(none.columns.contains("o_orderkey") && none.columns.contains("fid"))
+  }
+
+  test("time travel reads the exact committed version; as-of takes the floor") {
+    val snaps = SnapshotFixture.ensure(spark, sfDir)
+    assert(TimeTravel.versions(snaps) == Seq(0L, 1L, 2L))
+    assert(TimeTravel.latestVersion(snaps).contains(2L))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    def n(c: String) = orders
+      .filter(col("o_orderdate") < lit(c).cast("timestamp")).count()
+    assert(TimeTravel.readVersion(spark, snaps, 0L).count() == n(SnapshotFixture.Cut0))
+    assert(TimeTravel.readVersion(spark, snaps, 1L).count() == n(SnapshotFixture.Cut1))
+    assert(TimeTravel.readAsOf(spark, snaps, 1L).count() == n(SnapshotFixture.Cut1))
+    // as-of above the head clamps to the latest committed version
+    assert(TimeTravel.readAsOf(spark, snaps, 99L).count() == orders.count())
+    val miss = intercept[IllegalArgumentException] {
+      TimeTravel.readVersion(spark, snaps, 7L)
+    }
+    assert(miss.getMessage.contains("not retained") &&
+      miss.getMessage.contains("0, 1, 2"),
+      s"missing-version failure must name what IS retained: ${miss.getMessage}")
+    val below = intercept[IllegalArgumentException] {
+      TimeTravel.readAsOf(spark, snaps, -1L)
+    }
+    assert(below.getMessage.contains("nothing committed"))
+  }
+
+  test("a rewritten source re-derives the layout and sweeps the stale one") {
+    val src = graft.core.Fixtures.path("lakespec_src")
+    def writeOrders(rows: Seq[(Long, Long, String, Double, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    writeOrders(Seq((1L, 10L, "O", 5.0, ts("1996-03-01"), "1-URGENT")))
+    val p1 = LakeFixture.ensure(spark, src)
+    assert(spark.read.parquet(p1).count() == 1)
+    Thread.sleep(1100) // mtime granularity: the rewrite must be observable
+    writeOrders(Seq(
+      (1L, 10L, "O", 5.0, ts("1996-03-01"), "1-URGENT"),
+      (2L, 20L, "F", 6.0, ts("1997-05-01"), "2-HIGH")))
+    val p2 = LakeFixture.ensure(spark, src)
+    assert(p2 != p1, "rewritten source must re-derive under a new fingerprint")
+    assert(spark.read.parquet(p2).count() == 2)
+    assert(!new java.io.File(p1).exists(),
+      "the stale fingerprint dir must be swept, not leaked")
+  }
+
+  test("a crashed (partial) build is never accepted as a complete fixture") {
+    val src = graft.core.Fixtures.path("lakespec_src2")
+    Seq((1L, 10L, "O", 5.0,
+        java.sql.Timestamp.valueOf("1996-03-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
+    val p = LakeFixture.ensure(spark, src)
+    val keyDir = Paths.get(p).getParent
+    // simulate a crash mid-build from ANOTHER session: a temp dir exists,
+    // the final path does not — ensure() must rebuild and sweep the orphan
+    graft.streaming.CommitFiles.rmTree(new java.io.File(p))
+    val orphan = keyDir.resolve(".tmp-orphan")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-garbage.parquet"), "torn bytes")
+    val p2 = LakeFixture.ensure(spark, src)
+    assert(p2 == p && new java.io.File(p2).exists())
+    assert(spark.read.parquet(p2).count() == 1)
+    assert(!Files.exists(orphan), "orphaned staging dirs must be swept")
+  }
+}
