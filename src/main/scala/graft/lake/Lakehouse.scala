@@ -1,12 +1,12 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.core.{QueryDef, QueryGroup, SourceState, Tables => T}
+import graft.core.{DerivedFixture, QueryDef, QueryGroup, Tables => T}
 import graft.streaming.CommitFiles
 
 /** Lakehouse READ path over the repo's write-side layout pieces: the
@@ -132,54 +132,9 @@ object TimeTravel {
   }
 }
 
-/** Derived-fixture plumbing shared by [[LakeFixture]] and
-  * [[SnapshotFixture]]: builds under
-  * `<root>/<md5(sourceDir)>/<sourceFingerprint>`, STAGED (write into a
-  * `.tmp-` sibling, atomic rename into place) so a crash mid-build can
-  * never leave a partial fixture a later session accepts as complete,
-  * and SWEPT (stale fingerprints and orphaned temp dirs under the same
-  * source-dir key are deleted on every re-derive) so rewritten testdata
-  * cannot leak one orphan directory per regeneration. */
-private[lake] abstract class DerivedFixture(root: String, table: String) {
-  private val live = scala.collection.mutable.Map.empty[String, (String, String)]
-
-  /** Build the fixture content at `target` (a staging path). */
-  protected def build(s: SparkSession, sourceDir: String, target: String): Unit
-
-  /** Bump when the derivation itself changes (e.g. a layout knob): the
-    * tag joins the source fingerprint in the path, so a code change can
-    * never silently reuse a layout built by older code. */
-  protected def layoutTag: String = "v1"
-
-  private def dirKey(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-
-  def ensure(s: SparkSession, d: String): String = synchronized {
-    val dir = d.replaceFirst("^file:(//)?", "").stripSuffix("/")
-    val fp = s"${SourceState.fingerprint(dir, table)}-$layoutTag"
-    live.get(dir) match {
-      case Some((oldFp, p)) if oldFp == fp && new java.io.File(p).exists() => p
-      case _ =>
-        val keyDir = graft.core.Fixtures.path(root) + s"/${dirKey(dir)}"
-        val p = s"$keyDir/$fp"
-        // cross-session reuse: a COMPLETE build from a previous JVM is
-        // valid iff it matches the current source fingerprint (the
-        // atomic rename below is what makes existence imply complete)
-        if (!new java.io.File(p).exists()) {
-          Option(new java.io.File(keyDir).listFiles()).getOrElse(Array.empty)
-            .foreach(f => CommitFiles.rmTree(f)) // stale fps + orphan tmps
-          val tmp = s"$keyDir/.tmp-$fp"
-          build(s, dir, tmp)
-          Files.move(Paths.get(tmp), Paths.get(p), StandardCopyOption.ATOMIC_MOVE)
-        }
-        live(dir) = (fp, p)
-        p
-    }
-  }
-}
-
-/** The z-ordered orders layout + manifest, derived per source dir. */
+/** The z-ordered orders layout + manifest, derived per source dir
+  * through the staged/fingerprinted [[graft.core.DerivedFixture]]
+  * machinery. */
 object LakeFixture extends DerivedFixture("lake_orders", "orders") {
   override protected def layoutTag: String =
     s"z${java.lang.Long.numberOfTrailingZeros(ZLayout.FidDiv)}"

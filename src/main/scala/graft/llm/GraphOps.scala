@@ -44,43 +44,22 @@ object GraphOps extends QueryGroup {
     * every block, and the memo must survive it. Cold-vs-warm cost is
     * disclosed in SCALING.md — the bench board's pagerank time carries
     * the build, the other two family members read warm. */
-  private[llm] object PairsMemo {
-    private val live = scala.collection.mutable.Map.empty[String, (String, String)]
-
-    private def fingerprint(d: String): String = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-        else Seq(f)
-      val base = new java.io.File(d, "documents.parquet")
-      val state = walk(base).sortBy(_.getPath)
-        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
-        .mkString("\n")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(state.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-
-    private def ensure(s: SparkSession, d: String): String = synchronized {
-      val dir = d.replaceFirst("^file:(//)?", "").stripSuffix("/")
-      val fp = fingerprint(dir)
-      live.get(dir) match {
-        case Some((oldFp, p)) if oldFp == fp => p
-        case stale =>
-          stale.foreach { case (_, p) =>
-            graft.streaming.CommitFiles.rmTree(new java.io.File(p))
-          }
-          val p = graft.core.Fixtures.path("graph_pairs_memo") + s"/$fp"
-          // the memo keeps the SCORE so every >= 0.3 consumer can slice
-          // its own threshold: the graph family reads the whole set, the
-          // clusters family (dedup_clusters / dedup_keep_best) filters
-          // >= 0.5 — identical rows to a direct derivation either way
-          Dedup.jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)
-            .select(col("doc_a"), col("doc_b"), col("jaccard"))
-            .write.mode("overwrite").parquet(p)
-          live(dir) = (fp, p)
-          p
-      }
-    }
+  private[llm] object PairsMemo
+      extends graft.core.DerivedFixture("graph_pairs_memo", "documents") {
+    // the memo keeps the SCORE so every >= 0.3 consumer can slice its
+    // own threshold: the graph family reads the whole set, the clusters
+    // family (dedup_clusters / dedup_keep_best) filters >= 0.5 —
+    // identical rows to a direct derivation either way. DerivedFixture
+    // supplies the source fingerprinting, the staged atomic build, and
+    // the stale-sibling sweep — so a JVM restart no longer orphans the
+    // previous fingerprint's directory (it is swept on the next
+    // re-derive of the same source-dir key), and a crashed build can
+    // never be mistaken for a complete memo.
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      Dedup.jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .write.mode("overwrite").parquet(target)
 
     def pairs(s: SparkSession, d: String): DataFrame =
       s.read.parquet(ensure(s, d)).select(col("doc_a"), col("doc_b"))

@@ -217,6 +217,20 @@ object Multimodal {
     * both engines read byte-identically. Padding bytes are zero, which
     * the oracle's whole-tail pixel sum relies on (the engine's parser
     * skips padding structurally). */
+  /** Media fixtures are generated once and reused across sessions, so a
+    * crash mid-write must never leave a partial parquet dir a later
+    * session accepts as complete: the build goes to a `.tmp` sibling and
+    * lands by ATOMIC rename — existence implies complete (the
+    * DerivedFixture rule, applied to these source-independent tables). */
+  private def commitFixture(path: String)(write: String => Unit): Unit = {
+    val tmp = path + ".tmp"
+    graft.streaming.CommitFiles.rmTree(new java.io.File(tmp)) // orphaned crash leftovers
+    write(tmp)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   object BmpFixture {
     val path: String = graft.core.Fixtures.path("bmp_media.parquet")
     def ensure(spark: SparkSession): String = synchronized {
@@ -228,8 +242,8 @@ object Multimodal {
           BmpRow(id, encodeBmp24(w, h,
             (x, y, c) => ((id * 7 + y * 31 + x * 13 + c * 5) % 256).toInt))
         }
-        rows.toDF("doc_id", "media")
-          .repartition(1).write.mode("overwrite").parquet(path)
+        commitFixture(path)(tmp => rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(tmp))
       }
       path
     }
@@ -458,8 +472,8 @@ object Multimodal {
           WavRow(id, encodeWav8(ch, rate, n,
             (i, c) => ((id * 11 + i * 17 + c * 3) % 256).toInt))
         }
-        rows.toDF("doc_id", "media")
-          .repartition(1).write.mode("overwrite").parquet(path)
+        commitFixture(path)(tmp => rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(tmp))
       }
       path
     }
@@ -1048,8 +1062,8 @@ object Multimodal {
           Y4mRow(id, encodeY4m(w, h, fps, frames,
             (f, t) => ((id * 13 + f * 7 + t * 3) % 256).toInt))
         }
-        rows.toDF("doc_id", "media")
-          .repartition(1).write.mode("overwrite").parquet(path)
+        commitFixture(path)(tmp => rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(tmp))
       }
       path
     }
@@ -1289,8 +1303,8 @@ object Multimodal {
             if (v > 0 && (x + y) % (6 + 3 * v) == 0) 255 - base else base
           }))
         }
-        rows.toDF("doc_id", "media")
-          .repartition(1).write.mode("overwrite").parquet(path)
+        commitFixture(path)(tmp => rows.toDF("doc_id", "media")
+          .repartition(1).write.mode("overwrite").parquet(tmp))
       }
       path
     }

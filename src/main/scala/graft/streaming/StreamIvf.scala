@@ -89,12 +89,24 @@ object StreamIvf {
   }
 
   /** The committed assignment relation (vec_id, ck), if any batch has
-    * committed. */
+    * committed. A committed pointer with NO assign dir is a legal state
+    * (every committed batch was all-zero-norm and assigned nothing), so
+    * it reads as an empty relation, not a missing-path error. */
   def committedAssign(spark: SparkSession, dir: String): Option[DataFrame] =
     latestVersion(dir).map { v =>
-      spark.read.parquet(s"${modelDir(dir, requireModel(dir))}/assign")
-        .filter(col("batch") <= v)
-        .select(col("vec_id"), col("ck"))
+      val p = s"${modelDir(dir, requireModel(dir))}/assign"
+      if (!new java.io.File(p).exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ck",
+              org.apache.spark.sql.types.IntegerType))))
+      else
+        spark.read.parquet(p)
+          .filter(col("batch") <= v)
+          .select(col("vec_id"), col("ck"))
     }
 
   /** Ingest one micro-batch of embedding rows (vec_id, embedding,
@@ -120,15 +132,18 @@ object StreamIvf {
       val cdf = spark.read.parquet(s"${modelDir(dir, m)}/centroids")
       val assigned = Ann.assignCells(Ann.normedOf(vecs), cdf)
       // a batch of only zero-norm vectors assigns nothing: writing an
-      // empty partition set would leave a schema-less batch dir, and
-      // flipping for it buys nothing — skip both (a later batch's higher
-      // id short-circuits any replay of this one)
+      // empty partition set would leave a schema-less batch dir, so the
+      // WRITE is skipped — but the pointer still flips, otherwise this
+      // batch replays in full (persist, clash check, assignment) on
+      // every restart until some later batch commits, contradicting the
+      // replay-after-flip short-circuit contract above (committedAssign
+      // tolerates the resulting batch-dir gap: it reads what exists)
       if (!assigned.isEmpty) {
         assigned
           .write.mode("overwrite").partitionBy("ck")
           .parquet(s"${modelDir(dir, m)}/assign/batch=$batchId")
-        CommitFiles.atomicWrite(pointerPath(dir), batchId.toString)
       }
+      CommitFiles.atomicWrite(pointerPath(dir), batchId.toString)
     } finally vecs.unpersist()
   }
 
@@ -182,6 +197,18 @@ object StreamIvf {
         "committed batches; before the first batch, init is the build step"))
     val committed = committedAssign(s, dir).get.select(col("vec_id"))
     val (lists, cdf) = Ann.ivfModel(s, d, k, iters)
+    // the scaladoc contract ("d must cover every committed slice") is
+    // CHECKED, not assumed: a committed vec_id absent from the corpus
+    // would silently vanish from the live index through the semi join —
+    // fail loudly naming the missing ids, like every other contract here
+    val missing = committed
+      .join(lists.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"stream_ivf: committed vec_ids [${missing.mkString(", ")}${
+        if (missing.length == 5) ", ..." else ""}] are absent from the " +
+        "retrain corpus — folding would silently drop them from the live " +
+        "index; retrain over a corpus covering every committed slice")
     val next = modelDir(dir, m + 1)
     cdf.write.mode("overwrite").parquet(s"$next/centroids")
     lists.select(col("vec_id"), col("ck"))

@@ -107,6 +107,46 @@ class StreamIvfSpec extends SparkSuite {
     }
   }
 
+  test("an all-zero-norm batch commits its pointer instead of replaying forever") {
+    import spark.implicits._
+    val out = freshDir("streamivf_zeronorm")
+    StreamIvf.init(spark, sf001, out)
+    val dim = T.embeddings(spark, sf001).selectExpr("size(embedding)")
+      .limit(1).collect().head.getInt(0)
+    val zeros = Seq((900001L, Array.fill(dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // batch 0: nothing assignable — the WRITE is skipped but the flip
+    // must land, else this batch replays in full on every restart
+    StreamIvf.applyBatch(spark, out, zeros, 0L)
+    assert(StreamIvf.latestVersion(out).contains(0L),
+      "zero-norm batch must still commit its pointer")
+    // the committed-but-empty state reads as an empty relation...
+    assert(StreamIvf.committedAssign(spark, out).get.count() == 0)
+    StreamIvf.applyBatch(spark, out, zeros, 0L) // replay short-circuits
+    // ...and normal ingest proceeds on top of it
+    StreamIvf.applyBatch(spark, out, chunks(0), 1L)
+    assert(StreamIvf.latestVersion(out).contains(1L))
+    assert(StreamIvf.committedAssign(spark, out).get.count() > 0)
+  }
+
+  test("retrain refuses a corpus that is missing committed vec_ids") {
+    val out = freshDir("streamivf_partialcorpus")
+    StreamIvf.init(spark, sf001, out)
+    StreamIvf.applyBatch(spark, out, chunks(0), 0L)
+    StreamIvf.applyBatch(spark, out, chunks(1), 1L)
+    // a corpus holding only chunk 0's vec_ids: folding over it would
+    // silently drop chunk 1's committed vectors from the live index
+    val partial = freshDir("streamivf_partial_src")
+    chunks(0).write.parquet(s"$partial/embeddings.parquet")
+    val err = intercept[IllegalStateException] {
+      StreamIvf.retrain(spark, partial, out)
+    }
+    assert(err.getMessage.contains("absent from the retrain corpus"))
+    // nothing flipped: the live model is untouched
+    assert(StreamIvf.modelVersion(out).contains(0L))
+    assert(StreamIvf.searchLive(spark, sf001, out).collect().nonEmpty)
+  }
+
   test("retrain equals a fresh build and sweeps crashed-model leftovers") {
     val out = freshDir("streamivf_retrain")
     // bootstrap centroids from a DIFFERENT corpus: the streamed index
