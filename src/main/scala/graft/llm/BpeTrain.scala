@@ -87,19 +87,48 @@ object BpeTrain extends QueryGroup {
     out.toSeq
   }
 
+  /** One round: count pairs over the current state, collect the bounded
+    * top-(batchK·poolMult) candidates, keep the token-disjoint batch. */
+  private def countAndPick(st: DataFrame, batchK: Int,
+      poolMult: Int = 8): Seq[(String, String, Long)] = {
+    val toks = st
+      .withColumn("t", expr(s"slice(split(s, '$B'), 2, size(split(s, '$B')) - 2)"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(col("cnt"), explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS x, t[i] AS y))")).as("p"))
+      .select(col("cnt"), col("p.x").as("x"), col("p.y").as("y"))
+    // batchK*8 bounded rows per round (top-1 argmax when batchK = 1):
+    // headroom for greedy conflicts without an unbounded collect
+    val cands = pairs.groupBy(col("x"), col("y"))
+      .agg(sum(col("cnt")).as("pc"))
+      .orderBy(desc("pc"), col("x"), col("y"))
+      .limit(batchK * poolMult).collect()
+      .map(b => (b.getString(0), b.getString(1), b.getLong(2))).toSeq
+    selectDisjoint(cands, batchK)
+  }
+
+  /** Apply a disjoint batch: one projection chaining the replaces; order
+    * irrelevant by disjointness, selection order used for determinism. */
+  private def applyPicked(st: DataFrame,
+      picked: Seq[(String, String, Long)]): DataFrame = {
+    val applied = picked.foldLeft(col("s")) { case (c, (x, y, _)) =>
+      call_function("replace", c, lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D"))
+    }
+    Materialize.cut(st.withColumn("s", applied))
+  }
+
   /** The Sennrich loop with a BATCHED merge schedule: per round, rank
     * pair counts once, collect the top `batchK`·8 candidates (a bounded
     * driver read replacing the top-1 argmax), greedily keep up to
     * `batchK` token-disjoint ones ([[selectDisjoint]] — commutative, so
     * one round of chained replaces equals applying them sequentially),
     * and apply them all before re-counting. Jobs-per-vocabulary drops
-    * ~batchK-fold: a real 32k-merge vocabulary is ~2k rounds at
-    * batchK=16 instead of 32k sequential jobs — the standard batched-BPE
-    * trade (the learned TABLE can differ from the strict top-1 schedule,
-    * because lower-ranked pairs are admitted before re-counting; every
-    * admitted count is still exact). `batchK = 1` IS the classic
-    * schedule — `bpe_train`'s oracle-graded shape. Ranks number merges
-    * in global application order. */
+    * ~batchK-fold (the standard batched-BPE trade: the learned TABLE can
+    * differ from the strict top-1 schedule, because lower-ranked pairs
+    * are admitted before re-counting; every admitted count is still
+    * exact). `batchK = 1` IS the classic schedule — `bpe_train`'s
+    * oracle-graded shape. Ranks number merges in global application
+    * order. For production vocabularies use [[learnAdaptive]]. */
   private[llm] def learnBatched(s: SparkSession, d: String, rounds: Int,
       batchK: Int): Seq[(Long, String, String, Long)] = {
     require(batchK >= 1, s"learnBatched: need batchK >= 1; got $batchK")
@@ -108,35 +137,67 @@ object BpeTrain extends QueryGroup {
     var r = 0
     var done = false
     while (r < rounds && !done) {
-      val toks = st
-        .withColumn("t", expr(s"slice(split(s, '$B'), 2, size(split(s, '$B')) - 2)"))
-        .filter(size(col("t")) >= 2)
-      val pairs = toks.select(col("cnt"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS x, t[i] AS y))")).as("p"))
-        .select(col("cnt"), col("p.x").as("x"), col("p.y").as("y"))
-      // batchK*8 bounded rows per round (top-1 argmax when batchK = 1):
-      // headroom for greedy conflicts without an unbounded collect
-      val cands = pairs.groupBy(col("x"), col("y"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(desc("pc"), col("x"), col("y"))
-        .limit(batchK * 8).collect()
-        .map(b => (b.getString(0), b.getString(1), b.getLong(2))).toSeq
-      val picked = selectDisjoint(cands, batchK)
+      val picked = countAndPick(st, batchK)
       if (picked.isEmpty) done = true
       else {
         picked.foreach { case (x, y, pc) =>
           merges += ((merges.size.toLong, x, y, pc))
         }
-        // one projection chaining the batch's replaces; order irrelevant
-        // by disjointness, selection order used for determinism
-        val applied = picked.foldLeft(col("s")) { case (c, (x, y, _)) =>
-          call_function("replace", c, lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D"))
-        }
-        st = Materialize.cut(st.withColumn("s", applied))
+        st = applyPicked(st, picked)
         r += 1
       }
     }
     merges.toSeq
+  }
+
+  /** The production-vocabulary schedule: a MERGE-FRONTIER loop that
+    * grows the per-round batch as the pair distribution flattens.
+    * Early rounds are contended (a few dominant pairs share tokens —
+    * big batches would mostly conflict), so k starts small; each round
+    * that admits its FULL batch doubles k (to `maxK`), each round that
+    * couldn't fill it halves k (floor `k0`) — the admission rate is the
+    * direct measurement of how disjoint the frontier actually is.
+    * Stops at `targetMerges` or pair exhaustion; returns (merges,
+    * rounds). With maxK = k0 the schedule degenerates to
+    * [[learnBatched]]'s fixed-k loop and the learned PREFIX is
+    * identical (`BpeTrainSpec` pins it); k0 = maxK = 1 IS the classic
+    * top-1 schedule. Steady-state admission is bounded by the CORPUS's
+    * token-disjoint frontier width, not by maxK — measured ~30–36 on a
+    * 62-char-alphabet synthetic vocabulary (1024 merges in 34 rounds;
+    * 4096 in 114 rounds / 48 s at local[4]), which puts a 32k-merge
+    * vocabulary at ~900 vocab-bounded rounds vs 32768 classic jobs and
+    * 2048 fixed-k=16 rounds; a real-text corpus (90+ distinct bytes,
+    * Zipf vocabulary) has a wider frontier. SCALING.md carries the
+    * numbers; `BpeTrainSpec` re-measures the 1024 point each run. */
+  private[llm] def learnAdaptive(s: SparkSession, d: String,
+      targetMerges: Int, k0: Int = 16, maxK: Int = 512, poolMult: Int = 8)
+      : (Seq[(Long, String, String, Long)], Int) = {
+    require(k0 >= 1 && maxK >= k0,
+      s"learnAdaptive: need 1 <= k0 <= maxK; got k0=$k0 maxK=$maxK")
+    var st = Materialize.cut(initState(T.documents(s, d)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = k0
+    var rounds = 0
+    var done = false
+    while (merges.size < targetMerges && !done) {
+      val ask = math.min(k, targetMerges - merges.size)
+      val picked = countAndPick(st, ask, poolMult)
+      if (picked.isEmpty) done = true
+      else {
+        picked.foreach { case (x, y, pc) =>
+          merges += ((merges.size.toLong, x, y, pc))
+        }
+        st = applyPicked(st, picked)
+        rounds += 1
+        // frontier feedback: this round's admitted count IS the measured
+        // disjoint-frontier width — ask for twice that next round (2×
+        // headroom lets a widening frontier be discovered immediately;
+        // a full admission therefore doubles k, a contended one tracks
+        // the contention down instead of wasting candidate pool)
+        k = math.min(math.max(2 * picked.size, k0), maxK)
+      }
+    }
+    (merges.toSeq, rounds)
   }
 
   /** Registry surface: the learned merges table — (rank, x, y, xy,

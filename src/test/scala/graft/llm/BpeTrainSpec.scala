@@ -237,6 +237,65 @@ class BpeTrainSpec extends SparkSuite {
     assert(xys.distinct.length == xys.length)
   }
 
+  test("adaptive schedule with fixed k is the batched schedule (prefix parity)") {
+    val (adaptive, rounds) =
+      BpeTrain.learnAdaptive(spark, sfDir, targetMerges = 48, k0 = 16, maxK = 16)
+    val batched = learnedBatched(sfDir, rounds = 8, batchK = 16)
+    assert(adaptive.map { case (_, x, y, pc) => (x, y, pc) } ==
+      batched.take(adaptive.length))
+    assert(adaptive.length == 48,
+      s"target not reached: ${adaptive.length} merges in $rounds rounds")
+  }
+
+  test("adaptive schedule exhausts the real corpus and reports the ceiling") {
+    // the corpus-side ceiling measurement: the synthetic documents table
+    // has a ~31-word vocabulary, so training EXHAUSTS long before any
+    // production vocabulary size — the adaptive loop must stop cleanly
+    // at the corpus's true merge capacity, not at the target
+    val (all, rounds) =
+      BpeTrain.learnAdaptive(spark, sfDir, targetMerges = 100000, k0 = 4, maxK = 64)
+    assert(all.nonEmpty && all.length < 200,
+      s"tiny-vocabulary corpus cannot support ${all.length} merges")
+    val xys = all.map { case (_, x, y, _) => x + y }
+    assert(xys.distinct.length == xys.length)
+    info(s"sf0.001 corpus exhausts at ${all.length} merges in $rounds rounds")
+  }
+
+  test("production vocabulary: the frontier schedule reaches 1024 merges in few rounds") {
+    val sess = spark
+    import sess.implicits._
+    // a wide deterministic vocabulary (6000 10-char words over a 62-char
+    // alphabet — the realistic regime: the token-disjoint frontier scales
+    // with alphabet size, and real corpora carry 90+ distinct bytes)
+    val rnd = new scala.util.Random(7)
+    val letters =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val words = (0 until 6000).map { i =>
+      (0 until 10).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }.distinct
+    val docs = words.grouped(100).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" "), "en", "synth")
+    }.toSeq.toDF("doc_id", "text", "lang", "source")
+    val dir = graft.core.Fixtures.path("bpetrain_wide")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (merges, rounds) = BpeTrain.learnAdaptive(spark, dir,
+      targetMerges = 1024, k0 = 16, maxK = 256, poolMult = 32)
+    assert(merges.length == 1024, s"reached only ${merges.length} merges")
+    // the number the 32k claim scales from (SCALING.md): measured 34
+    // rounds ≈ a ~30-wide steady-state disjoint frontier on this 62-char
+    // corpus — 30× fewer jobs than the classic top-1 schedule (1024) and
+    // ~2× fewer than fixed k0 = 16 (64 rounds); the frontier width is a
+    // corpus property (it scales with alphabet/token diversity), so the
+    // assertion leaves headroom over the measurement, not over the claim
+    assert(rounds <= 40,
+      s"adaptive schedule took $rounds rounds for 1024 merges " +
+        "(classic = 1024 jobs, fixed k0 = 64 rounds)")
+    val xys = merges.map { case (_, x, y, _) => x + y }
+    assert(xys.distinct.length == xys.length)
+    assert(merges.map(_._1) == merges.indices.map(_.toLong))
+    info(s"1024 merges in $rounds rounds (k0=16, maxK=256)")
+  }
+
   test("single-char and empty vocabularies exhaust immediately") {
     val sess = spark
     import sess.implicits._
