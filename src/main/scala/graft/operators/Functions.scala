@@ -212,6 +212,14 @@ object Functions extends QueryGroup {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- Q25: map functions + map explode ---------------------------------
+  // Shape note (the board's worst sweep ratio, 8.2× at 10× data — still
+  // sublinear): this operator's OUTPUT is corpus-sized by definition
+  // (2 rows per event), so there is no aggregation to push map-side —
+  // the plan is a narrow map + generator plus ONE range exchange for the
+  // presentation sort, and the sweep cost is that sort over 2·|events|
+  // rows (probe at sf1: ~40 % sort, ~60 % explode+materialize). At
+  // 100 TB the global ORDER BY is the piece a real pipeline drops
+  // (partition-local output order), not the explode.
   private def q25(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
       .select(col("event_id"),
