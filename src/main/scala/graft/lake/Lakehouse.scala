@@ -195,6 +195,23 @@ object LakeQueries extends QueryGroup {
        |    BETWEEN $dyLo AND $dyHi
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** The streamed twin of [[pruneRead]]: the same 2-D predicate and
+    * aggregate over a layout built by THREE `StreamLake.applyBatch`
+    * micro-batches (deterministic date-cutoff batches) instead of one
+    * batch write, pruned at (batch, fid) granularity — the oracle is the
+    * identical raw-orders SQL, so a green row proves the streaming
+    * ingest + per-batch manifest + pruning chain end-to-end. */
+  private def streamIngest(s: SparkSession, d: String): DataFrame = {
+    val p = StreamLakeFixture.ensure(s, d)
+    StreamLake.prunedOrders(s, p, ckLo, ckHi, dyLo, dyHi)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The manifest itself, oracle-replayed from raw orders through the
     * SAME interleave rendering as the engine's codegen'd expression —
     * grades layout fidelity AND fixture freshness every round. */
@@ -288,5 +305,6 @@ object LakeQueries extends QueryGroup {
     "lake_manifest_stats" -> QueryDef(manifestStats, Some(manifestStatsSql)),
     "lake_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql)),
     "lake_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
-    "lake_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)))
+    "lake_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)),
+    "lake_stream_ingest" -> QueryDef(streamIngest, Some(pruneReadSql)))
 }

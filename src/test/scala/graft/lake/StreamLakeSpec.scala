@@ -1,0 +1,113 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{Tables => T}
+import graft.streaming.CommitFiles
+
+/** StreamLake's contracts: streamed batches yield the same pruned-scan
+  * rows as the one-shot batch layout, replay is idempotent, uncommitted
+  * batch dirs are invisible, empty batches advance the pointer, pruning
+  * skips files at (batch, fid) granularity, and a wiped-checkpoint
+  * restart fails loudly. */
+class StreamLakeSpec extends SparkSuite {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def freshDir(name: String): String = {
+    val dir = graft.core.Fixtures.path(name)
+    val root = new java.io.File(dir)
+    if (root.exists()) CommitFiles.rmTree(root)
+    dir
+  }
+
+  private def ingest3(out: String): Unit = {
+    val orders = T.orders(spark, sf001)
+    def ts(c: String) = lit(c).cast("timestamp")
+    StreamLake.applyBatch(spark, out,
+      orders.filter(col("o_orderdate") < ts("1997-01-01")), 0L)
+    StreamLake.applyBatch(spark, out,
+      orders.filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1999-01-01")), 1L)
+    StreamLake.applyBatch(spark, out,
+      orders.filter(col("o_orderdate") >= ts("1999-01-01")), 2L)
+  }
+
+  test("streamed layout equals the batch layout under the same predicate") {
+    val out = freshDir("streamlake_eq")
+    ingest3(out)
+    assert(StreamLake.scanAll(spark, out).count() ==
+      T.orders(spark, sf001).count())
+    val streamed = StreamLake
+      .prunedOrders(spark, out, 200L, 399L, 9496L, 9861L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val batchLayout = LakeFixture.ensure(spark, sf001)
+    val batch = ZLayout.prunedOrders(spark, batchLayout, 200L, 399L, 9496L, 9861L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("pruning skips files at (batch, fid) granularity") {
+    val out = freshDir("streamlake_prune")
+    ingest3(out)
+    val all = StreamLake.scanAll(spark, out).inputFiles.length
+    // dy 9496–9861 is 1996 — entirely inside batch 0, so every batch-1/2
+    // file is skipped on top of the fid skip
+    val pruned = StreamLake
+      .prunedOrders(spark, out, 200L, 399L, 9496L, 9861L).inputFiles
+    assert(pruned.nonEmpty && pruned.length < all)
+    assert(pruned.forall(_.contains("batch=0")),
+      s"1996 predicate must touch only batch 0 files: ${pruned.take(3).mkString}")
+  }
+
+  test("replay is idempotent; an uncommitted batch dir is invisible") {
+    val out = freshDir("streamlake_replay")
+    ingest3(out)
+    val once = StreamLake.scanAll(spark, out).count()
+    // crash-replay of batch 2: overwrites its own dirs, same pointer
+    StreamLake.applyBatch(spark, out,
+      T.orders(spark, sf001)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")), 2L)
+    assert(StreamLake.scanAll(spark, out).count() == once)
+    assert(StreamLake.latestVersion(out).contains(2L))
+    // a crash BETWEEN write and flip: batch=9 exists on disk, pointer
+    // still 2 — readers must not see it
+    ZLayout.ordersProjection(T.orders(spark, sf001).limit(7))
+      .write.partitionBy("fid").parquet(s"$out/batch=9")
+    assert(StreamLake.scanAll(spark, out).count() == once)
+    assert(StreamLake.manifest(spark, out)
+      .filter(col("batch") === 9L).count() == 0)
+  }
+
+  test("an empty batch advances the pointer without writing dirs") {
+    val out = freshDir("streamlake_empty")
+    StreamLake.applyBatch(spark, out, T.orders(spark, sf001).limit(0), 0L)
+    assert(StreamLake.latestVersion(out).contains(0L))
+    assert(StreamLake.scanAll(spark, out).count() == 0)
+    assert(StreamLake.manifest(spark, out).count() == 0)
+    // and ingest proceeds on top
+    StreamLake.applyBatch(spark, out, T.orders(spark, sf001).limit(10), 1L)
+    assert(StreamLake.scanAll(spark, out).count() == 10)
+  }
+
+  test("a wiped-checkpoint restart against a committed dir fails loudly") {
+    val out = freshDir("streamlake_brand")
+    val ck1 = freshDir("streamlake_ck1")
+    Files.createDirectories(Paths.get(ck1))
+    Files.writeString(Paths.get(ck1, "metadata"), """{"id":"aaaa-1111"}""")
+    StreamLake.applyBatch(spark, out, T.orders(spark, sf001).limit(5), 0L,
+      checkpoint = Some(ck1))
+    val ck2 = freshDir("streamlake_ck2")
+    Files.createDirectories(Paths.get(ck2))
+    Files.writeString(Paths.get(ck2, "metadata"), """{"id":"bbbb-2222"}""")
+    val err = intercept[IllegalStateException] {
+      StreamLake.applyBatch(spark, out, T.orders(spark, sf001).limit(5), 0L,
+        checkpoint = Some(ck2))
+    }
+    assert(err.getMessage.toLowerCase.contains("checkpoint"))
+  }
+}
