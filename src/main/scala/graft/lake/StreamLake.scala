@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -138,6 +138,105 @@ object StreamLake {
         .parquet(sel.map { case (b, f) => s"$dir/batch=$b/fid=$f" }: _*)
     scan.filter(col("ck").between(ckLo, ckHi) &&
       col("dy").between(dyLo, dyHi))
+  }
+
+  private def stagingRoot(dir: String) = s"$dir/.compact_staging"
+  private def retiringRoot(dir: String) = s"$dir/.compact_retiring"
+
+  /** Heal the on-disk state a crashed [[compact]] can leave. The decisive
+    * evidence is the staging DATA payload (directory renames are atomic,
+    * so each payload is wholly in staging or wholly at its destination):
+    *
+    *   - staging still holds `batch=…` data → the swap never moved data
+    *     in → roll BACK: restore every retired dir, drop staging;
+    *   - staging exists without data (crash between the two swap moves
+    *     or before cleanup) → the live data IS the compacted copy → roll
+    *     FORWARD: move a still-staged manifest payload in, drop the
+    *     retired originals (restoring them here would DUPLICATE every
+    *     pre-compaction row);
+    *   - staging gone, retiring present → cleanup crashed → drop it.
+    *
+    * Run at the start of every compact; safe whenever the stream is
+    * stopped; nothing is sticky. */
+  def healCompact(dir: String): Unit = {
+    val staging = new java.io.File(stagingRoot(dir))
+    val retiring = new java.io.File(retiringRoot(dir))
+    def children(f: java.io.File) =
+      Option(f.listFiles()).getOrElse(Array.empty)
+    if (staging.exists()) {
+      val staged = children(staging)
+      if (staged.exists(f => f.getName.startsWith("batch="))) {
+        // roll back: no data payload ever reached the live table
+        children(retiring).foreach { f =>
+          val back = Paths.get(
+            if (f.getName.startsWith("m_"))
+              s"$dir/_manifest/${f.getName.stripPrefix("m_")}"
+            else s"$dir/${f.getName}")
+          if (!Files.exists(back)) Files.move(f.toPath, back)
+          else CommitFiles.rmTree(f) // defensive: duplicate leftover
+        }
+      } else {
+        // roll forward: finish the manifest move if it is still staged
+        staged.filter(_.getName.startsWith("m_batch=")).foreach { f =>
+          Files.createDirectories(Paths.get(s"$dir/_manifest"))
+          val dest = Paths.get(
+            s"$dir/_manifest/${f.getName.stripPrefix("m_")}")
+          if (!Files.exists(dest)) Files.move(f.toPath, dest)
+        }
+      }
+      CommitFiles.rmTree(staging)
+    }
+    if (retiring.exists()) CommitFiles.rmTree(retiring)
+  }
+
+  /** Fold every committed batch into ONE `batch=<latest>` dir (and one
+    * manifest dir) — the maintenance step that caps the (batch, fid)
+    * file count the append-only layout accrues. Run with the stream
+    * stopped (the IvfIndex.compact contract): a concurrent commit is
+    * detected by a pointer re-check and aborts loudly before the swap; a
+    * crash anywhere leaves a state [[healCompact]] repairs (staged copy
+    * first, originals retired by rename, staging moved in, retired
+    * dropped — staging-present ⇒ rollback, staging-absent ⇒
+    * roll-forward). Readers between the renames can see a partial
+    * table — the same documented maintenance window as
+    * `CommitFiles.swapDir`. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    healCompact(dir)
+    val v = latestVersion(dir).getOrElse(throw new IllegalStateException(
+      s"stream_lake: nothing committed under $dir — nothing to compact"))
+    val all = scanAll(spark, dir).drop("batch")
+      .withColumn("fid", col("fid").cast("long"))
+    val staging = stagingRoot(dir)
+    all.repartition(col("fid"))
+      .sortWithinPartitions(col("fid"), col("zkey"))
+      .write.mode("overwrite").partitionBy("fid")
+      .parquet(s"$staging/batch=$v")
+    all.groupBy(col("fid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("dy")).as("dy_min"), max(col("dy")).as("dy_max"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/m_batch=$v")
+    if (!latestVersion(dir).contains(v)) {
+      CommitFiles.rmTree(new java.io.File(staging))
+      throw new IllegalStateException(
+        "stream_lake: a batch committed while compacting (stream still " +
+          "running?) — aborted without swapping; stop the query first")
+    }
+    val retiring = retiringRoot(dir)
+    Files.createDirectories(Paths.get(retiring))
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .foreach(f => Files.move(f.toPath, Paths.get(retiring, f.getName)))
+    Option(new java.io.File(s"$dir/_manifest").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .foreach(f => Files.move(f.toPath, Paths.get(retiring, s"m_${f.getName}")))
+    Files.move(Paths.get(s"$staging/batch=$v"), Paths.get(s"$dir/batch=$v"))
+    Files.createDirectories(Paths.get(s"$dir/_manifest"))
+    Files.move(Paths.get(s"$staging/m_batch=$v"),
+      Paths.get(s"$dir/_manifest/batch=$v"))
+    CommitFiles.rmTree(new java.io.File(staging))
+    CommitFiles.rmTree(new java.io.File(retiring))
   }
 
   /** The streaming query: an orders stream → a continuously grown

@@ -94,6 +94,64 @@ class StreamLakeSpec extends SparkSuite {
     assert(StreamLake.scanAll(spark, out).count() == 10)
   }
 
+  test("compact folds all batches into one, preserving rows and pruning") {
+    val out = freshDir("streamlake_compact")
+    ingest3(out)
+    val before = StreamLake.scanAll(spark, out)
+      .select(col("o_orderkey"), col("ck"), col("dy")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val filesBefore = StreamLake.scanAll(spark, out).inputFiles.length
+    StreamLake.compact(spark, out)
+    val after = StreamLake.scanAll(spark, out)
+      .select(col("o_orderkey"), col("ck"), col("dy")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before, "compaction must preserve every row exactly")
+    assert(StreamLake.scanAll(spark, out).inputFiles.length < filesBefore)
+    // one batch dir remains; pruning still works; ingest continues
+    assert(StreamLake.manifest(spark, out)
+      .select(col("batch").cast("long")).distinct().count() == 1)
+    assert(StreamLake.prunedOrders(spark, out, 200L, 399L, 9496L, 9861L)
+      .count() > 0)
+    StreamLake.applyBatch(spark, out, T.orders(spark, sf001).limit(5), 3L)
+    assert(StreamLake.scanAll(spark, out).count() == before.length + 5)
+  }
+
+  test("a crashed compact heals: rollback when data never moved, forward after") {
+    val out = freshDir("streamlake_heal")
+    ingest3(out)
+    val want = StreamLake.scanAll(spark, out).count()
+    // CRASH A — retire done, staging full, nothing moved in: simulate by
+    // staging a copy and retiring the live dirs by hand
+    val staging = s"$out/.compact_staging"
+    val retiring = s"$out/.compact_retiring"
+    StreamLake.scanAll(spark, out).drop("batch")
+      .withColumn("fid", col("fid").cast("long"))
+      .write.partitionBy("fid").parquet(s"$staging/batch=2")
+    Files.createDirectories(Paths.get(retiring))
+    for (b <- 0 to 2) {
+      Files.move(Paths.get(s"$out/batch=$b"), Paths.get(s"$retiring/batch=$b"))
+      Files.move(Paths.get(s"$out/_manifest/batch=$b"),
+        Paths.get(s"$retiring/m_batch=$b"))
+    }
+    StreamLake.healCompact(out)
+    assert(StreamLake.scanAll(spark, out).count() == want,
+      "rollback must restore the pre-compaction table")
+    assert(!Files.exists(Paths.get(staging)) && !Files.exists(Paths.get(retiring)))
+    // CRASH B — data moved in, manifest still staged: roll forward
+    StreamLake.compact(spark, out) // get to the compacted single-batch state
+    val compacted = StreamLake.scanAll(spark, out).count()
+    Files.createDirectories(Paths.get(staging))
+    Files.move(Paths.get(s"$out/_manifest/batch=2"),
+      Paths.get(s"$staging/m_batch=2"))
+    Files.createDirectories(Paths.get(retiring)) // empty leftovers
+    StreamLake.healCompact(out)
+    assert(StreamLake.scanAll(spark, out).count() == compacted)
+    assert(StreamLake.manifest(spark, out).count() > 0,
+      "roll-forward must finish the manifest move")
+    assert(StreamLake.prunedOrders(spark, out, 200L, 399L, 9496L, 9861L)
+      .count() > 0)
+  }
+
   test("a wiped-checkpoint restart against a committed dir fails loudly") {
     val out = freshDir("streamlake_brand")
     val ck1 = freshDir("streamlake_ck1")
