@@ -237,6 +237,10 @@ object StreamLake {
       Paths.get(s"$dir/_manifest/batch=$v"))
     CommitFiles.rmTree(new java.io.File(staging))
     CommitFiles.rmTree(new java.io.File(retiring))
+    // history below v is rewritten: record the floor so an incremental
+    // reader (sources.LakeSource) positioned below it fails loudly
+    // instead of re-consuming the folded rows
+    CommitFiles.atomicWrite(Paths.get(dir, "_compacted"), v.toString)
   }
 
   /** The streaming query: an orders stream → a continuously grown
