@@ -488,6 +488,57 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), h48(col("sh")).as("shh"))
       .distinct()
 
+  // ---- text_pii_redact: PII detection + masking ------------------------
+  // The cleaning step every training pipeline runs before anything else:
+  // detect and mask emails / IPv4s / phone-shaped numbers. One shared
+  // pattern list renders BOTH the Spark expressions and the DuckDB SQL
+  // (the profile_correlations can't-drift rule), and the per-doc output
+  // carries the match counts plus the md5 of the fully redacted text —
+  // so the oracle grades that Java-regex and RE2 agree byte-for-byte on
+  // every document, not just on the counts. The synthetic corpus is
+  // PII-free (all counts 0, hash == hash of the original), which the
+  // oracle still verifies end-to-end; `PiiRedactSpec` drives the actual
+  // masking on a crafted PII corpus. Patterns stay in the Java∩RE2
+  // common syntax (ASCII classes, \b, bounded repeats). Narrow per-row
+  // map — no shuffle before the presentation sort; at 100 TB this is
+  // the embarrassingly parallel regime (chunk_documents' row).
+  private[llm] val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+    "phone" -> """\b\d{3}[-.]\d{3}[-.]\d{4}\b""")
+
+  private[llm] def piiRedactDf(docs: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, p)) =>
+      regexp_replace(c, p, "<PII>")
+    }
+    docs.select(
+      col("doc_id") +:
+        piiPatterns.map { case (n, p) =>
+          size(regexp_extract_all(col("text"), lit(p), lit(0)))
+            .cast(LongType).as(s"n_$n")
+        } :+
+        length(redacted).cast(LongType).as("redacted_len") :+
+        md5(redacted).as("redacted_md5"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactDf(T.documents(s, d))
+
+  private val piiRedactSql = {
+    val counts = piiPatterns.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n      |  ")
+    val redacted = piiPatterns.foldLeft("text") { case (e, (_, p)) =>
+      s"regexp_replace($e, '$p', '<PII>', 'g')"
+    }
+    s"""SELECT doc_id,
+      |  $counts,
+      |  CAST(length($redacted) AS BIGINT) AS redacted_len,
+      |  md5($redacted) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private def decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh8 = shingle8(T.documents(s, d))
       .cache() // read three times (bench build, overlap probe, totals)
@@ -1503,6 +1554,7 @@ object Pipeline extends QueryGroup {
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "pack_sequences_bpe" -> QueryDef(packSequencesBpe, Some(packSequencesBpeSql)),
     "decontaminate_ngram" -> QueryDef(decontaminate, Some(decontaminateSql)),
+    "text_pii_redact" -> QueryDef(piiRedact, Some(piiRedactSql)),
     "text_dedup_spans" -> QueryDef(dedupSpans, Some(dedupSpansSql)),
     "text_dup_span_merge" -> QueryDef(dupSpanMerge, Some(dupSpanMergeSql)),
     "curate_verdict" -> QueryDef(curateVerdict, Some(curateVerdictSql)),

@@ -485,6 +485,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  // the lake predicate (ck 200–399) only matches data from sf0.01 up —
+  // at sf0.001 pruning legitimately empties the scan to a LocalTableScan
+  private def lakePhysical(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+
+  test("lake_prune_read: the residual row filter is pushed into the pruned scan") {
+    // file-level skipping happens BEFORE the plan (manifest-selected
+    // paths); the exact ck/dy predicate must additionally reach the
+    // parquet reader as pushed filters so surviving files still skip
+    // row groups on their footer stats
+    val p = lakePhysical("lake_prune_read")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(ck") || p.contains("IsNotNull(ck"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("lake_prune_read: scan does not read the payload columns the agg ignores") {
+    val readSchema = lakePhysical("lake_prune_read")
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("zkey"), readSchema)
+  }
+
+  test("lake_snapshot_diff: the anti join broadcasts the old-version key side") {
+    val p = physical("lake_snapshot_diff")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(1500))
+  }
+
   test("asof family: no quadratic unbounded-FOLLOWING window frame") {
     // Spark's unbounded-following frame re-scans to the partition end per
     // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both
