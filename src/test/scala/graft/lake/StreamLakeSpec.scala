@@ -152,6 +152,42 @@ class StreamLakeSpec extends SparkSuite {
       .count() > 0)
   }
 
+  test("a REAL stream with a mid-stream restart lands every row exactly once") {
+    val out = freshDir("streamlake_e2e")
+    val ckpt = freshDir("streamlake_e2e_ck")
+    val srcDir = freshDir("streamlake_e2e_src")
+    Files.createDirectories(Paths.get(srcDir))
+    val orders = T.orders(spark, sf001).limit(300)
+    val schema = orders.schema
+    def addChunk(i: Int): Unit = {
+      val tmp = freshDir(s"streamlake_e2e_stage$i")
+      orders.filter(col("o_orderkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, f"c$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    addChunk(0); addChunk(1)
+    val q1 = StreamLake.start(stream(), out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val mid = StreamLake.scanAll(spark, out).count()
+    assert(mid == orders.filter(col("o_orderkey") % 3 < 2).count())
+
+    addChunk(2) // restart from the same checkpoint picks up only chunk 2
+    val q2 = StreamLake.start(stream(), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val keys = StreamLake.scanAll(spark, out)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == orders.select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).sorted.toSeq,
+      "streamed table != source rows exactly once")
+  }
+
   test("a wiped-checkpoint restart against a committed dir fails loudly") {
     val out = freshDir("streamlake_brand")
     val ck1 = freshDir("streamlake_ck1")
