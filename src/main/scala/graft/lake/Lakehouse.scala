@@ -109,12 +109,19 @@ object TimeTravel {
   def latestVersion(dir: String): Option[Long] =
     CommitFiles.readPointer(Paths.get(dir, "_latest"))
 
-  /** Read one exact retained version. */
+  /** Read one exact retained COMMITTED version. A `v=` directory above
+    * the `_latest` pointer is an in-flight (possibly torn) write — a
+    * crash between snapshot write and pointer flip leaves exactly that
+    * state — so it is refused as loudly as a missing version. */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val have = versions(dir)
+    val committed = latestVersion(dir)
     require(have.contains(v),
       s"time_travel: version $v is not retained at $dir (have: " +
-        s"${have.mkString(", ")}; latest committed: ${latestVersion(dir)})")
+        s"${have.mkString(", ")}; latest committed: $committed)")
+    require(committed.exists(v <= _),
+      s"time_travel: version $v at $dir is not committed (latest " +
+        s"committed: $committed) — an uncommitted snapshot may be torn")
     spark.read.parquet(s"$dir/v=$v")
   }
 

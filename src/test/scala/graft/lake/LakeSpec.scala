@@ -84,6 +84,17 @@ class LakeSpec extends SparkSuite {
       TimeTravel.readAsOf(spark, snaps, -1L)
     }
     assert(below.getMessage.contains("nothing committed"))
+    // an in-flight snapshot above the pointer (crash between write and
+    // flip) must be refused, not served possibly torn
+    orders.limit(1).write.mode("overwrite").parquet(s"$snaps/v=9")
+    try {
+      val torn = intercept[IllegalArgumentException] {
+        TimeTravel.readVersion(spark, snaps, 9L)
+      }
+      assert(torn.getMessage.contains("not committed"), torn.getMessage)
+      assert(TimeTravel.readAsOf(spark, snaps, 9L).count() == orders.count(),
+        "as-of must clamp to the committed head, ignoring the torn dir")
+    } finally graft.streaming.CommitFiles.rmTree(new java.io.File(s"$snaps/v=9"))
   }
 
   test("a rewritten source re-derives the layout and sweeps the stale one") {
