@@ -219,6 +219,21 @@ object LakeQueries extends QueryGroup {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Like [[streamIngest]] but over a layout that was COMPACTED after
+    * the three ingest batches — the same raw-orders oracle grades that
+    * `StreamLake.compact`'s staged swap preserved every row and kept the
+    * folded manifest prunable, every round at both scales. */
+  private def compactRead(s: SparkSession, d: String): DataFrame = {
+    val p = CompactedLakeFixture.ensure(s, d)
+    StreamLake.prunedOrders(s, p, ckLo, ckHi, dyLo, dyHi)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The manifest itself, oracle-replayed from raw orders through the
     * SAME interleave rendering as the engine's codegen'd expression —
     * grades layout fidelity AND fixture freshness every round. */
@@ -313,5 +328,6 @@ object LakeQueries extends QueryGroup {
     "lake_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql)),
     "lake_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
     "lake_incremental_agg" -> QueryDef(incrementalAgg, Some(incrementalAggSql)),
-    "lake_stream_ingest" -> QueryDef(streamIngest, Some(pruneReadSql)))
+    "lake_stream_ingest" -> QueryDef(streamIngest, Some(pruneReadSql)),
+    "lake_compact_read" -> QueryDef(compactRead, Some(pruneReadSql)))
 }

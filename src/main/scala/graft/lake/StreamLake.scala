@@ -259,7 +259,7 @@ object StreamLake {
   * query: a green row proves the streaming ingest + manifest + pruning
   * chain end-to-end against raw orders. */
 object StreamLakeFixture extends graft.core.DerivedFixture("lake_stream", "orders") {
-  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+  private[lake] def ingest3(s: SparkSession, dir: String, target: String): Unit = {
     val orders = graft.core.Tables.orders(s, dir)
     def ts(c: String) = lit(c).cast("timestamp")
     StreamLake.applyBatch(s, target,
@@ -269,5 +269,17 @@ object StreamLakeFixture extends graft.core.DerivedFixture("lake_stream", "order
         col("o_orderdate") < ts(SnapshotFixture.Cut1)), 1L)
     StreamLake.applyBatch(s, target,
       orders.filter(col("o_orderdate") >= ts(SnapshotFixture.Cut1)), 2L)
+  }
+  override protected def build(s: SparkSession, dir: String, target: String): Unit =
+    ingest3(s, dir, target)
+}
+
+/** The same 3-batch ingest followed by [[StreamLake.compact]] — the
+  * compacted layout the `lake_compact_read` registry row grades against
+  * raw orders. */
+object CompactedLakeFixture extends graft.core.DerivedFixture("lake_compacted", "orders") {
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    StreamLakeFixture.ingest3(s, dir, target)
+    StreamLake.compact(s, target)
   }
 }

@@ -81,6 +81,9 @@ object LakeSource {
 
 private class LakeTable(path: String, maxBatches: Int)
   extends Table with SupportsRead {
+  require(maxBatches >= 1,
+    s"lake_source: maxBatchesPerTrigger must be >= 1, got $maxBatches " +
+      "(0 would stall the stream silently, never advancing its offset)")
   override def name(): String = s"lake($path)"
   override def schema(): StructType = LakeSource.schema
   override def capabilities(): util.Set[TableCapability] =
