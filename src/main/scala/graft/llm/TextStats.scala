@@ -430,10 +430,18 @@ object TextStats extends QueryGroup {
   // a shuffled doc scores strictly worse than its natural-order twin).
   //
   // Shape: bigram occurrences come from ONE lead() window over the
-  // positioned word stream (a single doc_id exchange); the model tables
-  // are (h1,h2) and (h) hash aggs over 48-bit hashed words —
-  // vocabulary-bounded (≤|V|²+|V| rows), so the scoring joins broadcast
-  // at any corpus size (AQE size-based, never forced). Portability: the
+  // positioned word stream (a single doc_id exchange), Materialize.cut
+  // so its TWO consumers (the model build and the scoring join) share
+  // one compute — r11's driver gate proved the uncut twin subtree is an
+  // invitation for a plan flip (19.9 s vs the builder's 2.1 s). The
+  // model tables are (h1,h2) and (h) hash aggs over 48-bit hashed
+  // words — vocabulary-bounded (≤|V|²+|V| rows), and the scoring joins
+  // are broadcast()-FORCED, not left to AQE size stats: a
+  // vocabulary-bounded table that must broadcast for the plan to be
+  // sane should not depend on which JVM estimated its size
+  // (PlanSpec pins the shape). At a corpus whose bigram-type count
+  // outgrows driver memory the right plan is the shuffle join AQE would
+  // pick anyway — SCALING.md carries that boundary. Portability: the
   // mixture is a fixed chain of IEEE ops inside ONE ln(), rounded once
   // through DECIMAL(18,6) per distinct bigram (the tfidf/perplexity libm
   // rule); per-doc sums are exact decimals and the final /n is one IEEE
@@ -443,24 +451,29 @@ object TextStats extends QueryGroup {
     val pos = words(T.documents(s, d))
       .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = pos
+    val bg = graft.core.Materialize.cut(pos
       .withColumn("wh2", lead(col("wh"), 1).over(w))
       .filter(col("wh2").isNotNull)
       .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val bgModel = bg.groupBy(col("h1"), col("h2"))
       .agg(sum(col("c")).cast(LongType).as("cb"))
-    val uni = pos.groupBy(col("wh")).agg(count(lit(1)).cast(LongType).as("cu"))
+    // |V|-bounded; cut so its three consumers (two model joins + the
+    // corpus total) share one token-stream aggregation
+    val uni = graft.core.Materialize.cut(
+      pos.groupBy(col("wh")).agg(count(lit(1)).cast(LongType).as("cu")))
     val n = uni.agg(sum(col("cu")).cast(LongType).as("nt"))
     val lp = bgModel
-      .join(uni.select(col("wh").as("h1"), col("cu").as("cu1")), Seq("h1"))
-      .join(uni.select(col("wh").as("h2"), col("cu").as("cu2")), Seq("h2"))
+      .join(broadcast(uni.select(col("wh").as("h1"), col("cu").as("cu1"))),
+        Seq("h1"))
+      .join(broadcast(uni.select(col("wh").as("h2"), col("cu").as("cu2"))),
+        Seq("h2"))
       .crossJoin(broadcast(n))
       .select(col("h1"), col("h2"),
         log(lit(0.7) * (col("cb").cast(DoubleType) / col("cu1").cast(DoubleType)) +
           lit(0.3) * (col("cu2").cast(DoubleType) / col("nt").cast(DoubleType)))
           .cast(DecimalType(18, 6)).as("logp"))
-    bg.join(lp, Seq("h1", "h2"))
+    bg.join(broadcast(lp), Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
         (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
@@ -515,20 +528,23 @@ object TextStats extends QueryGroup {
   // doc_id exchange) for doc bigrams, then every model table is a hash
   // agg over the (h1,h2) bigram-type relation: c(w1·) and N1+(w1·)
   // group by h1, N1+(·w2) group by h2, N1+(··) is one scalar. All
-  // vocabulary-bounded (≤|V|²+2|V| rows), AQE broadcasts the scoring
-  // joins at any corpus size. Portability: the whole mixture is a fixed
-  // IEEE chain inside ONE ln(), rounded once through DECIMAL(18,6) per
-  // distinct bigram; per-doc sums are exact decimals and the final /n
-  // is one IEEE division. Docs with <2 words are absent (unscorable).
+  // vocabulary-bounded (≤|V|²+2|V| rows), and — like text_bigram_lm
+  // after the r11 gate flip — the scoring joins are broadcast()-FORCED
+  // and the shared bg window table is Materialize.cut, so the plan is
+  // the same in every JVM (PlanSpec pins it). Portability: the whole
+  // mixture is a fixed IEEE chain inside ONE ln(), rounded once through
+  // DECIMAL(18,6) per distinct bigram; per-doc sums are exact decimals
+  // and the final /n is one IEEE division. Docs with <2 words are
+  // absent (unscorable).
   private def kneserNey(s: SparkSession, d: String): DataFrame = {
     val pos = words(T.documents(s, d))
       .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = pos
+    val bg = graft.core.Materialize.cut(pos
       .withColumn("wh2", lead(col("wh"), 1).over(w))
       .filter(col("wh2").isNotNull)
       .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val bgModel = graft.core.Materialize.cut(
       bg.groupBy(col("h1"), col("h2"))
         .agg(sum(col("c")).cast(LongType).as("cb")))
@@ -540,8 +556,8 @@ object TextStats extends QueryGroup {
       .agg(count(lit(1)).cast(LongType).as("nr2"))
     val nTypes = bgModel.agg(count(lit(1)).cast(LongType).as("nb"))
     val lp = bgModel
-      .join(ctx, Seq("h1"))
-      .join(cont, Seq("h2"))
+      .join(broadcast(ctx), Seq("h1"))
+      .join(broadcast(cont), Seq("h2"))
       .crossJoin(broadcast(nTypes))
       .select(col("h1"), col("h2"),
         log((col("cb").cast(DoubleType) - lit(0.75)) /
@@ -550,7 +566,7 @@ object TextStats extends QueryGroup {
             col("ct1").cast(DoubleType)) *
           (col("nr2").cast(DoubleType) / col("nb").cast(DoubleType)))
           .cast(DecimalType(18, 6)).as("logp"))
-    bg.join(lp, Seq("h1", "h2"))
+    bg.join(broadcast(lp), Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
         (negate(sum(col("c") * col("logp")).cast(DoubleType)) /
@@ -881,11 +897,13 @@ object TextStats extends QueryGroup {
   // DESC, wh) total order; everything else inherits text_bm25's pinned
   // rounding points.
   private def prf(s: SparkSession, d: String): DataFrame = {
-    // tf stays un-materialized like text_bm25's (its 4-consumer cache
-    // measured slower); re-measured here with SEVEN consumers and a
-    // localCheckpoint cut: 6.09 s vs 6.18 s — the scoring joins and
-    // rank windows dominate, not the corpus explode+agg recompute
-    val tf = termFreqs(T.documents(s, d))
+    // tf IS materialized here (unlike text_bm25's 4-consumer tf): the
+    // r10/r11 local A/B said the cut was a ~0.1 s wash on the builder's
+    // warm JVM, but the r11 driver gate priced the SEVEN-consumer
+    // recompute at 12.55 s vs the builder's 5.33 — an
+    // environment-sensitive 7× recompute surface is not worth a 0.1 s
+    // local win; the cut makes the corpus explode+agg cost deterministic
+    val tf = graft.core.Materialize.cut(termFreqs(T.documents(s, d)))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(LongType).cast(DoubleType) /

@@ -514,6 +514,43 @@ class PlanSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("bigram LMs: model joins are forced broadcasts over a cut bigram table") {
+    // the r11 driver-gate lesson: both LMs' efficiency story leaned on
+    // size-based AQE broadcasts that another JVM's stats flipped to
+    // multi-exchange SMJ (19.9 s / 15.1 s vs the builder's 2.1 / 2.4).
+    // The plans are now pinned: the shared lead()-window bigram table is
+    // Materialize.cut (so the scoring plan starts from the checkpoint
+    // RDD — no Window, no corpus scan) and every vocabulary-bounded
+    // model join is broadcast()-forced — no JVM gets to vote.
+    for (name <- Seq("text_bigram_lm", "text_kneser_ney")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(finalSection.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!finalSection.contains("SortMergeJoin"),
+        s"$name scoring join degraded to SMJ:\n${p.take(2000)}")
+      assert(!finalSection.contains("Window"),
+        s"$name recomputes the bigram window past the cut:\n${p.take(2000)}")
+      assert(!finalSection.contains("documents"),
+        s"$name rescans the corpus past the cut:\n${p.take(2000)}")
+    }
+  }
+
+  test("retrieval_prf: seven consumers read the cut tf — no corpus rescan") {
+    // r11: the un-materialized tf priced its 7-consumer recompute at
+    // 12.55 s on the driver vs 5.33 builder-side; tf is now cut, so the
+    // scoring plan must contain no parquet scan of documents at all
+    val df = SparkEntry.queries("retrieval_prf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("documents"),
+      s"retrieval_prf rescans the corpus past the tf cut:\n${p.take(2000)}")
+    assert(finalSection.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!finalSection.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("asof family: no quadratic unbounded-FOLLOWING window frame") {
     // Spark's unbounded-following frame re-scans to the partition end per
     // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both
