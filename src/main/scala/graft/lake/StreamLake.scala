@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,6 +107,7 @@ object StreamLake {
   /** Committed manifest rows, one per (batch, fid). Empty-but-committed
     * layouts (every batch was empty) read as an empty relation. */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
+    assertNoCompactDebris(dir)
     val dirs = committedDirs(dir, s"$dir/_manifest")
     if (dirs.isEmpty) emptyOf(spark, manifestSchema)
     else spark.read.option("basePath", s"$dir/_manifest").parquet(dirs: _*)
@@ -114,6 +115,7 @@ object StreamLake {
 
   /** Every committed row (all batches), with batch/fid partition cols. */
   def scanAll(spark: SparkSession, dir: String): DataFrame = {
+    assertNoCompactDebris(dir)
     require(latestVersion(dir).isDefined,
       s"stream_lake: nothing committed under $dir")
     val dirs = committedDirs(dir, dir)
@@ -143,6 +145,30 @@ object StreamLake {
   private def stagingRoot(dir: String) = s"$dir/.compact_staging"
   private def retiringRoot(dir: String) = s"$dir/.compact_retiring"
 
+  /** Refuse to read a table a crashed [[compact]] left mid-swap. Without
+    * this guard the read paths treat missing batch dirs as the legal
+    * all-empty-batches state, so e.g. the retire-done/staging-full crash
+    * state reads as a committed table with ZERO rows — silently wrong and
+    * indistinguishable from genuinely empty batches. [[healCompact]] only
+    * runs at the start of the NEXT compact; bounding the crash window by
+    * the next READ instead makes the state loud immediately. Reads don't
+    * mutate: the remedy is the (stream-stopped-safe) heal, named in the
+    * error. */
+  private[graft] def assertNoCompactDebris(dir: String): Unit = {
+    val staging = Files.exists(Paths.get(stagingRoot(dir)))
+    val retiring = Files.exists(Paths.get(retiringRoot(dir)))
+    if (staging || retiring) {
+      val what = Seq(
+        if (staging) Some(".compact_staging") else None,
+        if (retiring) Some(".compact_retiring") else None).flatten.mkString(" + ")
+      throw new IllegalStateException(
+        s"stream_lake: $dir holds leftover compaction state ($what) from " +
+          "a crashed compact — reading now could silently return a " +
+          "partial or empty table; run StreamLake.healCompact(dir) " +
+          "(safe whenever the ingest stream is stopped) and retry")
+    }
+  }
+
   /** Heal the on-disk state a crashed [[compact]] can leave. The decisive
     * evidence is the staging DATA payload (directory renames are atomic,
     * so each payload is wholly in staging or wholly at its destination):
@@ -151,9 +177,9 @@ object StreamLake {
     *     in → roll BACK: restore every retired dir, drop staging;
     *   - staging exists without data (crash between the two swap moves
     *     or before cleanup) → the live data IS the compacted copy → roll
-    *     FORWARD: move a still-staged manifest payload in, drop the
-    *     retired originals (restoring them here would DUPLICATE every
-    *     pre-compaction row);
+    *     FORWARD: move a still-staged manifest payload in, install the
+    *     staged `_compacted` floor, drop the retired originals (restoring
+    *     them here would DUPLICATE every pre-compaction row);
     *   - staging gone, retiring present → cleanup crashed → drop it.
     *
     * Run at the start of every compact; safe whenever the stream is
@@ -182,6 +208,14 @@ object StreamLake {
           val dest = Paths.get(
             s"$dir/_manifest/${f.getName.stripPrefix("m_")}")
           if (!Files.exists(dest)) Files.move(f.toPath, dest)
+        }
+        // ... and the compaction floor: the live data IS the folded copy,
+        // so the floor MUST land — without it a LakeSource checkpoint
+        // positioned inside the folded region would silently re-read
+        // (duplicate) every already-consumed row on resume
+        staged.filter(_.getName == "_compacted").foreach { f =>
+          Files.move(f.toPath, Paths.get(dir, "_compacted"),
+            StandardCopyOption.REPLACE_EXISTING)
         }
       }
       CommitFiles.rmTree(staging)
@@ -217,6 +251,14 @@ object StreamLake {
         min(col("dy")).as("dy_min"), max(col("dy")).as("dy_max"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/m_batch=$v")
+    // the compaction floor is STAGED with the payload, not written after
+    // the swap: once the destructive swap begins, every crash state that
+    // keeps the folded data (roll-forward) also carries the floor in
+    // staging for healCompact to move in — a fold can never become live
+    // without its floor, which is what keeps a LakeSource checkpoint in
+    // (0, v] loud instead of silently re-reading folded rows. A rolled
+    // BACK crash drops staging wholesale, floor included.
+    CommitFiles.atomicWrite(Paths.get(staging, "_compacted"), v.toString)
     if (!latestVersion(dir).contains(v)) {
       CommitFiles.rmTree(new java.io.File(staging))
       throw new IllegalStateException(
@@ -235,12 +277,13 @@ object StreamLake {
     Files.createDirectories(Paths.get(s"$dir/_manifest"))
     Files.move(Paths.get(s"$staging/m_batch=$v"),
       Paths.get(s"$dir/_manifest/batch=$v"))
+    // the staged floor lands BEFORE staging is dropped — see the staging
+    // note above; a crash before this move leaves the floor in staging
+    // where healCompact's roll-forward installs it
+    Files.move(Paths.get(s"$staging/_compacted"), Paths.get(dir, "_compacted"),
+      StandardCopyOption.REPLACE_EXISTING)
     CommitFiles.rmTree(new java.io.File(staging))
     CommitFiles.rmTree(new java.io.File(retiring))
-    // history below v is rewritten: record the floor so an incremental
-    // reader (sources.LakeSource) positioned below it fails loudly
-    // instead of re-consuming the folded rows
-    CommitFiles.atomicWrite(Paths.get(dir, "_compacted"), v.toString)
   }
 
   /** The streaming query: an orders stream → a continuously grown

@@ -154,9 +154,10 @@ object BpeTrain extends QueryGroup {
     * grows the per-round batch as the pair distribution flattens.
     * Early rounds are contended (a few dominant pairs share tokens —
     * big batches would mostly conflict), so k starts small; each round
-    * that admits its FULL batch doubles k (to `maxK`), each round that
-    * couldn't fill it halves k (floor `k0`) — the admission rate is the
-    * direct measurement of how disjoint the frontier actually is.
+    * sets the next k to TWICE the width it actually admitted, clamped
+    * to [k0, maxK] — so a full admission doubles k, a half admission
+    * holds it, and a contended round tracks the measured
+    * disjoint-frontier width down instead of oscillating.
     * Stops at `targetMerges` or pair exhaustion; returns (merges,
     * rounds). With maxK = k0 the schedule degenerates to
     * [[learnBatched]]'s fixed-k loop and the learned PREFIX is

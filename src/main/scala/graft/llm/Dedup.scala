@@ -1009,13 +1009,14 @@ object Dedup extends QueryGroup {
       |      CAST(list_inner_product(c.emb, b.emb) / (sqrt(c.nsq) * sqrt(b.nsq))
       |        AS DECIMAL(10,4)) AS cos
       |    FROM n c JOIN n b ON c.label = b.label AND c.bucket = b.bucket
-      |    WHERE b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0)
+      |    WHERE b.vec_id % ${Pipeline.benchMod} = 0
+      |      AND c.vec_id % ${Pipeline.benchMod} <> 0)
       |  WHERE cos >= 0.35 GROUP BY cv)
       |SELECT e.vec_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
       |  CAST(h.mx AS DOUBLE) AS max_cos,
       |  COALESCE(h.nh, 0) = 0 AS is_clean
       |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.cv
-      |WHERE e.vec_id % 5 <> 0
+      |WHERE e.vec_id % ${Pipeline.benchMod} <> 0
       |ORDER BY e.vec_id""".stripMargin
 
   // ---- dedup_semdedup: centroid-guided semantic dedup (SemDeDup) --------

@@ -162,6 +162,10 @@ private class LakeMicroBatchStream(path: String, maxBatches: Int)
     val s = start.asInstanceOf[LakeOffset].next
     val e = end.asInstanceOf[LakeOffset].next
     assertNotFolded(s)
+    // same guard as the batch read paths: a crashed compact mid-swap has
+    // batch dirs in .compact_retiring — planning now would read missing
+    // dirs as legally-empty batches and silently drop their rows
+    StreamLake.assertNoCompactDebris(path)
     (s until e).flatMap { b =>
       LakeSource.batchFiles(path, b).map { case (file, fid) =>
         LakeFilePartition(file, fid, b)

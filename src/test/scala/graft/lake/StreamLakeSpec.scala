@@ -152,6 +152,66 @@ class StreamLakeSpec extends SparkSuite {
       .count() > 0)
   }
 
+  test("reads fail loudly while crashed-compact debris is on disk") {
+    val out = freshDir("streamlake_debris")
+    ingest3(out)
+    // simulate the worst crash state: retire done, staging full — without
+    // a guard this reads as a committed table with ZERO rows
+    val retiring = s"$out/.compact_retiring"
+    Files.createDirectories(Paths.get(s"$out/.compact_staging/batch=2"))
+    Files.createDirectories(Paths.get(retiring))
+    for (b <- 0 to 2)
+      Files.move(Paths.get(s"$out/batch=$b"), Paths.get(s"$retiring/batch=$b"))
+    for (m <- Seq("scanAll", "manifest", "prunedOrders")) {
+      val e = intercept[IllegalStateException] {
+        m match {
+          case "scanAll"  => StreamLake.scanAll(spark, out)
+          case "manifest" => StreamLake.manifest(spark, out)
+          case _ => StreamLake.prunedOrders(spark, out, 0L, 1L, 0L, 1L)
+        }
+      }
+      assert(e.getMessage.contains("healCompact"), s"$m: ${e.getMessage}")
+    }
+    // the named remedy repairs it, after which reads work again
+    StreamLake.healCompact(out)
+    assert(StreamLake.scanAll(spark, out).count() > 0)
+  }
+
+  test("the compaction floor is staged: a healed roll-forward installs it") {
+    val out = freshDir("streamlake_floorstage")
+    ingest3(out)
+    val want = StreamLake.scanAll(spark, out).count()
+    // CRASH: data + manifest moved in, floor still staged (the state the
+    // post-swap floor write used to leave floor-LESS — a LakeSource
+    // checkpoint in (0,2] would then silently re-read the folded batch)
+    StreamLake.compact(spark, out)
+    Files.delete(Paths.get(s"$out/_compacted")) // as if the floor move never ran
+    Files.createDirectories(Paths.get(s"$out/.compact_staging"))
+    CommitFiles.atomicWrite(
+      Paths.get(s"$out/.compact_staging/_compacted"), "2")
+    StreamLake.healCompact(out)
+    assert(Files.readString(Paths.get(s"$out/_compacted")).trim == "2",
+      "roll-forward must install the staged floor")
+    assert(StreamLake.scanAll(spark, out).count() == want)
+  }
+
+  test("a rolled-back compaction drops the staged floor — old floor stands") {
+    val out = freshDir("streamlake_floorback")
+    ingest3(out)
+    val want = StreamLake.scanAll(spark, out).count()
+    // CRASH before any swap move: staging holds data + the staged floor;
+    // rollback must NOT install the floor (nothing was folded)
+    val staging = s"$out/.compact_staging"
+    StreamLake.scanAll(spark, out).drop("batch")
+      .withColumn("fid", col("fid").cast("long"))
+      .write.partitionBy("fid").parquet(s"$staging/batch=2")
+    CommitFiles.atomicWrite(Paths.get(s"$staging/_compacted"), "2")
+    StreamLake.healCompact(out)
+    assert(!Files.exists(Paths.get(s"$out/_compacted")),
+      "rollback must not leave a floor for a fold that never went live")
+    assert(StreamLake.scanAll(spark, out).count() == want)
+  }
+
   test("a REAL stream with a mid-stream restart lands every row exactly once") {
     val out = freshDir("streamlake_e2e")
     val ckpt = freshDir("streamlake_e2e_ck")
