@@ -26,9 +26,12 @@ import graft.streaming.CommitFiles
   * clustered dimension cannot contain a matching row.
   *
   * Scale: the manifest has one row per file — metadata-scale (a 100 TB
-  * table at 1 GiB files is ~10⁵ manifest rows, a driver-side filter like
-  * Iceberg's own planning; past that the same overlap filter runs as a
-  * Spark job over the manifest table). The z-order key bounds BOTH
+  * table at 1 GiB files is ~10⁵ manifest rows). Overlap planning is
+  * two-mode on the manifest's BYTE size ([[ZLayout.LocalPlanBytesKey]]):
+  * small manifests collect once and filter on the driver (Iceberg's
+  * local planning), larger ones run the identical filter as a Spark job
+  * and collect only the surviving fids — `LakeSpec` drives the same
+  * read through both modes and pins equality. The z-order key bounds BOTH
   * dimensions per file (narrow extents per curve bucket — the
   * `q52_zorder_layout` measurement), so a 2-D range predicate selects
   * O(perimeter) files instead of a full dimension stripe.
@@ -54,19 +57,30 @@ object ZLayout {
         graft.functions.ZOrderKey.zorderKey(col("ck"), col("dy") % 65536L))
       .withColumn("fid", expr(s"zkey div ${FidDiv}L"))
 
+  /** Long-typed columns carrying per-file min/max in the manifest —
+    * Iceberg-style GENERAL column stats, not just the two clustered
+    * dims: a range predicate on any of these prunes files. The payoff
+    * tracks how well the column correlates with the physical layout
+    * (the Iceberg reality): `o_custkey` rides ck exactly, so it prunes
+    * like a clustered dim; `o_orderkey` is layout-independent, so its
+    * per-file extents span nearly the whole domain and keep every
+    * file — stats make the read CORRECT either way, the layout decides
+    * whether they make it cheap. */
+  val StatsCols: Seq[String] = Seq("ck", "dy", "o_custkey", "o_orderkey")
+
   /** Write the clustered layout + its `_manifest` (one row per fid with
-    * min/max/count of the clustered dimensions). `_`-prefixed children
-    * are invisible to Spark's parquet reader, so the manifest rides
-    * inside the table directory like Delta's `_delta_log`. */
+    * count + min/max of every [[StatsCols]] column). `_`-prefixed
+    * children are invisible to Spark's parquet reader, so the manifest
+    * rides inside the table directory like Delta's `_delta_log`. */
   def write(orders: DataFrame, path: String): Unit = {
     val laid = ordersProjection(orders)
     laid.repartition(col("fid"))
       .sortWithinPartitions(col("fid"), col("zkey"))
       .write.mode("overwrite").partitionBy("fid").parquet(path)
+    val stats = StatsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     laid.groupBy(col("fid"))
-      .agg(count(lit(1)).as("n"),
-        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
-        min(col("dy")).as("dy_min"), max(col("dy")).as("dy_max"))
+      .agg(count(lit(1)).as("n"), stats: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
@@ -74,23 +88,75 @@ object ZLayout {
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest")
 
-  /** Manifest-pruned scan: keep only files whose stats overlap EVERY
-    * range, then apply the exact row predicate on the survivors. Returns
-    * rows identical to an unpruned filter (`LakeSpec` pins the equality
-    * AND that fewer files are actually listed). */
-  def prunedOrders(spark: SparkSession, path: String,
-      ckLo: Long, ckHi: Long, dyLo: Long, dyHi: Long): DataFrame = {
-    val fids = manifest(spark, path)
-      .filter(col("ck_max") >= ckLo && col("ck_min") <= ckHi &&
-        col("dy_max") >= dyLo && col("dy_min") <= dyHi)
-      .select(col("fid")).collect().map(_.getLong(0)).sorted
+  /** Manifest bytes at or below this run overlap planning on the driver
+    * (collect-then-filter, Iceberg's local planning — no job scheduling
+    * latency for the common metadata-scale manifest); above it the
+    * filter runs as a Spark job and only the SURVIVING fids are
+    * collected (bounded by the true overlap set, never the manifest
+    * size). Override per session for testing or huge-manifest layouts. */
+  val LocalPlanBytesKey = "spark.graft.lake.localPlanBytes"
+  val LocalPlanBytesDefault: Long = 16L << 20
+
+  /** Size on disk of the manifest — a driver-side file stat, the cheap
+    * signal that picks the planning mode (no Spark job, no read). */
+  private def manifestBytes(path: String): Long =
+    CommitFiles.partSet(Paths.get(s"$path/_manifest")).toSeq
+      .map(f => new java.io.File(f).length()).sum
+
+  /** fids whose stats overlap EVERY `(column, lo, hi)` range — the
+    * overlap planner, in whichever mode [[LocalPlanBytesKey]] selects.
+    * Both modes compute the identical set (`LakeSpec` pins it): overlap
+    * is per-row over (min,max) pairs, so it distributes trivially. */
+  private[lake] def overlapFids(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): Seq[Long] = {
+    require(ranges.nonEmpty, "lake: overlap planning needs at least one range")
+    ranges.foreach { case (c, _, _) => require(StatsCols.contains(c),
+      s"lake: no manifest stats for column '$c' (have: ${StatsCols.mkString(", ")})") }
+    val limit = spark.conf.getOption(LocalPlanBytesKey)
+      .map(_.toLong).getOrElse(LocalPlanBytesDefault)
+    if (manifestBytes(path) <= limit) {
+      // local planning: one bounded collect of the metadata-scale
+      // manifest, filter on the driver
+      manifest(spark, path)
+        .select(col("fid") +:
+          ranges.flatMap { case (c, _, _) =>
+            Seq(col(s"${c}_min"), col(s"${c}_max")) }: _*)
+        .collect().toSeq
+        .filter { r =>
+          ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
+            r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi } }
+        .map(_.getLong(0)).sorted
+    } else {
+      // distributed planning: the filter runs as a Spark job over the
+      // manifest table; only surviving fids reach the driver
+      val pred = ranges.map { case (c, lo, hi) =>
+        col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
+      manifest(spark, path).filter(pred)
+        .select(col("fid")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+  }
+
+  /** Manifest-pruned scan on arbitrary [[StatsCols]] ranges: keep only
+    * files whose stats overlap EVERY range, then apply the exact row
+    * predicate on the survivors. Returns rows identical to an unpruned
+    * filter (`LakeSpec` pins the equality AND that fewer files are
+    * actually listed). */
+  def prunedOrdersBy(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val fids = overlapFids(spark, path, ranges)
     val scan =
       if (fids.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.option("basePath", path)
         .parquet(fids.map(f => s"$path/fid=$f"): _*)
-    scan.filter(col("ck").between(ckLo, ckHi) &&
-      col("dy").between(dyLo, dyHi))
+    ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .foldLeft(scan)((df, p) => df.filter(p))
   }
+
+  /** The clustered-dimension special case every existing consumer uses. */
+  def prunedOrders(spark: SparkSession, path: String,
+      ckLo: Long, ckHi: Long, dyLo: Long, dyHi: Long): DataFrame =
+    prunedOrdersBy(spark, path,
+      Seq(("ck", ckLo, ckHi), ("dy", dyLo, dyHi)))
 }
 
 /** Snapshot / time-travel reads over the `v=<version>` + `_latest`
@@ -125,6 +191,48 @@ object TimeTravel {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /** Retention enforcement: delete every committed version EXCEPT the
+    * newest `keepLast`, returning the versions vacuumed. Atomic w.r.t.
+    * the `_latest` pointer and the readable set:
+    *
+    *   - the pointer is never touched — `_latest` keeps naming a
+    *     retained version by construction (`keepLast >= 1` always
+    *     retains the latest committed version);
+    *   - versions ABOVE the pointer (in-flight, possibly torn writes)
+    *     are never touched — they belong to the writer;
+    *   - each victim leaves the readable set in ONE atomic rename to a
+    *     `.vacuum-` sibling (then the tree is deleted), so
+    *     [[versions]]/[[readVersion]] never observe a half-deleted
+    *     `v=` dir — a vacuumed read fails the loud "not retained"
+    *     refusal, never a partial scan; a crash between rename and
+    *     delete leaves only invisible `.vacuum-` debris, swept at the
+    *     next vacuum.
+    *
+    * A reader that PLANNED against a version before its vacuum can
+    * still lose files mid-scan — the standard maintenance-window
+    * caveat of every plain-filesystem layout here (compaction has the
+    * same one); such a read fails with a missing-file error, never
+    * wrong rows. */
+  def vacuum(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"time_travel: keepLast must be >= 1 (got $keepLast) — vacuuming " +
+        "every version would unname the _latest pointer's target")
+    // sweep debris a crashed earlier vacuum left behind
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".vacuum-"))
+      .foreach(CommitFiles.rmTree)
+    val committed = latestVersion(dir).getOrElse(return Seq.empty)
+    val retained = versions(dir).filter(_ <= committed)
+    val victims = retained.dropRight(keepLast)
+    victims.foreach { v =>
+      val live = Paths.get(dir, s"v=$v")
+      val gone = Paths.get(dir, s".vacuum-v=$v")
+      java.nio.file.Files.move(live, gone)
+      CommitFiles.rmTree(gone.toFile)
+    }
+    victims
+  }
+
   /** Iceberg-style as-of read: the greatest committed version ≤ `v`.
     * Only COMMITTED versions qualify — a `v=` directory above the
     * `_latest` pointer is an in-flight write, not readable state. */
@@ -143,8 +251,10 @@ object TimeTravel {
   * through the staged/fingerprinted [[graft.core.DerivedFixture]]
   * machinery. */
 object LakeFixture extends DerivedFixture("lake_orders", "orders") {
+  // the "s2" suffix versions the MANIFEST schema (per-StatsCols min/max
+  // since round 12) — older fixtures' two-dim manifests must re-derive
   override protected def layoutTag: String =
-    s"z${java.lang.Long.numberOfTrailingZeros(ZLayout.FidDiv)}"
+    s"z${java.lang.Long.numberOfTrailingZeros(ZLayout.FidDiv)}-s2"
   override protected def build(s: SparkSession, dir: String, target: String): Unit =
     ZLayout.write(T.orders(s, dir), target)
 }
@@ -163,6 +273,23 @@ object SnapshotFixture extends DerivedFixture("lake_snapshots", "orders") {
     orders.filter(cutoff(Cut1)).write.parquet(s"$target/v=1")
     orders.write.parquet(s"$target/v=2")
     CommitFiles.atomicWrite(Paths.get(target, "_latest"), "2")
+  }
+}
+
+/** Three committed snapshots then `vacuum(keepLast = 2)` — the fixture
+  * behind `lake_vacuum_read`: the registry row re-grades every round
+  * that vacuum removed EXACTLY the expired version (a wrong victim set
+  * changes the per-version aggregates and reds the row). */
+object VacuumedFixture extends DerivedFixture("lake_vacuumed", "orders") {
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    val orders = T.orders(s, dir)
+    def cutoff(c: String) = col("o_orderdate") < lit(c).cast("timestamp")
+    orders.filter(cutoff(SnapshotFixture.Cut0)).write.parquet(s"$target/v=0")
+    orders.filter(cutoff(SnapshotFixture.Cut1)).write.parquet(s"$target/v=1")
+    orders.write.parquet(s"$target/v=2")
+    CommitFiles.atomicWrite(Paths.get(target, "_latest"), "2")
+    val gone = TimeTravel.vacuum(target, keepLast = 2)
+    require(gone == Seq(0L), s"vacuum fixture: expected to expire v=0, got $gone")
   }
 }
 
@@ -322,8 +449,63 @@ object LakeQueries extends QueryGroup {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // a NON-clustered stats column's range (o_custkey is a payload column;
+  // its pruning power comes from riding ck, the Iceberg correlation
+  // story — LakeSpec asserts the file-count drop)
+  private val (custLo, custHi) = (100L, 299L)
+
+  /** Pruned scan on a payload column's manifest stats — the general
+    * per-column pruning Iceberg does, beyond the two clustered dims.
+    * Oracle: the same range on raw orders, so a green row proves the
+    * per-column stats are faithful and the pruning lossless. */
+  private def pruneColumn(s: SparkSession, d: String): DataFrame = {
+    val p = LakeFixture.ensure(s, d)
+    ZLayout.prunedOrdersBy(s, p, Seq(("o_custkey", custLo, custHi)))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val pruneColumnSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+       |FROM orders WHERE o_custkey BETWEEN $custLo AND $custHi
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Per-version aggregates over the POST-VACUUM retained set: the
+    * version list comes off disk, so a vacuum that expired the wrong
+    * version (or failed to expire v=0) surfaces as an extra/missing
+    * row — retention semantics, oracle-graded every round. The loop is
+    * over RETAINED VERSIONS (retention-policy-bounded metadata, 2 here),
+    * not data. */
+  private def vacuumRead(s: SparkSession, d: String): DataFrame = {
+    val p = VacuumedFixture.ensure(s, d)
+    TimeTravel.versions(p).map { v =>
+      TimeTravel.readVersion(s, p, v)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit(v).as("v"), col("n"), col("key_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("v"))
+  }
+
+  private val vacuumReadSql =
+    s"""SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS v, COUNT(*) AS n,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '${SnapshotFixture.Cut1}'
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT) AS v, COUNT(*) AS n,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |  FROM orders)
+       |ORDER BY v""".stripMargin
+
   override def defs: Seq[(String, QueryDef)] = Seq(
     "lake_prune_read" -> QueryDef(pruneRead, Some(pruneReadSql)),
+    "lake_prune_column" -> QueryDef(pruneColumn, Some(pruneColumnSql)),
+    "lake_vacuum_read" -> QueryDef(vacuumRead, Some(vacuumReadSql)),
     "lake_manifest_stats" -> QueryDef(manifestStats, Some(manifestStatsSql)),
     "lake_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql)),
     "lake_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),

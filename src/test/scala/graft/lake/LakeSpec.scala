@@ -62,6 +62,75 @@ class LakeSpec extends SparkSuite {
     assert(none.columns.contains("o_orderkey") && none.columns.contains("fid"))
   }
 
+  test("local and distributed overlap planning select identical files and rows") {
+    // the two-mode planner: default = collect-the-manifest local planning;
+    // LocalPlanBytesKey=0 forces every manifest onto the Spark-job path —
+    // both must compute the identical overlap set
+    val local = ZLayout.prunedOrders(spark, layout, 2048L, 4095L, 9500L, 9800L)
+    val localFiles = local.inputFiles.sorted.toSeq
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    try {
+      val dist = ZLayout.prunedOrders(spark, layout, 2048L, 4095L, 9500L, 9800L)
+      assert(dist.inputFiles.sorted.toSeq == localFiles,
+        "planning modes disagree on the pruned file set")
+      assert(dist.exceptAll(local).isEmpty && local.exceptAll(dist).isEmpty)
+    } finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+  }
+
+  test("per-column manifest stats prune on a payload column") {
+    // o_custkey is NOT a clustered dim; its stats prune because it rides
+    // ck — the general Iceberg per-column capability
+    val all = spark.read.parquet(layout).inputFiles.length
+    val pruned = ZLayout.prunedOrdersBy(spark, layout,
+      Seq(("o_custkey", 2048L, 4095L)))
+    assert(pruned.count() > 0)
+    assert(pruned.inputFiles.length < all,
+      s"payload-column pruning read ${pruned.inputFiles.length} of $all files")
+    val full = spark.read.parquet(layout)
+      .filter(col("o_custkey").between(2048L, 4095L))
+    assert(pruned.select(col("o_orderkey")).exceptAll(
+      full.select(col("o_orderkey"))).isEmpty)
+    assert(full.select(col("o_orderkey")).exceptAll(
+      pruned.select(col("o_orderkey"))).isEmpty)
+    // a range on a column with NO manifest stats is refused, not silently
+    // unpruned (callers would believe they skipped I/O)
+    val e = intercept[IllegalArgumentException] {
+      ZLayout.prunedOrdersBy(spark, layout, Seq(("o_totalprice", 0L, 1L)))
+    }
+    assert(e.getMessage.contains("no manifest stats"), e.getMessage)
+  }
+
+  test("vacuum expires exactly the old committed versions, pointer-safely") {
+    val dir = graft.core.Fixtures.path("lakespec_vacuum")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir).limit(30)
+    for (v <- 0 to 2) orders.limit(10 * (v + 1)).write.parquet(s"$dir/v=$v")
+    orders.limit(1).write.parquet(s"$dir/v=9") // in-flight: above the pointer
+    graft.streaming.CommitFiles.atomicWrite(Paths.get(dir, "_latest"), "2")
+    // crash debris from an "earlier" vacuum must be swept, not tripped on
+    Files.createDirectories(Paths.get(dir, ".vacuum-v=7"))
+    assert(TimeTravel.vacuum(dir, keepLast = 2) == Seq(0L))
+    assert(!Files.exists(Paths.get(dir, ".vacuum-v=7")), "debris must be swept")
+    assert(TimeTravel.versions(dir) == Seq(1L, 2L, 9L),
+      "v=1, v=2 retained; the in-flight v=9 belongs to its writer")
+    assert(TimeTravel.latestVersion(dir).contains(2L), "pointer never touched")
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.readVersion(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(TimeTravel.readVersion(spark, dir, 2L).count() == 30)
+    assert(intercept[IllegalArgumentException] {
+      TimeTravel.readAsOf(spark, dir, 0L)
+    }.getMessage.contains("nothing committed"),
+      "as-of below the retention floor must refuse, not serve a gap")
+    // keepLast must retain at least the pointer's target
+    assert(intercept[IllegalArgumentException] {
+      TimeTravel.vacuum(dir, keepLast = 0)
+    }.getMessage.contains(">= 1"))
+    // idempotent: nothing left to expire
+    assert(TimeTravel.vacuum(dir, keepLast = 2).isEmpty)
+  }
+
   test("time travel reads the exact committed version; as-of takes the floor") {
     val snaps = SnapshotFixture.ensure(spark, sfDir)
     assert(TimeTravel.versions(snaps) == Seq(0L, 1L, 2L))
