@@ -107,15 +107,26 @@ object BpeTrain extends QueryGroup {
     selectDisjoint(cands, batchK)
   }
 
-  /** Apply a disjoint batch: one projection chaining the replaces; order
-    * irrelevant by disjointness, selection order used for determinism. */
+  /** Replaces chained into ONE projection before a cut forces a barrier.
+    * Bounded because expression-tree depth is a JVM-stack liability: the
+    * Column→Expression conversion costs ~40 frames per nesting level,
+    * and a full 512-wide adaptive round (the 32k demo) overflowed the
+    * main thread's stack at plan-build time. 64 is comfortably inside
+    * every stack while keeping the per-round cut count ≤ maxK/64. */
+  private val MaxReplaceChain = 64
+
+  /** Apply a disjoint batch: chunked projections chaining ≤
+    * [[MaxReplaceChain]] replaces each, a [[Materialize.cut]] barrier
+    * between chunks (disjointness makes any application order exact;
+    * selection order is used for determinism). */
   private def applyPicked(st: DataFrame,
-      picked: Seq[(String, String, Long)]): DataFrame = {
-    val applied = picked.foldLeft(col("s")) { case (c, (x, y, _)) =>
-      call_function("replace", c, lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D"))
+      picked: Seq[(String, String, Long)]): DataFrame =
+    picked.grouped(MaxReplaceChain).foldLeft(st) { (df, chunk) =>
+      val applied = chunk.foldLeft(col("s")) { case (c, (x, y, _)) =>
+        call_function("replace", c, lit(s"$D$x$B$y$D"), lit(s"$D$x$y$D"))
+      }
+      Materialize.cut(df.withColumn("s", applied))
     }
-    Materialize.cut(st.withColumn("s", applied))
-  }
 
   /** The Sennrich loop with a BATCHED merge schedule: per round, rank
     * pair counts once, collect the top `batchK`·8 candidates (a bounded

@@ -166,6 +166,32 @@ class LakeSpec extends SparkSuite {
     } finally graft.streaming.CommitFiles.rmTree(new java.io.File(s"$snaps/v=9"))
   }
 
+  test("schema evolution: each snapshot serves its own schema; as-of reads merge") {
+    val dir = graft.core.Fixtures.path("lakespec_evolve")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir).limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    orders.write.parquet(s"$dir/v=0")
+    // v=1 ADDS a column (the additive evolution Iceberg/Delta allow
+    // without rewrite); existing columns keep their types
+    orders.withColumn("o_priority_rank",
+      (col("o_orderkey") % 3).cast("long")).write.parquet(s"$dir/v=1")
+    graft.streaming.CommitFiles.atomicWrite(Paths.get(dir, "_latest"), "1")
+    val v0 = TimeTravel.readVersion(spark, dir, 0L)
+    val v1 = TimeTravel.readVersion(spark, dir, 1L)
+    assert(!v0.columns.contains("o_priority_rank"),
+      "an old snapshot must not grow columns it was never written with")
+    assert(v1.columns.contains("o_priority_rank"))
+    assert(TimeTravel.readAsOf(spark, dir, 0L).columns.sameElements(v0.columns),
+      "as-of must serve the selected version's schema, not the latest's")
+    // the union-by-name read across the evolution boundary: old rows
+    // surface the new column as null — the standard widened read
+    val widened = v1.unionByName(
+      v0.withColumn("o_priority_rank", lit(null).cast("long")))
+    assert(widened.count() == 40)
+    assert(widened.filter(col("o_priority_rank").isNull).count() == 20)
+  }
+
   test("a rewritten source re-derives the layout and sweeps the stale one") {
     val src = graft.core.Fixtures.path("lakespec_src")
     def writeOrders(rows: Seq[(Long, Long, String, Double, java.sql.Timestamp, String)]): Unit =

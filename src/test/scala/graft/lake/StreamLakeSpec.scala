@@ -64,6 +64,19 @@ class StreamLakeSpec extends SparkSuite {
       s"1996 predicate must touch only batch 0 files: ${pruned.take(3).mkString}")
   }
 
+  test("local and distributed overlap planning agree on (batch, fid) sets") {
+    val out = freshDir("streamlake_planmode")
+    ingest3(out)
+    val local = StreamLake.prunedOrders(spark, out, 200L, 399L, 9496L, 9861L)
+    val localFiles = local.inputFiles.sorted.toSeq
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    try {
+      val dist = StreamLake.prunedOrders(spark, out, 200L, 399L, 9496L, 9861L)
+      assert(dist.inputFiles.sorted.toSeq == localFiles)
+      assert(dist.exceptAll(local).isEmpty && local.exceptAll(dist).isEmpty)
+    } finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+  }
+
   test("replay is idempotent; an uncommitted batch dir is invisible") {
     val out = freshDir("streamlake_replay")
     ingest3(out)
