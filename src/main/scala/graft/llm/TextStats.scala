@@ -1230,7 +1230,83 @@ object TextStats extends QueryGroup {
        |ORDER BY n_occ DESC, tok""".stripMargin
   }
 
+  // ---- text_zipf_fit: per-source Zipf slope (corpus-health diagnostic) --
+  // The rank-frequency regression curation pipelines run per source: a
+  // healthy natural-language slice follows Zipf's law (log-log slope near
+  // −1); boilerplate-heavy, templated, or synthetic slices flatten (or
+  // steepen) the curve, so the slope is a one-number corpus-quality
+  // signal per provenance bucket — the Gopher/CCNet-style report card at
+  // the SOURCE level rather than the document level.
+  //
+  // Shape: one corpus pass to the (source, word) count table (hash agg,
+  // map-side combined), a rank window per source over the
+  // VOCABULARY-bounded count table (never the corpus), then five exact
+  // power sums per source. Parity: ln() is rounded once through
+  // DECIMAL(18,6) ×10⁶ to an exact BIGINT (the tfidf libm rule meets the
+  // profile_correlations fixed-point trick), per-term products stay
+  // < 2⁶³ and are widened to DECIMAL(38,0) before summing, sums cross to
+  // DOUBLE through a decimal STRING (strtod is correctly rounded in both
+  // engines — the profile_correlations conversion rule), and the slope
+  // is the one pinned IEEE chain in Stats.olsSlope, mirrored verbatim in
+  // the SQL. Sources with a single rank (zero x-variance) yield a
+  // defined null.
+  private def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val wc = T.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("word"))
+    def q6(e: org.apache.spark.sql.Column) =
+      (e.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType)
+    val ranked = wc
+      .withColumn("xq", q6(log(row_number().over(rw).cast(DoubleType))))
+      .withColumn("yq", q6(log(col("cnt").cast(DoubleType))))
+    def wide(e: org.apache.spark.sql.Column) = e.cast(DecimalType(38, 0))
+    def viaString(e: org.apache.spark.sql.Column) =
+      e.cast("string").cast("double")
+    val sums = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      viaString(sum(wide(col("xq")))).as("sx"),
+      viaString(sum(wide(col("yq")))).as("sy"),
+      viaString(sum(wide(col("xq") * col("xq")))).as("sxx"),
+      viaString(sum(wide(col("xq") * col("yq")))).as("sxy"))
+    sums.select(col("source"), col("n").cast(LongType).as("n_types"),
+        graft.operators.Stats.olsSlope(col("n").cast(DoubleType),
+          col("sx"), col("sxx"), col("sy"), col("sxy")).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  private val zipfFitSql =
+    """WITH wc AS (
+      |  SELECT source, word, COUNT(*) AS cnt FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY source, word),
+      |r AS (
+      |  SELECT source,
+      |    CAST(CAST(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY cnt DESC, word) AS DOUBLE)) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT) AS xq,
+      |    CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT) AS yq
+      |  FROM wc),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(xq AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(yq AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(xq AS HUGEINT) * xq) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(xq AS HUGEINT) * yq) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_types,
+      |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+      |    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - sx * sx)
+      |  END AS zipf_slope
+      |FROM s ORDER BY source""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "text_zipf_fit"      -> QueryDef(zipfFit, Some(zipfFitSql)),
     "q32_text_stats"     -> QueryDef(q32, Some(q32Sql)),
     "text_vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "text_langid"        -> QueryDef(langId, Some(langIdSql)),

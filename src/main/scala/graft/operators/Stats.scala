@@ -21,4 +21,13 @@ object Stats {
     when(dx > 0 && dy > 0,
       (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)))
   }
+
+  /** Guarded OLS slope of y on x from power sums — same parity contract
+    * as [[pearson]]: null for a zero-variance x (a single rank), one
+    * pinned IEEE chain otherwise. */
+  def olsSlope(n: Column, sx: Column, sx2: Column,
+      sy: Column, sxy: Column): Column = {
+    val dx = n * sx2 - sx * sx
+    when(dx > 0, (n * sxy - sx * sy) / dx)
+  }
 }
