@@ -100,6 +100,34 @@ class LakeSpec extends SparkSuite {
     assert(e.getMessage.contains("no manifest stats"), e.getMessage)
   }
 
+  test("the planner handles a 200k-row manifest; both modes agree at that scale") {
+    // the 100 TB datapoint: a 100 TB table at 1 GiB files is ~1e5
+    // manifest rows — build 2e5 synthetic rows and run BOTH planning
+    // modes over them (metadata only; no data files needed to plan)
+    val dir = graft.core.Fixtures.path("lakespec_bigmanifest")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    spark.range(200000).select(
+        col("id").as("fid"), lit(1L).as("n"),
+        (col("id") % 1000L).as("ck_min"), (col("id") % 1000L + 50L).as("ck_max"),
+        (col("id") % 500L).as("dy_min"), (col("id") % 500L + 20L).as("dy_max"))
+      .coalesce(2).write.parquet(s"$dir/_manifest")
+    val ranges = Seq(("ck", 100L, 120L), ("dy", 40L, 60L))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (local, tl) = timed(ZLayout.overlapFids(spark, dir, ranges))
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    val (dist, td) =
+      try timed(ZLayout.overlapFids(spark, dir, ranges))
+      finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+    assert(local.nonEmpty && local == dist,
+      s"modes disagree at 200k rows: local=${local.size} dist=${dist.size}")
+    assert(local.size < 200000, "the predicate must actually prune")
+    info(f"200k-row manifest: local plan $tl%.2f s, distributed plan $td%.2f s, " +
+      s"${local.size} fids selected")
+  }
+
   test("vacuum expires exactly the old committed versions, pointer-safely") {
     val dir = graft.core.Fixtures.path("lakespec_vacuum")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
