@@ -330,9 +330,81 @@ object GraphOps extends QueryGroup {
        |GROUP BY src ORDER BY core_degree DESC, node""".stripMargin
   }
 
+  // ---- graph_lpa_communities: synchronous label propagation --------------
+  // Community detection over the near-dup graph — the structure
+  // `dedup_clusters`' connected components can't see: CC merges anything
+  // reachable, LPA splits a chained component into densely-linked
+  // communities (the template-family signal: one boilerplate family =
+  // one community even when a stray pair chains two families together).
+  // Classic sync LPA (Raghavan et al. 2007) with every tie pinned: per
+  // round each node adopts its neighbors' MOST FREQUENT label, ties by
+  // (count DESC, label ASC); labels start as the node id; a FIXED 3
+  // rounds, so the oracle unrolls exactly like pagerank's. Sync +
+  // deterministic tie-break makes the result engine-independent (async
+  // LPA is order-dependent and ungradable).
+  //
+  // Scale shape: per round ONE join of the label table into the edge
+  // list (both keyed by 8-byte node ids) + a (node, label) hash agg + a
+  // node-bounded rank window; per-round state is Materialize.cut (the
+  // iterative-loop rule). Rounds are fixed, lineage bounded.
+  private def lpaCommunities(s: SparkSession, d: String): DataFrame = {
+    val pairs = PairsMemo.pairs(s, d)
+    val edges = Materialize.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    if (edges.isEmpty) {
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("node", LongType, nullable = false)
+          .add("community", LongType, nullable = false))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 3) {
+      labels = Materialize.cut(edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label")))
+    }
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
+  private val lpaSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label AS label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN $prev l ON l.node = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""${Dedup.jaccardCte},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+  }
+
   override val defs: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_triangles" -> QueryDef(triangles, Some(trianglesSql)),
     "graph_degree_dist" -> QueryDef(degreeDist, Some(degreeDistSql)),
-    "graph_kcore" -> QueryDef(kcore, Some(kcoreSql)))
+    "graph_kcore" -> QueryDef(kcore, Some(kcoreSql)),
+    "graph_lpa_communities" -> QueryDef(lpaCommunities, Some(lpaSql)))
 }

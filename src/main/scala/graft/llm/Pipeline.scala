@@ -1536,7 +1536,47 @@ object Pipeline extends QueryGroup {
       |FROM d JOIN s USING (source)
       |ORDER BY global_pos LIMIT 200""".stripMargin
 
+  // ---- curate_dup_rate: per-source duplication report --------------------
+  // The provenance-level dedup report card every curation run publishes:
+  // for each source, how many docs carry a fingerprint that appears more
+  // than once ANYWHERE in the corpus (cross-source dups count — that is
+  // the point of the report: a mirror source shows up as a high dup_frac
+  // against the original). Shape: one fingerprint hash agg over the
+  // corpus (map-side combined, 16-byte keys — the q30/dedup_canonical
+  // shape), the count table joins back on the fingerprint (corpus-keyed
+  // hash join, the exact-dedup exchange), then a source-bounded rollup.
+  // dup_frac is ONE IEEE division of two exact longs — identical in both
+  // engines.
+  private def curateDupRate(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("source"), T.textFingerprint(col("text")).as("fp"))
+    val fpCounts = docs.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+    docs.join(fpCounts, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L))
+          .cast(LongType).as("n_dup_docs"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .orderBy(col("source"))
+  }
+
+  private val curateDupRateSql =
+    """WITH f AS (
+      |  SELECT source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |c AS (SELECT fp, COUNT(*) AS nfp FROM f GROUP BY fp)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    / CAST(COUNT(*) AS BIGINT) AS dup_frac
+      |FROM f JOIN c USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "curate_dup_rate" -> QueryDef(curateDupRate, Some(curateDupRateSql)),
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_epoch_order" -> QueryDef(epochOrder, Some(epochOrderSql)),
     "sample_cap_per_source" -> QueryDef(capPerSource, Some(capPerSourceSql)),

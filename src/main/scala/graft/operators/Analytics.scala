@@ -394,7 +394,54 @@ object Analytics extends QueryGroup {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---- q61_mode: deterministic MODE aggregate ----------------------------
+  // The most-frequent-value aggregate the relational surface lacked
+  // (Spark has no mode() with a pinned tie-break; DuckDB's mode() ties
+  // arbitrarily — both sides therefore compute it the same explicit
+  // way: count per (group, value), rank (count DESC, value ASC), keep
+  // rank 1). Shape: ONE hash agg over the fact table (map-side
+  // combined) collapses to the |groups|×|values| count table, then the
+  // rank window and the group total ride one exchange over that
+  // VALUE-DOMAIN-bounded relation (6 groups × 7 line numbers here) —
+  // never the corpus.
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber").cast(LongType).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val rank = w.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("c").desc, col("v"))
+    val whole = w.partitionBy(col("l_returnflag"), col("l_linestatus"))
+    counts
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("n_group", sum(col("c")).over(whole).cast(LongType))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("v").as("mode_linenumber"),
+        col("c").cast(LongType).as("mode_count"), col("n_group"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q61Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_linenumber AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+      |      ORDER BY c DESC, v) AS rn,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag, l_linestatus)
+      |      AS BIGINT) AS n_group
+      |  FROM c)
+      |SELECT l_returnflag, l_linestatus, v AS mode_linenumber,
+      |  CAST(c AS BIGINT) AS mode_count, n_group
+      |FROM r WHERE rn = 1
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "q61_mode"        -> QueryDef(q61, Some(q61Sql)),
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q55_session_stats" -> QueryDef(q55, Some(q55Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
