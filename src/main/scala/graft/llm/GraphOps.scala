@@ -359,6 +359,14 @@ object GraphOps extends QueryGroup {
           .add("node", LongType, nullable = false)
           .add("community", LongType, nullable = false))
     }
+    lpaOnEdges(edges)
+  }
+
+  /** The LPA loop on a both-directions (src, dst) edge set — split out so
+    * the semantics are pinnable on hand-built graphs (`GraphPackSpec`
+    * runs the barbell graph where LPA finds TWO communities in the ONE
+    * component CC reports). */
+  private[llm] def lpaOnEdges(edges: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
     var labels = edges.select(col("src").as("node")).distinct()

@@ -148,6 +148,46 @@ class GraphPackSpec extends SparkSuite {
     assert(total == graft.core.Tables.embeddings(spark, sfDir).count())
   }
 
+  test("LPA splits the barbell graph CC reports as one component") {
+    // two triangles {0,1,2} and {3,4,5} joined by the single bridge edge
+    // 2–3: connected components say ONE cluster; LPA must say TWO
+    // communities split exactly at the bridge (the operator's reason to
+    // exist). Hand-traced under the pinned (count DESC, label ASC)
+    // tie-break: after 3 sync rounds {0,1,2} carry label 0 and {3,4,5}
+    // carry label 2 — asserted exactly, so any tie-break or round-order
+    // drift fails loudly.
+    val sess = spark
+    import sess.implicits._
+    val undirected = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val edges = (undirected ++ undirected.map(_.swap))
+      .toDF("src", "dst")
+    val got = GraphOps.lpaOnEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 2L, 4L -> 2L, 5L -> 2L), s"got $got")
+    assert(got.values.toSet.size == 2,
+      "the barbell must split into exactly two communities")
+  }
+
+  test("LPA communities refine the near-dup components (labels never cross)") {
+    // labels only travel along edges, so every node's final label is a
+    // node id from its own component — each LPA community must sit
+    // inside exactly one connected component of the SAME >=0.3 pair graph
+    val lpa = SparkEntry.queries("graph_lpa_communities")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cc = Dedup.ccLabels(
+        GraphOps.PairsMemo.pairs(spark, sfDir))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(lpa.nonEmpty)
+    val byCommunity = lpa.groupBy(_._2)
+    for ((community, members) <- byCommunity) {
+      val components = members.map { case (node, _) => cc(node) }.toSet
+      assert(components.size == 1,
+        s"community $community spans components $components")
+    }
+  }
+
   test("profile_columns: key column is unique and null-free") {
     val p = SparkEntry.queries("profile_columns")(spark, sfDir).collect()
       .map(r => r.getAs[String]("col_name") ->
