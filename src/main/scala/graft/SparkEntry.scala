@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
-import graft.lake.LakeQueries
+import graft.lake.{CowQueries, LakeQueries}
 import graft.operators.{Analytics, EventAnalytics, Extras, Functions, Merge, MetricBatch, Mining, Profiling, Relational}
 import graft.llm.{Ann, BpeTrain, Dedup, EmbPca, EmbStats, GraphOps, MlLsh, Multimodal, Pipeline, Sketches, Subword, TextStats}
 
@@ -14,7 +14,7 @@ object SparkEntry {
       Merge.defs ++ EventAnalytics.defs ++ MetricBatch.defs ++ Mining.defs ++ Profiling.defs ++
       Dedup.defs ++ GraphOps.defs ++ EmbStats.defs ++ TextStats.defs ++ Pipeline.defs ++ Ann.defs ++ MlLsh.defs ++
       Sketches.defs ++ BpeTrain.defs ++ EmbPca.defs ++ Subword.defs ++
-      LakeQueries.defs ++ Seq(
+      LakeQueries.defs ++ CowQueries.defs ++ Seq(
         // batched binary decode (stubbed codec); scalar projection with a
         // DuckDB replay of the stub arithmetic (ASCII payloads)
         "multimodal_decode" -> QueryDef((s, d) => Multimodal.decodedDigest(s, d),

@@ -1,0 +1,453 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+
+import graft.core.{DerivedFixture, QueryDef, QueryGroup, Tables => T}
+import graft.streaming.CommitFiles
+
+/** The lakehouse WRITE path the read-side family ([[ZLayout]]/
+  * [[TimeTravel]]/[[StreamLake]]) was missing: versioned snapshots that
+  * SHARE unchanged data files (Delta/Iceberg's core economy — a commit
+  * re-lists, never re-copies, the files it didn't touch), copy-on-write
+  * MERGE INTO, merge-on-read equality deletes, delete compaction, and
+  * additive schema evolution.
+  *
+  * Layout (plain parquet + the repo's pointer-commit protocol):
+  * {{{
+  *   root/files/g<gen>-f<fid>/   immutable data units, one per (commit
+  *                               generation, z-order fid); a unit is
+  *                               referenced by any number of snapshots
+  *   root/v=<n>/filelist         the snapshot: one row per referenced
+  *                               unit (path, fid, n, per-StatsCols
+  *                               min/max — the same stats ZLayout's
+  *                               manifest carries, so pruned reads work
+  *                               across shared files)
+  *   root/v=<n>/deletes          OPTIONAL pending equality-delete keys
+  *                               (merge-on-read; absent = none)
+  *   root/_latest                committed-version pointer
+  * }}}
+  *
+  * Commit protocol (single writer, the StreamMerge rule): data units
+  * land in the pool first (deterministic `g<gen>-…` names, so a crashed
+  * attempt's debris is overwritten by the replay and invisible until a
+  * filelist names it), then the `v=<n>` dir is staged and atomically
+  * renamed into place, then the pointer flips. A crash at any point
+  * leaves either the old committed state or unreferenced pool files —
+  * never a readable half-commit ([[CowSpec]] exercises the
+  * stale-target replay).
+  *
+  * Scale notes. The filelist is metadata (one row per data unit — ~1e5
+  * rows for a 100 TB table at 1 GiB units); reads collect only PATHS
+  * from it, which every engine's scan planning needs driver-side anyway.
+  * [[mergeInto]]'s rewrite set is the distinct fids of the upsert rows —
+  * bounded by update LOCALITY, not table size; every other file is
+  * carried by reference. [[deleteWhere]] touches zero data files (the
+  * merge-on-read bargain: cheap commit, one anti-join at read). The
+  * delete file is CDC-sized BY CONTRACT — [[compactDeletes]] exists to
+  * fold it back into the data before it grows past broadcast range, and
+  * the read path force-broadcasts it on that contract (never left to
+  * AQE size stats — the round-11 lesson). [[compactDeletes]] rewrites
+  * only files whose o_orderkey stats overlap a pending delete key
+  * (stats-targeted, like the pruned read).
+  *
+  * MERGE contract: upsert rows locate their target file via CURRENT
+  * clustering values (ck, dy) — an upsert that changes a clustered
+  * dimension is a delete+insert, not a merge (the same assumption a
+  * stats-pruned Delta merge makes when it skips files by join-key
+  * stats). [[mergeInto]] also refuses to run over pending merge-on-read
+  * deletes: fold them first ([[compactDeletes]]) — replacing a
+  * key while a delete for it is pending has no single right answer, so
+  * the table refuses loudly instead of picking one silently.
+  */
+object CowTable {
+
+  private def pointer(root: String) = Paths.get(root, "_latest")
+
+  /** Base scan schema (what [[init]] writes, minus the fid partition
+    * column) — the empty-table fallback. Evolved snapshots may be wider. */
+  private val baseSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+    StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+    StructField("ck", LongType), StructField("dy", LongType),
+    StructField("zkey", LongType)))
+
+  private def emptyBase(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+
+  /** [[ZLayout.ordersProjection]] that PRESERVES any extra (evolved)
+    * columns the input carries beyond the orders base schema. */
+  private def project(df: DataFrame): DataFrame = {
+    val extras = df.columns.toSeq.diff(Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    df.select((Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate") ++ extras).map(col): _*)
+      .withColumn("ck", col("o_custkey") % 65536L)
+      .withColumn("dy", datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("zkey",
+        graft.functions.ZOrderKey.zorderKey(col("ck"), col("dy") % 65536L))
+      .withColumn("fid", expr(s"zkey div ${ZLayout.FidDiv}L"))
+      .drop("o_orderdate")
+  }
+
+  /** Write `laid` (projected rows with fid) into the pool as
+    * `g<gen>-f<fid>` units; returns the filelist rows describing them.
+    * Deterministic unit names make a crashed attempt's replay an
+    * overwrite. The per-unit move loop is driver-side but bounded by the
+    * AFFECTED fid count (metadata-scale), never the table. */
+  private def writeUnits(laid: DataFrame, root: String, gen: Long): DataFrame = {
+    val s = laid.sparkSession
+    val staging = s"$root/.staging-g$gen"
+    CommitFiles.rmTree(new java.io.File(staging))
+    laid.repartition(col("fid"))
+      .sortWithinPartitions(col("fid"), col("zkey"))
+      .write.mode("overwrite").partitionBy("fid").parquet(staging)
+    val pool = new java.io.File(s"$root/files")
+    Files.createDirectories(pool.toPath)
+    // sweep same-gen debris from a crashed earlier attempt, then move
+    Option(pool.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"g$gen-"))
+      .foreach(CommitFiles.rmTree)
+    Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("fid="))
+      .foreach { f =>
+        val fid = f.getName.stripPrefix("fid=")
+        Files.move(f.toPath, Paths.get(pool.getPath, s"g$gen-f$fid"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    CommitFiles.rmTree(new java.io.File(staging))
+    val stats = ZLayout.StatsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    laid.groupBy(col("fid"))
+      .agg(count(lit(1)).as("n"), stats: _*)
+      .withColumn("path", concat(lit(s"g$gen-f"), col("fid").cast("string")))
+  }
+
+  /** Stage `v=<gen>` (filelist + optional deletes), atomic-rename it into
+    * place, flip the pointer. */
+  private def commit(root: String, gen: Long, filelist: DataFrame,
+      deletes: Option[DataFrame]): Long = {
+    val tmp = s"$root/.tmp-v=$gen"
+    CommitFiles.rmTree(new java.io.File(tmp))
+    CommitFiles.rmTree(new java.io.File(s"$root/v=$gen")) // crashed pre-flip attempt
+    filelist.coalesce(1).write.parquet(s"$tmp/filelist")
+    deletes.foreach(_.coalesce(1).write.parquet(s"$tmp/deletes"))
+    Files.move(Paths.get(tmp), Paths.get(root, s"v=$gen"),
+      StandardCopyOption.ATOMIC_MOVE)
+    CommitFiles.atomicWrite(pointer(root), gen.toString)
+    gen
+  }
+
+  private def committedOrFail(root: String): Long =
+    CommitFiles.readPointer(pointer(root)).getOrElse(
+      throw new IllegalStateException(s"cow_table: nothing committed at $root"))
+
+  /** The snapshot's filelist. Version checks ride [[TimeTravel]]'s
+    * semantics: retained, committed, loud otherwise. */
+  def filelist(s: SparkSession, root: String, v: Long): DataFrame = {
+    val have = TimeTravel.versions(root)
+    val committed = TimeTravel.latestVersion(root)
+    require(have.contains(v),
+      s"cow_table: version $v is not retained at $root (have: " +
+        s"${have.mkString(", ")}; latest committed: $committed)")
+    require(committed.exists(v <= _),
+      s"cow_table: version $v at $root is not committed (latest " +
+        s"committed: $committed) — an uncommitted snapshot may be torn")
+    s.read.parquet(s"$root/v=$v/filelist")
+  }
+
+  private def deletesAt(s: SparkSession, root: String, v: Long): Option[DataFrame] =
+    if (Files.exists(Paths.get(root, s"v=$v", "deletes")))
+      Some(s.read.parquet(s"$root/v=$v/deletes"))
+    else None
+
+  /** Read one committed snapshot: the union of its referenced units
+    * (merge-schema across an evolution boundary — pre-evolution units
+    * surface added columns as null), minus pending merge-on-read
+    * deletes. The delete side is force-broadcast per the CDC-size
+    * contract (see class doc). */
+  def readVersion(s: SparkSession, root: String, v: Long): DataFrame = {
+    val paths = filelist(s, root, v).select(col("path"))
+      .collect().map(r => s"$root/files/${r.getString(0)}").sorted
+    val data =
+      if (paths.isEmpty) emptyBase(s)
+      else s.read.option("mergeSchema", "true").parquet(paths: _*)
+    deletesAt(s, root, v) match {
+      case Some(del) =>
+        data.join(broadcast(del.select(col("o_orderkey"))),
+          Seq("o_orderkey"), "left_anti")
+      case None => data
+    }
+  }
+
+  /** Manifest-pruned snapshot read on any [[ZLayout.StatsCols]] ranges:
+    * the filelist doubles as the stats manifest, so pruning works across
+    * SHARED units — a unit carried by reference since v=0 still prunes
+    * in v=9's read. */
+  def prunedRead(s: SparkSession, root: String, v: Long,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    ranges.foreach { case (c, _, _) => require(ZLayout.StatsCols.contains(c),
+      s"cow_table: no stats for column '$c' (have: ${ZLayout.StatsCols.mkString(", ")})") }
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
+    val paths = filelist(s, root, v).filter(pred).select(col("path"))
+      .collect().map(r => s"$root/files/${r.getString(0)}").sorted
+    val data =
+      if (paths.isEmpty) emptyBase(s)
+      else s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val exact = ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .foldLeft(data)((df, p) => df.filter(p))
+    deletesAt(s, root, v) match {
+      case Some(del) =>
+        exact.join(broadcast(del.select(col("o_orderkey"))),
+          Seq("o_orderkey"), "left_anti")
+      case None => exact
+    }
+  }
+
+  /** v=0: the whole table as gen-0 units. */
+  def init(s: SparkSession, orders: DataFrame, root: String): Long = {
+    Files.createDirectories(Paths.get(root))
+    val laid = project(orders)
+    val rows = writeUnits(laid, root, gen = 0L)
+    commit(root, 0L, rows, None)
+  }
+
+  /** Copy-on-write MERGE INTO: for each upsert row, replace the matching
+    * o_orderkey if present, insert otherwise. Rewrites ONLY the units
+    * whose fid an upsert row lands in; every other unit is re-listed by
+    * reference (the file-sharing economy — [[CowSpec]] pins that the
+    * unaffected paths are literally the same). See the class doc for the
+    * clustering contract and the pending-deletes refusal. */
+  def mergeInto(s: SparkSession, root: String, upserts: DataFrame): Long = {
+    val v = committedOrFail(root)
+    require(deletesAt(s, root, v).isEmpty,
+      s"cow_table: v=$v has pending merge-on-read deletes — run " +
+        "compactDeletes before mergeInto (a merge over a pending delete " +
+        "of the same key has no single right answer)")
+    val fl = filelist(s, root, v)
+    val proj = project(upserts).persist()
+    try {
+      val affected = proj.select(col("fid")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by update locality
+      val gen = v + 1
+      val affPaths = fl.filter(col("fid").isin(affected: _*))
+        .select(col("path")).collect().map(r => s"$root/files/${r.getString(0)}")
+      val oldData =
+        if (affPaths.isEmpty) emptyBase(s)
+        else s.read.option("mergeSchema", "true").parquet(affPaths.sorted: _*)
+      val merged = oldData
+        .withColumn("fid", expr(s"zkey div ${ZLayout.FidDiv}L"))
+        .join(proj.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(proj, allowMissingColumns = true)
+      val newRows = writeUnits(merged, root, gen)
+      val kept =
+        if (affected.isEmpty) fl else fl.filter(!col("fid").isin(affected: _*))
+      commit(root, gen, kept.unionByName(newRows.select(fl.columns.map(col): _*)),
+        None)
+    } finally proj.unpersist()
+  }
+
+  /** Merge-on-read equality delete: commits a new snapshot whose
+    * filelist is the old one VERBATIM (zero data rewritten, all units
+    * shared) plus the keys appended to the pending-delete set. The
+    * cheapest possible delete; reads pay one broadcast anti-join until
+    * [[compactDeletes]] folds it. */
+  def deleteWhere(s: SparkSession, root: String, keys: DataFrame): Long = {
+    val v = committedOrFail(root)
+    val gen = v + 1
+    val fl = filelist(s, root, v)
+    val del = keys.select(col("o_orderkey")).distinct()
+    val all = deletesAt(s, root, v) match {
+      case Some(old) => old.select(col("o_orderkey")).unionByName(del).distinct()
+      case None      => del
+    }
+    commit(root, gen, fl, Some(all))
+  }
+
+  /** Fold pending deletes into the data: rewrite ONLY units whose
+    * o_orderkey stats overlap a pending key (stats-targeted — a unit no
+    * delete can touch is carried by reference), commit a snapshot with
+    * an empty delete set. No-op (pointer still advances) when nothing is
+    * pending. */
+  def compactDeletes(s: SparkSession, root: String): Long = {
+    val v = committedOrFail(root)
+    val gen = v + 1
+    val fl = filelist(s, root, v)
+    deletesAt(s, root, v) match {
+      case None => commit(root, gen, fl, None)
+      case Some(del) =>
+        val delKeys = del.select(col("o_orderkey").as("dk"))
+        val affPaths = fl.join(broadcast(delKeys),
+            col("dk").between(col("o_orderkey_min"), col("o_orderkey_max")),
+            "left_semi")
+          .select(col("path")).collect().map(_.getString(0)).sorted
+        val newRows = if (affPaths.isEmpty) None else {
+          val data = s.read.option("mergeSchema", "true")
+            .parquet(affPaths.map(p => s"$root/files/$p"): _*)
+            .withColumn("fid", expr(s"zkey div ${ZLayout.FidDiv}L"))
+            .join(broadcast(del.select(col("o_orderkey"))),
+              Seq("o_orderkey"), "left_anti")
+          Some(writeUnits(data, root, gen))
+        }
+        val kept =
+          if (affPaths.isEmpty) fl
+          else fl.filter(!col("path").isin(affPaths: _*))
+        commit(root, gen,
+          newRows.fold(kept)(nr =>
+            kept.unionByName(nr.select(fl.columns.map(col): _*))), None)
+    }
+  }
+
+  /** Additive schema evolution: append rows that carry EXTRA columns as
+    * new (wider-schema) units; every existing unit is shared untouched —
+    * the zero-rewrite evolution Iceberg/Delta allow. Reads across the
+    * boundary null-backfill the added columns for pre-evolution units
+    * (mergeSchema). Appended keys must be new — this is an append, not a
+    * merge. */
+  def appendEvolved(s: SparkSession, root: String, rows: DataFrame): Long = {
+    val v = committedOrFail(root)
+    val gen = v + 1
+    val fl = filelist(s, root, v)
+    val laid = project(rows)
+    val newRows = writeUnits(laid, root, gen)
+    commit(root, gen,
+      fl.unionByName(newRows.select(fl.columns.map(col): _*)),
+      deletesAt(s, root, v))
+  }
+}
+
+/** One table, one history: v0 init → v1 COW merge (updates + inserts) →
+  * v2 merge-on-read delete → v3 delete compaction → v4 schema-evolved
+  * append. Each registry query below reads a DIFFERENT version of this
+  * chain against a raw-orders DuckDB replay, so a green board proves
+  * every write op AND that later commits never disturb earlier
+  * snapshots. All stripes are o_custkey ranges (= ck, custkey < 65536 in
+  * the fixtures): clustering-localized, so the COW rewrite set stays a
+  * small fid subset ([[CowSpec]] asserts the sharing). */
+object CowFixture extends DerivedFixture("lake_cow", "orders") {
+  val UpdLo = 100L; val UpdHi = 199L   // update stripe: price += 1.00
+  val InsLo = 300L; val InsHi = 349L   // insert stripe: key + InsOffset
+  val InsOffset = 2000000000L
+  val DelLo = 1000L; val DelHi = 4999L // delete: o_orderkey range
+  val EvoLo = 500L; val EvoHi = 549L   // evolved append: key + EvoOffset
+  val EvoOffset = 4000000000L
+
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    val orders = T.orders(s, dir)
+    CowTable.init(s, orders, target)
+    val upd = orders.filter(col("o_custkey").between(UpdLo, UpdHi))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val ins = orders.filter(col("o_custkey").between(InsLo, InsHi))
+      .withColumn("o_orderkey", col("o_orderkey") + InsOffset)
+    CowTable.mergeInto(s, target, upd.unionByName(ins))
+    val delKeys = CowTable.readVersion(s, target, 1L)
+      .filter(col("o_orderkey").between(DelLo, DelHi))
+      .select(col("o_orderkey"))
+    CowTable.deleteWhere(s, target, delKeys)
+    CowTable.compactDeletes(s, target)
+    val evo = orders.filter(col("o_custkey").between(EvoLo, EvoHi))
+      .withColumn("o_orderkey", col("o_orderkey") + EvoOffset)
+      .withColumn("o_key2", col("o_orderkey") * 2L)
+    CowTable.appendEvolved(s, target, evo)
+  }
+}
+
+/** Registry queries over the [[CowFixture]] chain. Oracles replay the
+  * whole write history as SQL over RAW orders — fixture freshness, COW
+  * row preservation, delete semantics, compaction losslessness, and
+  * evolution backfill all graded every round at both scales. */
+object CowQueries extends QueryGroup {
+  import CowFixture._
+
+  private def statusAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  // the post-merge table (v1), shared by every oracle below
+  private val mergedCte =
+    s"""merged AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_custkey BETWEEN $UpdLo AND $UpdHi
+       |      THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey + $InsOffset, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_custkey BETWEEN $InsLo AND $InsHi)""".stripMargin
+
+  private def statusAggSql(from: String, ctes: String) =
+    s"""WITH $ctes
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+       |FROM $from GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  private def cowMerge(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.readVersion(s, CowFixture.ensure(s, d), 1L))
+
+  private val cowMergeSql = statusAggSql("merged", mergedCte)
+
+  private def morDelete(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.readVersion(s, CowFixture.ensure(s, d), 2L))
+
+  private val morDeleteSql = statusAggSql(
+    s"(SELECT * FROM merged WHERE o_orderkey NOT BETWEEN $DelLo AND $DelHi)",
+    mergedCte)
+
+  /** v3 = v2 with the deletes FOLDED: same oracle as [[morDelete]], so a
+    * compaction that loses or resurrects a row reds exactly this key
+    * (the lake_compact_read precedent). */
+  private def morCompact(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.readVersion(s, CowFixture.ensure(s, d), 3L))
+
+  /** The evolved snapshot (v4): pre-evolution rows surface o_key2 as
+    * null (sum skips them — exactly the oracle's NULL arithmetic). The
+    * column guard keeps degenerate tables (no stripe rows → no evolved
+    * unit → narrow schema) readable: the consumer of an evolving table
+    * must tolerate reading a slice that predates the column. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val df = CowTable.readVersion(s, CowFixture.ensure(s, d), 4L)
+    val withK2 =
+      if (df.columns.contains("o_key2")) df
+      else df.withColumn("o_key2", lit(null).cast(LongType))
+    withK2.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("revenue"),
+        sum(col("o_key2")).as("key2_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val schemaEvolutionSql =
+    s"""WITH $mergedCte,
+       |survivors AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    CAST(NULL AS BIGINT) AS o_key2
+       |  FROM merged WHERE o_orderkey NOT BETWEEN $DelLo AND $DelHi),
+       |evolved AS (
+       |  SELECT o_orderkey + $EvoOffset AS o_orderkey, o_orderstatus,
+       |    o_totalprice, (o_orderkey + $EvoOffset) * 2 AS o_key2
+       |  FROM orders WHERE o_custkey BETWEEN $EvoLo AND $EvoHi)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+       |  CAST(SUM(o_key2) AS BIGINT) AS key2_sum
+       |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM evolved)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cow_merge" -> QueryDef(cowMerge, Some(cowMergeSql)),
+    "lake_mor_delete" -> QueryDef(morDelete, Some(morDeleteSql)),
+    "lake_mor_compact" -> QueryDef(morCompact, Some(morDeleteSql)),
+    "lake_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)))
+}

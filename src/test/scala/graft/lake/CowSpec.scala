@@ -1,0 +1,172 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The COW/MOR table's proof obligations — the parts an oracle replay
+  * can't see: snapshots SHARE the units a commit didn't touch (the
+  * whole economy of the design), earlier versions are never disturbed,
+  * merge-on-read deletes rewrite nothing until compaction folds them
+  * stats-targeted, and the contract refusals are loud. */
+class CowSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Dense synthetic orders spanning the ck dimension (the LakeSpec grid
+    * rationale): custkeys 0..4095 × 16 rows each, so the fixture's
+    * custkey stripes land in a PROPER fid subset and sharing is
+    * measurable. Built through the real fixture machinery. */
+  private lazy val root: String = {
+    val src = graft.core.Fixtures.path("cowspec_grid")
+    val rows = (0 until 65536).map { i =>
+      val ck = (i % 4096).toLong
+      val day = (i / 4096) * 100
+      val ts = new java.sql.Timestamp((9131L + day) * 86400000L)
+      (i.toLong, ck, if (i % 3 == 0) "O" else "F", i * 1.5, ts, "1-URGENT")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
+    CowFixture.ensure(spark, src)
+  }
+
+  private def paths(v: Long): Set[String] =
+    CowTable.filelist(spark, root, v).select("path")
+      .collect().map(_.getString(0)).toSet
+
+  test("COW merge rewrites only the touched fids; everything else is shared") {
+    val v0 = paths(0L); val v1 = paths(1L)
+    val shared = v0 intersect v1
+    assert(shared.nonEmpty, "a localized merge must carry most units by reference")
+    // every non-shared v0 unit was replaced because an upsert landed in
+    // its fid; with custkey stripes 100-199/300-349 over a 4096-wide ck
+    // grid the rewrite set must be a small minority
+    assert(shared.size.toDouble / v0.size > 0.5,
+      s"sharing collapsed: ${shared.size} of ${v0.size} v0 units survive in v1")
+    // rewritten units carry the new generation prefix
+    assert((v1 -- v0).forall(_.startsWith("g1-")), s"new units must be gen-1")
+  }
+
+  test("snapshot isolation: v0 reads identically after the whole chain") {
+    val v0 = CowTable.readVersion(spark, root, 0L)
+    val orig = spark.read.parquet(
+      s"${graft.core.Fixtures.path("cowspec_grid")}/orders.parquet")
+    assert(v0.count() == orig.count())
+    assert(v0.agg(sum("o_orderkey")).head.getLong(0) ==
+      orig.agg(sum("o_orderkey")).head.getLong(0))
+    assert(!v0.columns.contains("o_key2"),
+      "a pre-evolution snapshot must not grow the evolved column")
+  }
+
+  test("merge-on-read delete rewrites ZERO data units") {
+    assert(paths(2L) == paths(1L),
+      "a MOR delete commit must re-list the data untouched")
+    val v1n = CowTable.readVersion(spark, root, 1L).count()
+    val v2 = CowTable.readVersion(spark, root, 2L)
+    val deleted = CowTable.readVersion(spark, root, 1L)
+      .filter(col("o_orderkey").between(CowFixture.DelLo, CowFixture.DelHi))
+      .count()
+    assert(deleted > 0, "the fixture's delete range must match rows")
+    assert(v2.count() == v1n - deleted)
+    assert(v2.filter(col("o_orderkey")
+      .between(CowFixture.DelLo, CowFixture.DelHi)).count() == 0)
+  }
+
+  test("delete compaction folds the keys, stats-targeted, losslessly") {
+    assert(!Files.exists(Paths.get(root, "v=3", "deletes")),
+      "compaction must commit an empty pending-delete set")
+    val v2 = paths(2L); val v3 = paths(3L)
+    // only units whose o_orderkey stats overlap the delete range are
+    // rewritten; the delete range 1000-4999 is 4k of 64k sequential keys
+    val rewritten = v2 -- v3
+    val fl2 = CowTable.filelist(spark, root, 2L)
+      .select("path", "o_orderkey_min", "o_orderkey_max").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rewritten.foreach { p =>
+      val (lo, hi) = fl2(p)
+      assert(hi >= CowFixture.DelLo && lo <= CowFixture.DelHi,
+        s"$p was rewritten but its key stats [$lo,$hi] miss the delete range")
+    }
+    assert((v2 intersect v3).nonEmpty, "untouched units must be shared")
+    // content identical to the MOR read it replaced
+    val a = CowTable.readVersion(spark, root, 2L)
+    val b = CowTable.readVersion(spark, root, 3L)
+    assert(b.count() == a.count())
+    assert(a.join(b, Seq("o_orderkey"), "left_anti").count() == 0)
+  }
+
+  test("evolved append shares every old unit and null-backfills reads") {
+    val v3 = paths(3L); val v4 = paths(4L)
+    assert(v3.subsetOf(v4), "append must touch no existing unit")
+    assert((v4 -- v3).nonEmpty, "the evolved stripe must add units")
+    val df = CowTable.readVersion(spark, root, 4L)
+    assert(df.columns.contains("o_key2"))
+    val evolved = df.filter(col("o_key2").isNotNull)
+    assert(evolved.count() > 0)
+    assert(df.filter(col("o_key2").isNull).count() ==
+      CowTable.readVersion(spark, root, 3L).count(),
+      "every pre-evolution row must surface the added column as null")
+    // the evolved column's invariant: o_key2 = o_orderkey * 2
+    assert(evolved.filter(col("o_key2") =!= col("o_orderkey") * 2L).count() == 0)
+  }
+
+  test("pruned reads work across units shared from older generations") {
+    // prune on the ck stripe NOT touched by any write (shared since v0)
+    val pruned = CowTable.prunedRead(spark, root, 4L,
+      Seq(("ck", 2000L, 2099L)))
+    val full = CowTable.readVersion(spark, root, 4L)
+      .filter(col("ck").between(2000L, 2099L))
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    val flCount = CowTable.filelist(spark, root, 4L).count()
+    assert(pruned.inputFiles.length < flCount,
+      s"pruning must skip units (${pruned.inputFiles.length} of $flCount read)")
+  }
+
+  test("mergeInto refuses to run over pending merge-on-read deletes") {
+    val dir = graft.core.Fixtures.path("cowspec_refuse")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .orderBy("o_orderkey").limit(50)
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    CowTable.init(spark, orders, dir)
+    CowTable.deleteWhere(spark, dir,
+      orders.filter(col("o_orderkey").isin(keys.take(5): _*))
+        .select("o_orderkey"))
+    val survivor = keys(10)
+    val e = intercept[IllegalArgumentException] {
+      CowTable.mergeInto(spark, dir,
+        orders.filter(col("o_orderkey") === survivor))
+    }
+    assert(e.getMessage.contains("pending merge-on-read deletes"), e.getMessage)
+    // folding the deletes unblocks the merge; updating a SURVIVING key
+    // replaces in place — the row count must hold at 45
+    CowTable.compactDeletes(spark, dir)
+    CowTable.mergeInto(spark, dir,
+      orders.filter(col("o_orderkey") === survivor)
+        .withColumn("o_totalprice", lit(9.0)))
+    val v3 = CowTable.readVersion(spark, dir, 3L)
+    assert(v3.count() == 45)
+    assert(v3.filter(col("o_orderkey") === survivor)
+      .head.getAs[Double]("o_totalprice") == 9.0)
+  }
+
+  test("an uncommitted snapshot dir is refused, not served") {
+    val dir = graft.core.Fixtures.path("cowspec_torn")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir).limit(20)
+    CowTable.init(spark, orders, dir)
+    // simulate a crash between v=1 staging-rename and pointer flip
+    Files.createDirectories(Paths.get(dir, "v=1"))
+    spark.range(1).select(lit("g9-f0").as("path")).write
+      .parquet(s"$dir/v=1/filelist")
+    val e = intercept[IllegalArgumentException] {
+      CowTable.readVersion(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    assert(CowTable.readVersion(spark, dir, 0L).count() == 20,
+      "the committed head must stay readable past the torn dir")
+  }
+}
