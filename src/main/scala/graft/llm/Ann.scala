@@ -1005,7 +1005,82 @@ object Ann extends QueryGroup {
       |SELECT lang, COUNT(DISTINCT word) AS exact_words, TRUE AS acd_ok
       |FROM wrd GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- retrieval_maxsim: late-interaction (ColBERT-style) scoring -------
+  /** Multi-vector late-interaction retrieval: queries and documents are
+    * BAGS of token vectors (here: embeddings grouped 8-per-pseudo-doc by
+    * `vec_id div 8`, the fixture's stand-in for a per-token encoder);
+    * score(q, d) = Σ_{i∈q} max_{j∈d} cos(q_i, d_j) — each query token
+    * takes its best-matching document token, the document scores the sum.
+    *
+    * Shape: probe-bounded like `text_bm25` — the query side is FIXED
+    * (gid % 50 = 0 AND gid < 200 → ≤4 query docs × ≤8 tokens regardless
+    * of corpus size, the sweep's probe rule) and force-broadcast; the
+    * candidate tokens stream past ONCE; the per-(query-token, doc) max
+    * and per-(query, doc) sum are hash aggregates keyed by doc — never a
+    * doc×doc cross. At 100 TB the candidate set is first cut by an ANN
+    * pass over a pooled per-doc vector (the standard two-stage ColBERT
+    * serving plan — `ann_ivf_topk` is that first stage); this scoring
+    * join is the second stage and its cost is |candidates|, not corpus².
+    *
+    * Determinism: cosine is the fixed-order IEEE chain every ANN oracle
+    * replays; max over doc tokens is selection (order-free); each
+    * per-token max is q6-quantized (the text_zipf_fit recipe) BEFORE the
+    * ≤8-term sum, so the score is exact long arithmetic in both engines.
+    * Top-5 per query, ties to the lower doc gid. */
+  private def maxsim(s: SparkSession, d: String): DataFrame = {
+    val toks = normed(s, d).withColumn("gid", expr("vec_id div 8"))
+    val isQ = (col("gid") % 50 === 0) && (col("gid") < 200)
+    val q = toks.filter(isQ).select(col("gid").as("q_gid"),
+      col("vec_id").as("q_tok"), col("emb").as("q_emb"),
+      col("nsq").as("q_nsq"))
+    val perTok = toks.filter(!isQ).crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("q_emb"), col("emb")) /
+        (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .groupBy(col("q_gid"), col("q_tok"), col("gid"))
+      .agg(max(col("cos")).as("best"))
+    val scored = perTok
+      .withColumn("bq",
+        (col("best").cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType))
+      .groupBy(col("q_gid"), col("gid")).agg(sum(col("bq")).as("score_q6"))
+    val w = Window.partitionBy(col("q_gid"))
+      .orderBy(col("score_q6").desc, col("gid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("q_gid"), col("gid").as("c_gid"), col("rank"),
+        col("score_q6"))
+      .orderBy(col("q_gid"), col("rank"))
+  }
+
+  private val maxsimSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, vec_id // 8 AS gid, CAST(embedding AS DOUBLE[]) AS emb,
+       |    ${Dedup.guardedNsq} AS nsq
+       |  FROM embeddings
+       |  WHERE ${Dedup.guardedNsq} > 0),
+       |q AS (SELECT gid AS q_gid, vec_id AS q_tok, emb AS q_emb, nsq AS q_nsq
+       |      FROM n WHERE gid % 50 = 0 AND gid < 200),
+       |pt AS (
+       |  SELECT q.q_gid, q.q_tok, c.gid,
+       |    MAX(list_inner_product(q.q_emb, c.emb)
+       |      / (sqrt(q.q_nsq) * sqrt(c.nsq))) AS best
+       |  FROM (SELECT * FROM n WHERE NOT (gid % 50 = 0 AND gid < 200)) c
+       |  CROSS JOIN q
+       |  GROUP BY q.q_gid, q.q_tok, c.gid),
+       |sc AS (
+       |  SELECT q_gid, gid,
+       |    SUM(CAST(CAST(best AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS score_q6
+       |  FROM pt GROUP BY q_gid, gid),
+       |r AS (
+       |  SELECT q_gid, gid AS c_gid, score_q6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_gid
+       |      ORDER BY score_q6 DESC, gid) AS rank
+       |  FROM sc)
+       |SELECT q_gid, c_gid, CAST(rank AS BIGINT) AS rank,
+       |  CAST(score_q6 AS BIGINT) AS score_q6
+       |FROM r WHERE rank <= 5 ORDER BY q_gid, rank""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "retrieval_maxsim"       -> QueryDef(maxsim, Some(maxsimSql)),
     "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
     "retrieval_eval_ndcg"    -> QueryDef(evalNdcg, Some(evalNdcgSql)),
     "ann_lsh_multiprobe"     -> QueryDef(lshMultiprobe, Some(lshMultiprobeSql)),

@@ -551,6 +551,22 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("retrieval_maxsim: query tokens broadcast; candidates stream past once") {
+    // the late-interaction score must be a probe-bounded single pass:
+    // the fixed query-token set (≤32 rows) is forced broadcast, the
+    // candidate tokens never shuffle for the scoring join, and there is
+    // no doc×doc cartesian anywhere
+    val df = SparkEntry.queries("retrieval_maxsim")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must be a forced broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // exactly one scan of embeddings feeds the candidate side (the
+    // query side's scan is its own, bounded); >2 means a recompute
+    val scans = p.linesIterator.count(_.contains("embeddings.parquet"))
+    assert(scans <= 2, s"candidate side rescans the corpus ($scans scans)")
+  }
+
   test("asof family: no quadratic unbounded-FOLLOWING window frame") {
     // Spark's unbounded-following frame re-scans to the partition end per
     // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both
