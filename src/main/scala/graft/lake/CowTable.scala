@@ -224,33 +224,63 @@ object CowTable {
     * reference (the file-sharing economy — [[CowSpec]] pins that the
     * unaffected paths are literally the same). See the class doc for the
     * clustering contract and the pending-deletes refusal. */
-  def mergeInto(s: SparkSession, root: String, upserts: DataFrame): Long = {
+  def mergeInto(s: SparkSession, root: String, upserts: DataFrame): Long =
+    applyChanges(s, root, upserts,
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("o_orderkey", LongType)))))
+
+  /** One COW commit applying a FOLDED CDC batch: upserts (replace by
+    * o_orderkey, else insert) plus row deletes, in one new version. The
+    * rewrite set is the union of the fids the upsert rows land in and
+    * the units whose o_orderkey stats overlap a delete key — both
+    * bounded by the change set, never the table. A key in BOTH sets is
+    * the caller's fold bug (StreamMerge.lastWins exists to collapse a
+    * batch to one change per key) and is refused loudly — the
+    * alternative is silently picking a winner. */
+  def applyChanges(s: SparkSession, root: String, upserts: DataFrame,
+      deleteKeys: DataFrame): Long = {
     val v = committedOrFail(root)
     require(deletesAt(s, root, v).isEmpty,
       s"cow_table: v=$v has pending merge-on-read deletes — run " +
-        "compactDeletes before mergeInto (a merge over a pending delete " +
-        "of the same key has no single right answer)")
+        "compactDeletes before mergeInto/applyChanges (a merge over a " +
+        "pending delete of the same key has no single right answer)")
     val fl = filelist(s, root, v)
     val proj = project(upserts).persist()
+    val delK = deleteKeys.select(col("o_orderkey").as("dk")).distinct().persist()
     try {
-      val affected = proj.select(col("fid")).distinct()
+      require(proj.join(broadcast(delK),
+          proj("o_orderkey") === delK("dk"), "left_semi").isEmpty,
+        "cow_table: a key appears as both an upsert and a delete in one " +
+          "batch — fold the batch to one change per key first")
+      val upFids = proj.select(col("fid")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded by update locality
+      val upPaths =
+        if (upFids.isEmpty) Array.empty[String]
+        else fl.filter(col("fid").isin(upFids: _*))
+          .select(col("path")).collect().map(_.getString(0))
+      val delPaths = fl.join(broadcast(delK),
+          col("dk").between(col("o_orderkey_min"), col("o_orderkey_max")),
+          "left_semi")
+        .select(col("path")).collect().map(_.getString(0))
+      val affPaths = (upPaths ++ delPaths).distinct.sorted
       val gen = v + 1
-      val affPaths = fl.filter(col("fid").isin(affected: _*))
-        .select(col("path")).collect().map(r => s"$root/files/${r.getString(0)}")
       val oldData =
         if (affPaths.isEmpty) emptyBase(s)
-        else s.read.option("mergeSchema", "true").parquet(affPaths.sorted: _*)
+        else s.read.option("mergeSchema", "true")
+          .parquet(affPaths.map(p => s"$root/files/$p"): _*)
       val merged = oldData
         .withColumn("fid", expr(s"zkey div ${ZLayout.FidDiv}L"))
         .join(proj.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .join(broadcast(delK.select(col("dk").as("o_orderkey"))),
+          Seq("o_orderkey"), "left_anti")
         .unionByName(proj, allowMissingColumns = true)
       val newRows = writeUnits(merged, root, gen)
       val kept =
-        if (affected.isEmpty) fl else fl.filter(!col("fid").isin(affected: _*))
+        if (affPaths.isEmpty) fl
+        else fl.filter(!col("path").isin(affPaths: _*))
       commit(root, gen, kept.unionByName(newRows.select(fl.columns.map(col): _*)),
         None)
-    } finally proj.unpersist()
+    } finally { proj.unpersist(); delK.unpersist() }
   }
 
   /** Merge-on-read equality delete: commits a new snapshot whose
@@ -358,6 +388,31 @@ object CowFixture extends DerivedFixture("lake_cow", "orders") {
   }
 }
 
+/** One folded CDC batch (updates + inserts + deletes) applied to the
+  * COW table in a SINGLE commit via [[CowTable.applyChanges]] — the
+  * batch core [[graft.streaming.StreamCow]] drives per micro-batch. The
+  * delete stripe excludes the update stripe's custkeys so the batch is
+  * one-change-per-key (the fold contract applyChanges enforces). */
+object CdcFixture extends DerivedFixture("lake_cdc", "orders") {
+  val UpdLo = 700L; val UpdHi = 749L   // U: price += 2.00
+  val InsLo = 800L; val InsHi = 819L   // I: key + InsOffset
+  val InsOffset = 3000000000L
+  val DelLo = 5000L; val DelHi = 5999L // D: key range, minus the U stripe
+
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    val orders = T.orders(s, dir)
+    CowTable.init(s, orders, target)
+    val upd = orders.filter(col("o_custkey").between(UpdLo, UpdHi))
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    val ins = orders.filter(col("o_custkey").between(InsLo, InsHi))
+      .withColumn("o_orderkey", col("o_orderkey") + InsOffset)
+    val del = orders.filter(col("o_orderkey").between(DelLo, DelHi) &&
+        !col("o_custkey").between(UpdLo, UpdHi))
+      .select(col("o_orderkey"))
+    CowTable.applyChanges(s, target, upd.unionByName(ins), del)
+  }
+}
+
 /** Registry queries over the [[CowFixture]] chain. Oracles replay the
   * whole write history as SQL over RAW orders — fixture freshness, COW
   * row preservation, delete semantics, compaction losslessness, and
@@ -445,7 +500,28 @@ object CowQueries extends QueryGroup {
        |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM evolved)
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** The CDC batch's result (one commit: U+I+D), against a raw-orders
+    * replay of all three change stripes. */
+  private def cdcApply(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.readVersion(s, CdcFixture.ensure(s, d), 1L))
+
+  private val cdcApplySql = {
+    import CdcFixture.{DelHi, DelLo, InsHi, InsLo, InsOffset, UpdHi, UpdLo}
+    statusAggSql("changed",
+      s"""changed AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_custkey BETWEEN $UpdLo AND $UpdHi
+         |      THEN o_totalprice + 2.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey BETWEEN $DelLo AND $DelHi
+         |             AND o_custkey NOT BETWEEN $UpdLo AND $UpdHi)
+         |  UNION ALL
+         |  SELECT o_orderkey + $InsOffset, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_custkey BETWEEN $InsLo AND $InsHi)""".stripMargin)
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),
     "lake_cow_merge" -> QueryDef(cowMerge, Some(cowMergeSql)),
     "lake_mor_delete" -> QueryDef(morDelete, Some(morDeleteSql)),
     "lake_mor_compact" -> QueryDef(morCompact, Some(morDeleteSql)),

@@ -57,7 +57,7 @@ object StreamMerge {
   /** Reduce a batch to one change per key: highest `seqCol` wins (struct
     * arg-max — one aggregation, no window sort). Without a sequence
     * column, assert the batch is already single-change-per-key. */
-  private def lastWins(changes: DataFrame, key: String,
+  private[streaming] def lastWins(changes: DataFrame, key: String,
       seqCol: Option[String]): DataFrame = seqCol match {
     case Some(sq) =>
       // two changes for one key at the SAME sequence are exactly as
