@@ -334,6 +334,48 @@ object CowTable {
     }
   }
 
+  /** Retention + garbage collection, in that order: expire all but the
+    * newest `keepLast` committed versions ([[TimeTravel.vacuum]] — the
+    * v= dirs here are pure metadata), then delete every pool unit no
+    * surviving snapshot references. The subtlety that makes COW GC a
+    * reachability walk and not an age check: a gen-0 unit SHARED into
+    * the latest snapshot must survive v=0's expiry ([[CowSpec]] pins
+    * it). Protection rules: units referenced by ANY remaining v= dir
+    * (including in-flight ones above the pointer — they belong to their
+    * writer) are kept, and units of a generation ABOVE the committed
+    * head are never touched (an in-flight writeUnits owns them). Each
+    * victim leaves via rename-then-delete, so a crash leaves only
+    * invisible `.vacuum-` debris, swept on the next vacuum. Not
+    * concurrent-safe with a writer — the single-writer contract covers
+    * maintenance too. Returns (expired versions, deleted units). */
+  def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+    val expired = TimeTravel.vacuum(root, keepLast)
+    val pool = new java.io.File(s"$root/files")
+    Option(pool.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".vacuum-")).foreach(CommitFiles.rmTree)
+    val committed = TimeTravel.latestVersion(root)
+      .getOrElse(return (expired, Seq.empty))
+    val referenced = TimeTravel.versions(root).flatMap { v =>
+      // a torn in-flight dir may lack its filelist; its units are still
+      // covered by the generation guard below
+      if (!Files.exists(Paths.get(root, s"v=$v", "filelist"))) Seq.empty
+      else s.read.parquet(s"$root/v=$v/filelist").select(col("path"))
+        .collect().map(_.getString(0)).toSeq
+    }.toSet
+    def genOf(name: String): Long =
+      name.stripPrefix("g").takeWhile(_ != '-').toLong
+    val victims = Option(pool.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("g") && !referenced(f.getName) &&
+        genOf(f.getName) <= committed)
+      .sortBy(_.getName)
+    victims.foreach { f =>
+      val gone = Paths.get(pool.getPath, s".vacuum-${f.getName}")
+      Files.move(f.toPath, gone)
+      CommitFiles.rmTree(gone.toFile)
+    }
+    (expired, victims.map(_.getName).toSeq)
+  }
+
   /** Additive schema evolution: append rows that carry EXTRA columns as
     * new (wider-schema) units; every existing unit is shared untouched —
     * the zero-rewrite evolution Iceberg/Delta allow. Reads across the
@@ -410,6 +452,29 @@ object CdcFixture extends DerivedFixture("lake_cdc", "orders") {
         !col("o_custkey").between(UpdLo, UpdHi))
       .select(col("o_orderkey"))
     CowTable.applyChanges(s, target, upd.unionByName(ins), del)
+  }
+}
+
+/** Two localized merges then `vacuum(keepLast = 2)`: v0 expires, its
+  * still-shared units must survive the pool GC (reads of v1/v2 would
+  * crash on missing files otherwise — the registry row grades that
+  * reachability every round), and the unreferenced rewritten-away
+  * gen-0 units must be gone ([[CowSpec]] asserts the deletion). */
+object CowVacuumFixture extends DerivedFixture("lake_cow_vacuum", "orders") {
+  val ALo = 100L; val AHi = 199L // merge A: price += 1.00
+  val BLo = 200L; val BHi = 299L // merge B: price += 1.00
+
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    val orders = T.orders(s, dir)
+    CowTable.init(s, orders, target)
+    def bump(lo: Long, hi: Long) =
+      orders.filter(col("o_custkey").between(lo, hi))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    CowTable.mergeInto(s, target, bump(ALo, AHi)) // disjoint stripes:
+    CowTable.mergeInto(s, target, bump(BLo, BHi)) // v2 = both bumps
+    val (expired, _) = CowTable.vacuum(s, target, keepLast = 2)
+    require(expired == Seq(0L),
+      s"cow vacuum fixture: expected to expire v=0, got $expired")
   }
 }
 
@@ -520,7 +585,41 @@ object CowQueries extends QueryGroup {
          |  FROM orders WHERE o_custkey BETWEEN $InsLo AND $InsHi)""".stripMargin)
   }
 
+  /** Per-retained-version revenue over the POST-VACUUM set (the
+    * lake_vacuum_read precedent): a vacuum that expired the wrong
+    * version adds/loses a row; a pool GC that deleted a unit still
+    * shared into a retained version makes the read itself fail. The
+    * version loop is retention-policy-bounded metadata (2 here). */
+  private def cowVacuum(s: SparkSession, d: String): DataFrame = {
+    val p = CowVacuumFixture.ensure(s, d)
+    TimeTravel.versions(p).map { v =>
+      CowTable.readVersion(s, p, v)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2)))
+            .cast(DecimalType(18, 2)).as("revenue"))
+        .select(lit(v).as("v"), col("n"), col("revenue"))
+    }.reduce(_.unionByName(_)).orderBy(col("v"))
+  }
+
+  private val cowVacuumSql = {
+    import CowVacuumFixture.{AHi, ALo, BHi, BLo}
+    def rev(pred: String) =
+      s"""SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(CASE WHEN $pred THEN o_totalprice + 1.0
+         |      ELSE o_totalprice END AS DECIMAL(12,2))) AS DECIMAL(18,2))
+         |      AS revenue
+         |  FROM orders""".stripMargin
+    s"""SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS v, n, revenue FROM (
+       |  ${rev(s"o_custkey BETWEEN $ALo AND $AHi")})
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT) AS v, n, revenue FROM (
+       |  ${rev(s"o_custkey BETWEEN $ALo AND $AHi OR o_custkey BETWEEN $BLo AND $BHi")}))
+       |ORDER BY v""".stripMargin
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cow_vacuum" -> QueryDef(cowVacuum, Some(cowVacuumSql)),
     "lake_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),
     "lake_cow_merge" -> QueryDef(cowMerge, Some(cowMergeSql)),
     "lake_mor_delete" -> QueryDef(morDelete, Some(morDeleteSql)),

@@ -153,6 +153,43 @@ class CowSpec extends SparkSuite {
       .head.getAs[Double]("o_totalprice") == 9.0)
   }
 
+  test("vacuum GC is a reachability walk: shared gen-0 units survive v0's expiry") {
+    val dir = graft.core.Fixtures.path("cowspec_vacuum")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val rows = (0 until 4096).map { i =>
+      val ts = new java.sql.Timestamp((9131L + (i / 64) * 16) * 86400000L)
+      ((i + 100000).toLong, (i % 4096).toLong, "O", i * 1.0, ts, "1-URGENT")
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    CowTable.init(spark, orders, dir)
+    CowTable.mergeInto(spark, dir,
+      orders.filter(col("o_custkey").between(0L, 99L))
+        .withColumn("o_totalprice", lit(7.0)))
+    val g0Before = new java.io.File(s"$dir/files").listFiles()
+      .map(_.getName).filter(_.startsWith("g0-")).toSet
+    val sharedIntoV1 = CowTable.filelist(spark, dir, 1L)
+      .select("path").collect().map(_.getString(0))
+      .filter(_.startsWith("g0-")).toSet
+    val rewrittenAway = g0Before -- sharedIntoV1
+    assert(sharedIntoV1.nonEmpty && rewrittenAway.nonEmpty,
+      s"fixture must have both shared and rewritten gen-0 units " +
+        s"(shared=${sharedIntoV1.size}, away=${rewrittenAway.size})")
+    val (expired, deleted) = CowTable.vacuum(spark, dir, keepLast = 1)
+    assert(expired == Seq(0L))
+    assert(deleted.toSet == rewrittenAway,
+      s"GC must delete exactly the unreachable units: got $deleted")
+    val pool = new java.io.File(s"$dir/files").listFiles().map(_.getName).toSet
+    assert(sharedIntoV1.subsetOf(pool), "shared units must survive the GC")
+    // the retained version still reads completely
+    assert(CowTable.readVersion(spark, dir, 1L).count() == 4096)
+    intercept[IllegalArgumentException] {
+      CowTable.readVersion(spark, dir, 0L)
+    }
+    // idempotent: a second vacuum finds nothing
+    assert(CowTable.vacuum(spark, dir, keepLast = 1) == (Seq.empty, Seq.empty))
+  }
+
   test("an uncommitted snapshot dir is refused, not served") {
     val dir = graft.core.Fixtures.path("cowspec_torn")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
