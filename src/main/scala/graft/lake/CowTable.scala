@@ -334,6 +334,38 @@ object CowTable {
     }
   }
 
+  /** Small-file maintenance (the OPTIMIZE of Delta/Iceberg): appends
+    * ([[appendEvolved]], the streaming CDC inserts) accumulate several
+    * units per fid; this rewrites every SPLIT fid back to one unit and
+    * carries everything else by reference. Layout-only — row content is
+    * byte-identical (the registry row re-grades it against the same
+    * oracle as the pre-optimize read), pending merge-on-read deletes
+    * are copied forward untouched, and the rewrite set is exactly the
+    * fragmented fids. Mixed-schema units of one fid compact to the
+    * union schema with null backfill — the same surface a mergeSchema
+    * read already serves. */
+  def optimize(s: SparkSession, root: String): Long = {
+    val v = committedOrFail(root)
+    val gen = v + 1
+    val fl = filelist(s, root, v)
+    val fragFids = fl.groupBy(col("fid")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).select(col("fid"))
+      .collect().map(_.getLong(0)).sorted
+    if (fragFids.isEmpty) commit(root, gen, fl, deletesAt(s, root, v))
+    else {
+      val affPaths = fl.filter(col("fid").isin(fragFids: _*))
+        .select(col("path")).collect().map(_.getString(0)).sorted
+      val data = s.read.option("mergeSchema", "true")
+        .parquet(affPaths.map(p => s"$root/files/$p"): _*)
+        .withColumn("fid", expr(s"zkey div ${ZLayout.FidDiv}L"))
+      val newRows = writeUnits(data, root, gen)
+      val kept = fl.filter(!col("path").isin(affPaths: _*))
+      commit(root, gen,
+        kept.unionByName(newRows.select(fl.columns.map(col): _*)),
+        deletesAt(s, root, v))
+    }
+  }
+
   /** Retention + garbage collection, in that order: expire all but the
     * newest `keepLast` committed versions ([[TimeTravel.vacuum]] — the
     * v= dirs here are pure metadata), then delete every pool unit no
@@ -478,6 +510,26 @@ object CowVacuumFixture extends DerivedFixture("lake_cow_vacuum", "orders") {
   }
 }
 
+/** Two overlapping appends fragment the ck 200–399 fids into three
+  * units each, then [[CowTable.optimize]] bin-packs them back — the
+  * post-OPTIMIZE read must equal the raw replay of all three row sets
+  * (layout maintenance must be invisible to content). */
+object CowOptimizeFixture extends DerivedFixture("lake_cow_opt", "orders") {
+  val A1Lo = 0L; val A1Hi = 399L;   val A1Off = 5000000000L
+  val A2Lo = 200L; val A2Hi = 599L; val A2Off = 6000000000L
+
+  override protected def build(s: SparkSession, dir: String, target: String): Unit = {
+    val orders = T.orders(s, dir)
+    CowTable.init(s, orders, target)
+    def shifted(lo: Long, hi: Long, off: Long) =
+      orders.filter(col("o_custkey").between(lo, hi))
+        .withColumn("o_orderkey", col("o_orderkey") + off)
+    CowTable.appendEvolved(s, target, shifted(A1Lo, A1Hi, A1Off))
+    CowTable.appendEvolved(s, target, shifted(A2Lo, A2Hi, A2Off))
+    CowTable.optimize(s, target)
+  }
+}
+
 /** Registry queries over the [[CowFixture]] chain. Oracles replay the
   * whole write history as SQL over RAW orders — fixture freshness, COW
   * row preservation, delete semantics, compaction losslessness, and
@@ -618,7 +670,27 @@ object CowQueries extends QueryGroup {
        |ORDER BY v""".stripMargin
   }
 
+  /** The post-OPTIMIZE snapshot against a raw replay of the three row
+    * sets it bin-packed — layout maintenance graded as content-invisible
+    * every round. */
+  private def cowOptimize(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.readVersion(s, CowOptimizeFixture.ensure(s, d), 3L))
+
+  private val cowOptimizeSql = {
+    import CowOptimizeFixture._
+    statusAggSql("all3",
+      s"""all3 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + $A1Off, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_custkey BETWEEN $A1Lo AND $A1Hi
+         |  UNION ALL
+         |  SELECT o_orderkey + $A2Off, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_custkey BETWEEN $A2Lo AND $A2Hi)""".stripMargin)
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cow_optimize" -> QueryDef(cowOptimize, Some(cowOptimizeSql)),
     "lake_cow_vacuum" -> QueryDef(cowVacuum, Some(cowVacuumSql)),
     "lake_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),
     "lake_cow_merge" -> QueryDef(cowMerge, Some(cowMergeSql)),

@@ -190,6 +190,38 @@ class CowSpec extends SparkSuite {
     assert(CowTable.vacuum(spark, dir, keepLast = 1) == (Seq.empty, Seq.empty))
   }
 
+  test("optimize bin-packs split fids only; content is byte-identical") {
+    val dir = graft.core.Fixtures.path("cowspec_opt")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val rows = (0 until 8192).map { i =>
+      val ts = new java.sql.Timestamp((9131L + (i / 128) * 16) * 86400000L)
+      ((i + 200000).toLong, (i % 4096).toLong, "O", i * 1.0, ts, "1-URGENT")
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    CowTable.init(spark, orders, dir)
+    CowTable.appendEvolved(spark, dir,
+      orders.filter(col("o_custkey") < 400L)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    def unitsPerFid(v: Long) = CowTable.filelist(spark, dir, v)
+      .groupBy("fid").count().agg(max("count")).head.getLong(0)
+    assert(unitsPerFid(1L) > 1, "the append must fragment some fids")
+    val before = CowTable.filelist(spark, dir, 1L).count()
+    CowTable.optimize(spark, dir)
+    assert(unitsPerFid(2L) == 1, "every fid must compact to one unit")
+    assert(CowTable.filelist(spark, dir, 2L).count() < before)
+    // untouched single-unit fids are shared, not rewritten
+    def pathsAt(v: Long) = CowTable.filelist(spark, dir, v)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert((pathsAt(1L) intersect pathsAt(2L)).nonEmpty,
+      "unfragmented units must be shared")
+    // content identical across the layout change
+    val a = CowTable.readVersion(spark, dir, 1L)
+    val b = CowTable.readVersion(spark, dir, 2L)
+    assert(b.count() == a.count())
+    assert(a.join(b, Seq("o_orderkey"), "left_anti").count() == 0)
+  }
+
   test("an uncommitted snapshot dir is refused, not served") {
     val dir = graft.core.Fixtures.path("cowspec_torn")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
