@@ -689,7 +689,37 @@ object CowQueries extends QueryGroup {
          |  FROM orders WHERE o_custkey BETWEEN $A2Lo AND $A2Hi)""".stripMargin)
   }
 
+  // the clustered 2-D predicate of lake_prune_read, over the POST-MERGE
+  // snapshot: pruning must stay lossless across units shared from gen 0
+  // and units rewritten by the merge (the filelist IS the manifest)
+  private val pLo = 200L; private val pHi = 399L
+  private val pdLo = 9496L; private val pdHi = 9861L
+
+  /** Manifest-pruned read of the merged COW snapshot (v1): same oracle
+    * family as lake_prune_read but the scanned file set mixes shared
+    * gen-0 units with gen-1 rewrites — a green row proves the stats rode
+    * the rewrite correctly. */
+  private def cowPrune(s: SparkSession, d: String): DataFrame =
+    statusAgg(CowTable.prunedRead(s, CowFixture.ensure(s, d), 1L,
+      Seq(("ck", pLo, pHi), ("dy", pdLo, pdHi))))
+
+  private val cowPruneSql = statusAggSql(
+    s"mck WHERE ck BETWEEN $pLo AND $pHi AND dy BETWEEN $pdLo AND $pdHi",
+    s"""mck AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_custkey BETWEEN $UpdLo AND $UpdHi
+       |      THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       |    o_custkey % 65536 AS ck,
+       |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey + $InsOffset, o_orderstatus, o_totalprice,
+       |    o_custkey % 65536,
+       |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |  FROM orders WHERE o_custkey BETWEEN $InsLo AND $InsHi)""".stripMargin)
+
   override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cow_prune" -> QueryDef(cowPrune, Some(cowPruneSql)),
     "lake_cow_optimize" -> QueryDef(cowOptimize, Some(cowOptimizeSql)),
     "lake_cow_vacuum" -> QueryDef(cowVacuum, Some(cowVacuumSql)),
     "lake_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplySql)),

@@ -92,6 +92,41 @@ object Analytics extends QueryGroup {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Q62: unpivot (wide → long reshaping, the inverse of Q34) ---------
+  /** Melt three lineitem measures into (measure, value) rows with
+    * Spark's native unpivot (one narrow generator pass, no join/shuffle
+    * before the aggregate), then aggregate per measure. Decimal-exact:
+    * all three measures meet in DECIMAL(12,4) — quantity/price carry 2
+    * data decimals, discount 4 at most, so the common scale is
+    * lossless. Oracle replays as the UNION ALL every engine without a
+    * native UNPIVOT uses. */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_orderkey"),
+        T.dec(col("l_quantity")).as("quantity"),
+        T.dec(col("l_extendedprice")).as("extendedprice"),
+        T.decr(col("l_discount")).cast(DecimalType(12, 4)).as("discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast(DecimalType(18, 4)).as("total"))
+      .orderBy(col("measure"))
+
+  private val q62Sql =
+    """SELECT measure, COUNT(*) AS n,
+      |  CAST(SUM(v) AS DECIMAL(18,4)) AS total
+      |FROM (
+      |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(12,4)) AS v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(12,4))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', CAST(l_discount AS DECIMAL(12,4)) FROM lineitem)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
   // ---- Q35: interpolated percentiles + deterministic arg-max ------------
   private def q35(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
@@ -445,6 +480,7 @@ object Analytics extends QueryGroup {
     "q33_stats_exact" -> QueryDef(q33, Some(q33Sql)),
     "q55_session_stats" -> QueryDef(q55, Some(q55Sql)),
     "q34_pivot"       -> QueryDef(q34, Some(q34Sql)),
+    "q62_unpivot"     -> QueryDef(q62, Some(q62Sql)),
     "q35_percentile_argmax" -> QueryDef(q35, Some(q35Sql)),
     "q40_decimal_canary" -> QueryDef(q40, Some(q40Sql)),
     "q42_sessionize"  -> QueryDef(q42, Some(q42Sql)),
