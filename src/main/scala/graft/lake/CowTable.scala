@@ -718,7 +718,90 @@ object CowQueries extends QueryGroup {
        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
        |  FROM orders WHERE o_custkey BETWEEN $InsLo AND $InsHi)""".stripMargin)
 
+  // ---- lake_cow_incr_agg: IVM priced by change locality -----------------
+  /** Incremental view maintenance over the COW history: the per-status
+    * aggregate at v4 computed WITHOUT ever re-scanning the table —
+    * starting from the v0 aggregate, each version refresh reads only
+    *
+    *   - the UNITS the commit added/retired (the filelist diff — COW
+    *     merges, compaction, appends), and
+    *   - the ROWS a merge-on-read delete commit hid/unhid (the
+    *     delete-set diff, located by unit key stats),
+    *
+    * and merges distributive partials (count/sum subtract exactly).
+    * The compaction step is the correctness crux: retiring a unit
+    * subtracts rows a pending delete ALREADY subtracted — reversing the
+    * vanished delete set adds them back exactly once ([[CowSpec]]'s
+    * oracle twin is the full-recompute replay this row grades against).
+    * At scale the state is one row per group and each refresh is
+    * bounded by the commit's change locality, never table size. */
+  private def cowIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val p = CowFixture.ensure(s, d)
+    def pathsAt(v: Long): Set[String] =
+      CowTable.filelist(s, p, v).select(col("path"))
+        .collect().map(_.getString(0)).toSet
+    def delsAt(v: Long): Set[Long] =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p, s"v=$v", "deletes"))) Set.empty
+      else s.read.parquet(s"$p/v=$v/deletes")
+        .collect().map(_.getLong(0)).toSet
+    def readUnits(paths: Set[String]): DataFrame =
+      s.read.option("mergeSchema", "true")
+        .parquet(paths.toSeq.sorted.map(x => s"$p/files/$x"): _*)
+    // distributive partials; n counts SIGNED contributions so retired
+    // units/hidden rows subtract exactly
+    def part(df: DataFrame, sign: Int) =
+      df.groupBy(col("o_orderstatus"))
+        .agg((count(lit(1)) * sign).as("n"),
+          (sum(col("o_orderkey")) * sign).as("key_sum"),
+          (sum(col("o_totalprice").cast(DecimalType(12, 2))) * sign)
+            .cast(DecimalType(18, 2)).as("revenue"))
+    // rows matching `keys` inside version v's snapshot, located through
+    // the filelist's key stats — only overlapping units are read (the
+    // compactDeletes targeting), so the step stays change-bounded
+    def rowsOf(keys: Set[Long], v: Long): Option[DataFrame] =
+      if (keys.isEmpty) None
+      else {
+        import s.implicits._
+        val kdf = keys.toSeq.sorted.toDF("o_orderkey")
+        val hit = CowTable.filelist(s, p, v)
+          .join(broadcast(kdf.select(col("o_orderkey").as("dk"))),
+            col("dk").between(col("o_orderkey_min"), col("o_orderkey_max")),
+            "left_semi")
+          .select(col("path")).collect().map(_.getString(0)).toSet
+        if (hit.isEmpty) None
+        else Some(readUnits(hit)
+          .join(broadcast(kdf), Seq("o_orderkey"), "left_semi"))
+      }
+    val steps = scala.collection.mutable.ArrayBuffer(
+      part(readUnits(pathsAt(0L)), +1))
+    for (v <- 1L to 4L) {
+      val (cur, prev) = (pathsAt(v), pathsAt(v - 1))
+      val (dCur, dPrev) = (delsAt(v), delsAt(v - 1))
+      if ((cur -- prev).nonEmpty) steps += part(readUnits(cur -- prev), +1)
+      if ((prev -- cur).nonEmpty) steps += part(readUnits(prev -- cur), -1)
+      rowsOf(dCur -- dPrev, v).foreach(df => steps += part(df, -1))
+      rowsOf(dPrev -- dCur, v - 1).foreach(df => steps += part(df, +1))
+    }
+    steps.reduce(_.unionByName(_))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"),
+        sum(col("revenue")).cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Full-recompute oracle of the v4 table (the evolution chain's rows,
+    * key2 aside) — identical totals prove the incremental path. */
+  private val cowIncrAggSql = statusAggSql(
+    s"""(SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+       |  WHERE o_orderkey NOT BETWEEN $DelLo AND $DelHi
+       |  UNION ALL
+       |  SELECT o_orderkey + $EvoOffset, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_custkey BETWEEN $EvoLo AND $EvoHi) q""".stripMargin,
+    mergedCte)
+
   override def defs: Seq[(String, QueryDef)] = Seq(
+    "lake_cow_incr_agg" -> QueryDef(cowIncrAgg, Some(cowIncrAggSql)),
     "lake_cow_prune" -> QueryDef(cowPrune, Some(cowPruneSql)),
     "lake_cow_optimize" -> QueryDef(cowOptimize, Some(cowOptimizeSql)),
     "lake_cow_vacuum" -> QueryDef(cowVacuum, Some(cowVacuumSql)),
