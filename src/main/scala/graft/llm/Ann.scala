@@ -1079,7 +1079,53 @@ object Ann extends QueryGroup {
        |  CAST(score_q6 AS BIGINT) AS score_q6
        |FROM r WHERE rank <= 5 ORDER BY q_gid, rank""".stripMargin
 
+  // ---- emb_knn_graph: bucket-bounded k-NN graph over ALL nodes ----------
+  /** The SemDeDup/cluster building block the probe queries don't cover:
+    * EVERY vector's top-3 neighbors, candidates bounded by the
+    * (label, SRP-bucket) cell exactly like `dedup_embedding_cosine` —
+    * cost is Σ cell², never corpus², and more planes shrink cells as the
+    * corpus grows. Output is the edge list downstream clustering
+    * (`dedup_clusters`-style CC / `graph_lpa_communities`) consumes.
+    * Per-node ranking runs two-phase (WindowGroupLimit on the cos sort),
+    * ties on the RAW cosine break to the lower neighbor_id in both
+    * engines; output cosine rounds through DECIMAL(10,4) (the rerank
+    * convention). */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).join(buckets(s, d, planes = 4), Seq("vec_id"))
+    val a = n.select(col("vec_id"), col("label"), col("bucket"),
+      col("emb").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = n.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("bucket"), col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) /
+        (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
+        col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  private val knnGraphSql =
+    s"""$lshCtes,
+      |p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, neighbor_id,
+      |  CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) AS cos_sim, rn
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |      FROM p)
+      |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "emb_knn_graph"          -> QueryDef(knnGraph, Some(knnGraphSql)),
     "retrieval_maxsim"       -> QueryDef(maxsim, Some(maxsimSql)),
     "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
     "retrieval_eval_ndcg"    -> QueryDef(evalNdcg, Some(evalNdcgSql)),
