@@ -1124,7 +1124,54 @@ object Ann extends QueryGroup {
       |      FROM p)
       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
+  // ---- emb_knn_components: semantic clusters over the k-NN graph --------
+  /** SemDeDup's grouping stage end-to-end: threshold the k-NN graph's
+    * edges at τ (the dedup knob — pinned at 0.25 here because the
+    * fixture embeddings are near-orthogonal, max cos ≈ 0.37/0.47; a real
+    * near-dup corpus runs 0.9+), then connected components via the SAME
+    * min-label propagation `dedup_clusters` uses (edge-induced active
+    * set, pointer-jump rounds, singletons joined back at the end). The
+    * threshold compares the DECIMAL(10,4)-rounded cosine so the edge set
+    * is boundary-stable across engines. */
+  private def knnComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = knnGraph(s, d).filter(col("cos_sim") >= 0.25)
+      .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    val nodes = normed(s, d).select(col("vec_id"))
+    nodes.join(
+        Dedup.ccLabels(edges).withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val knnComponentsSql =
+    s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_inner_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id),
+      |k AS (
+      |  SELECT vec_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+      |    FROM p)
+      |  WHERE rn <= 3 AND CAST(CAST(cos AS DECIMAL(10,4)) AS DOUBLE) >= 0.25),
+      |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM k
+      |          UNION ALL SELECT neighbor_id, vec_id FROM k),
+      |reach AS (
+      |  SELECT vec_id AS doc_id, vec_id AS lbl FROM n
+      |  UNION
+      |  SELECT e.src AS doc_id, r.lbl
+      |  FROM edges e JOIN reach r ON e.dst = r.doc_id)
+      |SELECT doc_id AS vec_id, MIN(lbl) AS cluster,
+      |  doc_id = MIN(lbl) AS is_canonical
+      |FROM reach GROUP BY doc_id ORDER BY vec_id""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "emb_knn_components"     -> QueryDef(knnComponents, Some(knnComponentsSql)),
     "emb_knn_graph"          -> QueryDef(knnGraph, Some(knnGraphSql)),
     "retrieval_maxsim"       -> QueryDef(maxsim, Some(maxsimSql)),
     "ann_lsh_topk"           -> QueryDef(lshTopk, Some(lshTopkSql)),
