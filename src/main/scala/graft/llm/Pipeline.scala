@@ -1575,7 +1575,80 @@ object Pipeline extends QueryGroup {
       |FROM f JOIN c USING (fp)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- curate_dsir_weights: importance resampling weights (DSIR) --------
+  /** Data Selection via Importance Resampling (Xie et al., public):
+    * score every raw document by how much its hashed-unigram profile
+    * looks like the TARGET distribution (here: the `lang = 'en'` slice,
+    * the high-quality-corpus stand-in) versus the raw pool. Features are
+    * h48(word) % 1024 buckets (the fixed-dimension trick that makes DSIR
+    * tractable at corpus scale); per-bucket importance is the
+    * add-1-smoothed log-probability ratio, q6-quantized so per-doc
+    * weights are EXACT long sums; top-20 docs by weight surface.
+    *
+    * Scale shape: two corpus scans (token bucketing + the weight join),
+    * a 1024-row model table FORCE-broadcast to the token stream (never
+    * left to AQE), and one doc-keyed aggregation; the model build is a
+    * bucket-count aggregate — nothing grows with the corpus but the two
+    * linear passes. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val t = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("b", h48(col("word")) % B)
+    val isT = col("lang") === "en"
+    def cnt(pred: org.apache.spark.sql.Column, name: String) =
+      t.filter(pred).groupBy(col("b")).agg(count(lit(1)).as(name))
+    def tot(pred: org.apache.spark.sql.Column, name: String) =
+      t.filter(pred).agg(count(lit(1)).as(name))
+    def q6(e: org.apache.spark.sql.Column) =
+      (e.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType)
+    def p(c: String, n: String) =
+      (coalesce(col(c), lit(0L)) + 1L).cast(DoubleType) /
+        (col(n) + B.toLong).cast(DoubleType)
+    val lr = t.select(col("b")).distinct()
+      .join(cnt(isT, "c_t"), Seq("b"), "left")
+      .join(cnt(!isT, "c_r"), Seq("b"), "left")
+      .crossJoin(broadcast(tot(isT, "n_t")))
+      .crossJoin(broadcast(tot(!isT, "n_r")))
+      .select(col("b"), q6(log(p("c_t", "n_t")) - log(p("c_r", "n_r")))
+        .as("lrq"))
+    t.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lrq")).as("weight_q6"))
+      .orderBy(col("weight_q6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val dsirWeightsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST('0x' || substring(md5(word), 1, 12) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, lang, source,
+      |          unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''),
+      |ct AS (SELECT b, COUNT(*) AS c_t FROM t WHERE lang = 'en' GROUP BY b),
+      |cr AS (SELECT b, COUNT(*) AS c_r FROM t WHERE lang <> 'en' GROUP BY b),
+      |nt AS (SELECT COUNT(*) AS n_t FROM t WHERE lang = 'en'),
+      |nr AS (SELECT COUNT(*) AS n_r FROM t WHERE lang <> 'en'),
+      |lr AS (
+      |  SELECT g.b,
+      |    CAST(CAST(
+      |      ln(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE) / CAST(nt.n_t + 1024 AS DOUBLE))
+      |      - ln(CAST(COALESCE(cr.c_r, 0) + 1 AS DOUBLE) / CAST(nr.n_r + 1024 AS DOUBLE))
+      |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lrq
+      |  FROM (SELECT DISTINCT b FROM t) g
+      |  LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+      |  CROSS JOIN nt CROSS JOIN nr)
+      |SELECT t.doc_id, t.source,
+      |  CAST(SUM(lr.lrq) AS BIGINT) AS weight_q6
+      |FROM t JOIN lr USING (b)
+      |GROUP BY t.doc_id, t.source
+      |ORDER BY weight_q6 DESC, doc_id LIMIT 20""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "curate_dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql)),
     "curate_dup_rate" -> QueryDef(curateDupRate, Some(curateDupRateSql)),
     "chunk_documents" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
     "sample_epoch_order" -> QueryDef(epochOrder, Some(epochOrderSql)),
