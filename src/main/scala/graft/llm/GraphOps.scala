@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.{Materialize, QueryDef, QueryGroup}
 
@@ -383,7 +383,10 @@ object GraphOps extends QueryGroup {
       .orderBy(col("node"))
   }
 
-  private val lpaSql = {
+  /** The shared LPA replay: jaccard pairs → both-direction edges → three
+    * unrolled sync-LPA rounds, final labels in `l3`. The communities
+    * query selects it directly; `graph_modularity` aggregates over it. */
+  private val lpaCtes = {
     def round(prev: String, cur: String) =
       s"""$cur AS MATERIALIZED (
          |  SELECT node, label FROM (
@@ -405,11 +408,98 @@ object GraphOps extends QueryGroup {
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
        |${round("l0", "l1")},
        |${round("l1", "l2")},
-       |${round("l2", "l3")}
-       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+       |${round("l2", "l3")}""".stripMargin
   }
 
+  private val lpaSql =
+    s"""$lpaCtes
+       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+
+  // ---- graph_modularity: Newman quality score of the LPA partition ------
+  /** Per-community modularity terms Q_c = intra₂/m₂ − (d_c/m₂)² over the
+    * directed (both-direction) edge count m₂ — Newman's Q is their sum,
+    * computable here as exact long arithmetic over the q6-quantized
+    * terms. Answers "did LPA find real structure or just split noise":
+    * positive terms = denser-than-random communities. Shape: the LPA
+    * labels (the fixed 3-round loop) + two label-keyed joins of the edge
+    * list + three hash aggs, all on the near-dup subgraph; the 1-row m₂
+    * is a broadcast. Each term is one fixed IEEE chain per community;
+    * ties/order never matter (no cross-community arithmetic). */
+  private def modularity(s: SparkSession, d: String): DataFrame = {
+    val pairs = PairsMemo.pairs(s, d)
+    val edges = Materialize.cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    if (edges.isEmpty) {
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("community", LongType, nullable = false)
+          .add("n_nodes", LongType, nullable = false)
+          .add("intra2", LongType, nullable = false)
+          .add("degree_sum", LongType, nullable = false)
+          .add("q_term_q6", LongType, nullable = false))
+    }
+    modularityOnEdges(edges)
+  }
+
+  /** The modularity aggregation on a both-directions edge set — split out
+    * (the lpaOnEdges rule) so `GraphPackSpec` can pin the exact terms on
+    * the hand-traced barbell graph. */
+  private[llm] def modularityOnEdges(edges: DataFrame): DataFrame = {
+    val lab = Materialize.cut(lpaOnEdges(edges))
+    val withA = edges
+      .join(lab.select(col("node").as("src"), col("community").as("ca")),
+        Seq("src"))
+    val deg = withA.groupBy(col("ca")).agg(count(lit(1)).as("degree_sum"))
+    val intra = withA
+      .join(lab.select(col("node").as("dst"), col("community").as("cb")),
+        Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("intra2"))
+    val nn = lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast(DoubleType) / col("m2").cast(DoubleType)
+    nn.join(deg, col("community") === col("ca"))
+      .join(intra.withColumnRenamed("ca", "cb"),
+        col("community") === col("cb"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"), col("degree_sum"),
+        ((dd(coalesce(col("intra2"), lit(0L)))
+            - dd(col("degree_sum")) * dd(col("degree_sum")))
+          .cast(DecimalType(18, 6)) * lit(1000000))
+          .cast(LongType).as("q_term_q6"))
+      .orderBy(col("community"))
+  }
+
+  private val modularitySql =
+    s"""$lpaCtes,
+       |lab AS (SELECT node, label AS community FROM l3),
+       |m AS (SELECT COUNT(*) AS m2 FROM edges),
+       |wa AS (SELECT e.dst, a.community AS ca FROM edges e
+       |       JOIN lab a ON e.src = a.node),
+       |deg AS (SELECT ca, COUNT(*) AS degree_sum FROM wa GROUP BY ca),
+       |intra AS (
+       |  SELECT wa.ca, COUNT(*) AS intra2
+       |  FROM wa JOIN lab b ON wa.dst = b.node AND wa.ca = b.community
+       |  GROUP BY wa.ca),
+       |nn AS (SELECT community, COUNT(*) AS n_nodes FROM lab GROUP BY community)
+       |SELECT nn.community, nn.n_nodes,
+       |  COALESCE(intra.intra2, 0) AS intra2, deg.degree_sum,
+       |  CAST(CAST(
+       |    CAST(COALESCE(intra.intra2, 0) AS DOUBLE) / CAST(m.m2 AS DOUBLE)
+       |    - (CAST(deg.degree_sum AS DOUBLE) / CAST(m.m2 AS DOUBLE))
+       |      * (CAST(deg.degree_sum AS DOUBLE) / CAST(m.m2 AS DOUBLE))
+       |    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q_term_q6
+       |FROM nn JOIN deg ON nn.community = deg.ca
+       |LEFT JOIN intra ON nn.community = intra.ca
+       |CROSS JOIN m
+       |ORDER BY community""".stripMargin
+
   override val defs: Seq[(String, QueryDef)] = Seq(
+    "graph_modularity" -> QueryDef(modularity, Some(modularitySql)),
     "graph_pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_triangles" -> QueryDef(triangles, Some(trianglesSql)),
     "graph_degree_dist" -> QueryDef(degreeDist, Some(degreeDistSql)),

@@ -170,6 +170,24 @@ class GraphPackSpec extends SparkSuite {
       "the barbell must split into exactly two communities")
   }
 
+  test("modularity terms on the barbell are the hand-computed constants") {
+    // same barbell: m2 = 14 directed edges; each community has intra2 = 6
+    // and degree_sum = 7 (6 intra + the bridge), so each term is
+    // 6/14 - (7/14)^2 = 0.17857... -> q6 = 178571. Positive terms = LPA
+    // found denser-than-random structure, the number's reason to exist.
+    val sess = spark
+    import sess.implicits._
+    val undirected = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val edges = (undirected ++ undirected.map(_.swap))
+      .toDF("src", "dst")
+    val got = GraphOps.modularityOnEdges(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(0L -> ((3L, 6L, 7L, 178571L)),
+      2L -> ((3L, 6L, 7L, 178571L))), s"got $got")
+  }
+
   test("LPA communities refine the near-dup components (labels never cross)") {
     // labels only travel along edges, so every node's final label is a
     // node id from its own component — each LPA community must sit
