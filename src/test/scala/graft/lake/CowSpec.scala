@@ -222,6 +222,33 @@ class CowSpec extends SparkSuite {
     assert(a.join(b, Seq("o_orderkey"), "left_anti").count() == 0)
   }
 
+  test("a crashed merge attempt's debris is overwritten by the replay") {
+    val dir = graft.core.Fixtures.path("cowspec_debris")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .orderBy("o_orderkey").limit(40)
+    CowTable.init(spark, orders, dir)
+    // simulate a crash mid-writeUnits of the NEXT generation: stale
+    // staging dir + a half-written gen-1 unit in the pool, both with
+    // garbage content no committed filelist references
+    Files.createDirectories(Paths.get(dir, ".staging-g1", "fid=0"))
+    Files.createDirectories(Paths.get(dir, "files", "g1-f999999"))
+    Files.write(Paths.get(dir, "files", "g1-f999999", "junk"),
+      "torn".getBytes)
+    // the debris is invisible: v0 reads only what its filelist names
+    assert(CowTable.readVersion(spark, dir, 0L).count() == 40)
+    // the replayed merge sweeps same-gen debris and commits cleanly
+    CowTable.mergeInto(spark, dir,
+      orders.limit(3).withColumn("o_totalprice", lit(5.0)))
+    assert(!Files.exists(Paths.get(dir, "files", "g1-f999999")),
+      "same-generation debris must be swept by the replay")
+    assert(!Files.exists(Paths.get(dir, ".staging-g1", "fid=0")),
+      "stale staging must be gone after the write")
+    val v1 = CowTable.readVersion(spark, dir, 1L)
+    assert(v1.count() == 40)
+    assert(v1.filter(col("o_totalprice") === 5.0).count() == 3)
+  }
+
   test("an uncommitted snapshot dir is refused, not served") {
     val dir = graft.core.Fixtures.path("cowspec_torn")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
