@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
 
 import graft.core.{DerivedFixture, QueryDef, QueryGroup, Tables => T}
 import graft.streaming.CommitFiles
@@ -537,12 +537,18 @@ object CowOptimizeFixture extends DerivedFixture("lake_cow_opt", "orders") {
 object CowQueries extends QueryGroup {
   import CowFixture._
 
+  // q40 precedent (operators/Analytics.scala): the driver's hasher
+  // cannot canonicalize raw DECIMAL columns, and these sums carry
+  // 12-14 significant digits — beyond double-exact round-trip. Every
+  // `revenue` output in this family therefore renders the exact
+  // DECIMAL(18,2) as a canonical STRING on both engine sides (both
+  // print e.g. '506627.00'); scale-2 sums of 2-decimal data are exact.
   private def statusAgg(df: DataFrame): DataFrame =
     df.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
 
   // the post-merge table (v1), shared by every oracle below
@@ -560,7 +566,7 @@ object CowQueries extends QueryGroup {
     s"""WITH $ctes
        |SELECT o_orderstatus, COUNT(*) AS n,
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
        |FROM $from GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   private def cowMerge(s: SparkSession, d: String): DataFrame =
@@ -595,7 +601,7 @@ object CowQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"),
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"),
         sum(col("o_key2")).as("key2_sum"))
       .orderBy(col("o_orderstatus"))
   }
@@ -612,7 +618,7 @@ object CowQueries extends QueryGroup {
        |  FROM orders WHERE o_custkey BETWEEN $EvoLo AND $EvoHi)
        |SELECT o_orderstatus, COUNT(*) AS n,
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue,
        |  CAST(SUM(o_key2) AS BIGINT) AS key2_sum
        |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM evolved)
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -648,7 +654,7 @@ object CowQueries extends QueryGroup {
       CowTable.readVersion(s, p, v)
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(12, 2)))
-            .cast(DecimalType(18, 2)).as("revenue"))
+            .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
         .select(lit(v).as("v"), col("n"), col("revenue"))
     }.reduce(_.unionByName(_)).orderBy(col("v"))
   }
@@ -657,9 +663,9 @@ object CowQueries extends QueryGroup {
     import CowVacuumFixture.{AHi, ALo, BHi, BLo}
     def rev(pred: String) =
       s"""SELECT COUNT(*) AS n,
-         |    CAST(SUM(CAST(CASE WHEN $pred THEN o_totalprice + 1.0
+         |    CAST(CAST(SUM(CAST(CASE WHEN $pred THEN o_totalprice + 1.0
          |      ELSE o_totalprice END AS DECIMAL(12,2))) AS DECIMAL(18,2))
-         |      AS revenue
+         |      AS VARCHAR) AS revenue
          |  FROM orders""".stripMargin
     s"""SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS v, n, revenue FROM (
@@ -786,7 +792,8 @@ object CowQueries extends QueryGroup {
     steps.reduce(_.unionByName(_))
       .groupBy(col("o_orderstatus"))
       .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"),
-        sum(col("revenue")).cast(DecimalType(18, 2)).as("revenue"))
+        sum(col("revenue")).cast(DecimalType(18, 2))
+          .cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 

@@ -4,7 +4,7 @@ import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StringType}
 
 import graft.core.{DerivedFixture, QueryDef, QueryGroup, Tables => T}
 import graft.streaming.CommitFiles
@@ -305,9 +305,10 @@ object LakeQueries extends QueryGroup {
   private val (ckLo, ckHi, dyLo, dyHi) = (200L, 399L, 9496L, 9861L)
 
   /** Aggregate over the manifest-pruned scan; equals the same aggregate
-    * over an unpruned filter iff pruning lost nothing. revenue stays
-    * DECIMAL(18,2) end-to-end (int64-backed — the >18-precision /
-    * double-conversion surfaces are banned by OutputSurfaceSpec). */
+    * over an unpruned filter iff pruning lost nothing. revenue is exact
+    * DECIMAL(18,2) internally, rendered as a canonical STRING at the
+    * surface (q40 precedent — raw decimals beyond 15 digits are banned
+    * by OutputSurfaceSpec since the round-12 driver reds). */
   private def pruneRead(s: SparkSession, d: String): DataFrame = {
     val p = LakeFixture.ensure(s, d)
     ZLayout.prunedOrders(s, p, ckLo, ckHi, dyLo, dyHi)
@@ -315,14 +316,14 @@ object LakeQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
   private val pruneReadSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n,
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
        |FROM orders
        |WHERE o_custkey % 65536 BETWEEN $ckLo AND $ckHi
        |  AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -342,7 +343,7 @@ object LakeQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -357,7 +358,7 @@ object LakeQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -465,14 +466,14 @@ object LakeQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey")).as("key_sum"),
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)).as("revenue"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
   private val pruneColumnSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n,
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
        |FROM orders WHERE o_custkey BETWEEN $custLo AND $custHi
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

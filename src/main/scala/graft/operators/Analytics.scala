@@ -110,13 +110,19 @@ object Analytics extends QueryGroup {
         Array(col("quantity"), col("extendedprice"), col("discount")),
         "measure", "value")
       .groupBy(col("measure"))
+      // q40 precedent: the driver's hasher cannot canonicalize raw
+      // DECIMAL columns, and this sum carries ~14 significant digits —
+      // beyond double-exact round-trip. Render the exact DECIMAL(18,4)
+      // as a canonical STRING on both sides (both print e.g.
+      // '152130.9716'); scale-4 sums of ≤4-decimal data are exact.
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).cast(DecimalType(18, 4)).as("total"))
+        sum(col("value")).cast(DecimalType(18, 4))
+          .cast(StringType).as("total"))
       .orderBy(col("measure"))
 
   private val q62Sql =
     """SELECT measure, COUNT(*) AS n,
-      |  CAST(SUM(v) AS DECIMAL(18,4)) AS total
+      |  CAST(CAST(SUM(v) AS DECIMAL(18,4)) AS VARCHAR) AS total
       |FROM (
       |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(12,4)) AS v
       |  FROM lineitem

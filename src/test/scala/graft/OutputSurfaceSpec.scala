@@ -15,8 +15,19 @@ import org.apache.spark.sql.types._
   *     11+-digit values (metric_cusum; same class as the round-6
   *     profile_correlations incident).
   *
+  * Round 12 proved the 18-digit bound too lax: `q62_unpivot` (18,4) and
+  * `lake_cow_prune` (18,2) both passed this lint and BOTH went driver-red
+  * on hash with values of 12-14 significant digits, while their
+  * same-surface siblings passed by value-luck. The provably-safe bound is
+  * precision ≤ 15: the unscaled integer of any DECIMAL(≤15, s) is < 2^53,
+  * so it converts to double EXACTLY and the subsequent divide by the
+  * exact power of ten is correctly rounded by IEEE — every engine path
+  * (string parse, int128 descale, pandas) lands on the identical double.
+  * At 16+ digits the int→double step itself rounds, and double-rounding
+  * paths can disagree by 1 ulp.
+  *
   * So the rule, enforced here instead of living in comments: top-level
-  * columns are scalars, and any decimal is ≤ 18 precision. Wide-decimal
+  * columns are scalars, and any decimal is ≤ 15 precision. Wide-decimal
   * math is fine INTERNALLY — surface it as a canonical string (the
   * q40_decimal_canary precedent) or descale it. A future query that
   * genuinely needs an exception must name itself in [[allow]] with a
@@ -33,8 +44,10 @@ class OutputSurfaceSpec extends SparkSuite {
   private def violations(dt: DataType, path: String): Seq[String] = dt match {
     case _: ArrayType | _: StructType | _: MapType =>
       Seq(s"$path: nested ${dt.simpleString} (driver sort_values cannot hash it)")
-    case d: DecimalType if d.precision > 18 =>
-      Seq(s"$path: ${d.simpleString} (>18 precision; render as string or descale)")
+    case d: DecimalType if d.precision > 15 =>
+      Seq(s"$path: ${d.simpleString} (>15 precision; values beyond 2^53 unscaled " +
+        "don't round-trip double deterministically — render as string, cast to " +
+        "double, or descale)")
     case _ => Nil
   }
 

@@ -43,10 +43,15 @@ BANNED_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
 # Mirror of graft.OutputSurfaceSpec, applied to the SPARK output parquet:
 # the driver sorts the raw pandas frame and hashes values, so a top-level
 # nested column (sort_values: "unhashable type: numpy.ndarray") or a
-# >18-precision decimal (hashed through double; the two engines round the
-# conversion 1 ulp apart on 11+-digit values) is ungradable even when this
-# replica's canonicalizer would pass it.  Both round-10 reds were exactly
-# these surfaces — the replica MUST be as strict as the driver.
+# wide decimal (hashed through double; the two engines round the
+# conversion 1 ulp apart) is ungradable even when this replica's
+# canonicalizer would pass it.  Both round-10 reds were exactly these
+# surfaces — the replica MUST be as strict as the driver.  Round 12
+# proved the old >18-precision bound too lax (q62_unpivot DECIMAL(18,4)
+# and lake_cow_prune DECIMAL(18,2) passed it and went driver-red on
+# 12-14-digit sums): the provably-safe bound is precision <= 15, where
+# the unscaled int is < 2^53 so every engine's decimal->double path
+# (string parse, int128 descale, pandas) lands on the identical double.
 SURFACE_ALLOW = set()  # name -> intentionally empty; mirror the Spec's list
 
 def spark_surface_lint(tbl):
@@ -56,8 +61,9 @@ def spark_surface_lint(tbl):
         t = field.type
         if pa.types.is_nested(t):
             bad.append(f"{field.name}: nested {t} (driver sort_values cannot hash it)")
-        elif pa.types.is_decimal(t) and t.precision > 18:
-            bad.append(f"{field.name}: {t} (>18-precision decimal; driver hashes via double)")
+        elif pa.types.is_decimal(t) and t.precision > 15:
+            bad.append(f"{field.name}: {t} (>15-precision decimal; unscaled values "
+                       f"beyond 2^53 don't double-round-trip deterministically)")
     return bad
 
 def type_lint(con, name, sql):
