@@ -46,36 +46,59 @@ object Bench {
     // a failed pass records None, NOT its time-to-crash — min() over a
     // 1-second OOM and an 8-second success must report 8s, or a
     // regression masquerades as a speedup in the gate artifact
-    def onePass(): Seq[(String, Option[Double])] = selected.map { case (name, q) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-        finally graft.core.Release.storage(spark)
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-    }
-    // Calibration samples bracket every pass: the budget gate divides the
-    // median by the PINNED (idle-machine) calibration to learn how loaded
-    // this machine is right now, and stretches budgets by that factor.
-    // Round 9's driver ran ~1.8x slower than pin-time across all 167
-    // queries (confirmed by an isolated re-run) and the un-normalized
-    // gate called 12 false regressions — the gate was measuring the
-    // machine, not the code.
+    // Calibration probes run at every SEGMENT boundary inside each pass
+    // (not just bracketing whole passes): round 12's driver board held at
+    // 0.96x of round 11 OVERALL while one contiguous 5-query stretch ran
+    // 4-6x slow — a transient load spike (or cache-eviction stretch) that
+    // a single up-front probe cannot see. With per-segment samples, the
+    // gate stretches each query's budget by the load measured AROUND the
+    // pass that produced its min time, so a spike pays for exactly the
+    // stretch it hit.
     val nCpus = scala.util.Try(cpus.toInt).getOrElse(4)
-    val calSamples = scala.collection.mutable.ArrayBuffer(calibrate(spark, nCpus))
-    val passes = (1 to iters).map { _ =>
-      val p = onePass(); calSamples += calibrate(spark, nCpus); p
+    val SegmentSize = 48
+    def onePass(): (IndexedSeq[(String, Option[Double])], IndexedSeq[Double]) = {
+      val cals = scala.collection.mutable.ArrayBuffer(calibrate(spark, nCpus))
+      val times = selected.zipWithIndex.map { case ((name, q), i) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+          finally graft.core.Release.storage(spark)
+        if ((i + 1) % SegmentSize == 0 && i + 1 < selected.size)
+          cals += calibrate(spark, nCpus)
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }.toIndexedSeq
+      cals += calibrate(spark, nCpus)
+      (times, cals.toIndexedSeq)
     }
+    // The budget gate divides measured calibration by the PINNED
+    // (representative-load) calibration to learn how loaded this machine
+    // is right now, and stretches budgets by that factor. Round 9's
+    // driver ran ~1.8x slower than pin-time across all 167 queries and
+    // the un-normalized gate called 12 false regressions — the gate was
+    // measuring the machine, not the code.
+    val passes = (1 to iters).map(_ => onePass())
+    val calSamples = passes.flatMap(_._2)
     val calMed = { val s = calSamples.sorted; s(s.size / 2) }
+    // per query: min time across passes, plus WHICH pass produced it (the
+    // pass whose local load should judge the budget)
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
-      val times = passes.flatMap(_(i)._2)
+      val times = passes.flatMap(_._1(i)._2)
       // every pass failed: -1 is an unmistakable failure marker the JSON
       // consumer can't mistake for a fast query
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val minPassIdx: Map[String, Int] = selected.map(_._1).zipWithIndex.map {
+      case (name, i) =>
+        val perPass = passes.map(_._1(i)._2)
+        val best = perPass.zipWithIndex
+          .collect { case (Some(t), pi) => (t, pi) }
+          .sortBy(_._1).headOption.map(_._2).getOrElse(0)
+        name -> best
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries (-1 markers) are EXCLUDED from the total — summing
@@ -166,7 +189,26 @@ object Bench {
       else
         System.err.println(s"[bench] calibration ${num(calMed, 3)}s vs pinned " +
           s"${num(pinnedCal.get, 3)}s - budget load factor ${num(factor, 2)}")
-      val (over, unbudgeted) = budgetCheck(results, text, factor)
+      // Per-query LOCAL factor: the max of the two probes bracketing this
+      // query's segment in the pass that produced its min time. A spike
+      // confined to one stretch of the board stretches only that
+      // stretch's budgets; the global median still floors everything.
+      val perQueryFactor: Map[String, Double] = pinnedCal match {
+        case Some(p) if p > 0 =>
+          selected.map(_._1).zipWithIndex.map { case (name, i) =>
+            val cals = passes(minPassIdx(name))._2
+            val seg = i / SegmentSize
+            val bracket = math.max(cals(seg), cals(math.min(seg + 1, cals.size - 1)))
+            name -> math.min(4.0, math.max(1.0, bracket / p))
+          }.toMap
+        case _ => Map.empty
+      }
+      val spiky = perQueryFactor.filter(_._2 > factor * 1.25)
+      if (spiky.nonEmpty)
+        System.err.println(s"[bench] local load spikes (factor >1.25x global): " +
+          spiky.toSeq.sortBy(-_._2).take(8)
+            .map { case (k, f) => s"$k=${num(f, 2)}" }.mkString(", "))
+      val (over, unbudgeted) = budgetCheck(results, text, factor, perQueryFactor)
       if (unbudgeted.nonEmpty)
         System.err.println(s"[bench] no budget pinned for: ${unbudgeted.mkString(", ")}")
       if (over.nonEmpty || failed > 0) {
@@ -234,13 +276,18 @@ object Bench {
     * (offenders as (query, measured, EFFECTIVE budget — pinned × load
     * factor), queries with no pinned budget). Failure markers (-1) never
     * count as "under budget" — the caller trips the gate on `failed > 0`
-    * separately. */
+    * separately. A query's effective factor is the max of the global
+    * (whole-run median) factor and its LOCAL per-segment factor, so a
+    * transient spike stretches the budgets of exactly the stretch it
+    * hit without loosening the rest of the board. */
   private[graft] def budgetCheck(results: Seq[(String, Double)], budgetJson: String,
-      factor: Double = 1.0): (Seq[(String, Double, Double)], Seq[String]) = {
+      factor: Double = 1.0, perQueryFactor: Map[String, Double] = Map.empty)
+      : (Seq[(String, Double, Double)], Seq[String]) = {
     val budgets = parseBudgets(budgetJson) - CalibrationKey
+    def eff(k: String): Double = math.max(factor, perQueryFactor.getOrElse(k, 1.0))
     val over = results.collect { case (k, v)
-      if v >= 0 && budgets.get(k).exists(b => v > b * factor) =>
-        (k, v, budgets(k) * factor) }
+      if v >= 0 && budgets.get(k).exists(b => v > b * eff(k)) =>
+        (k, v, budgets(k) * eff(k)) }
     val unbudgeted = results.collect { case (k, _) if !budgets.contains(k) => k }
     (over, unbudgeted)
   }

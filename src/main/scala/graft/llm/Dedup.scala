@@ -298,7 +298,13 @@ object Dedup extends QueryGroup {
       .agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") <= 50)
       .select(col("i"), col("minhash"))
-    val kept = sig.join(cool, Seq("i", "minhash"))
+    // FORCED broadcast, not left to AQE: cool is bounded by the band
+    // space (≤ 8 bands × modulus distinct values, two longs per row), so
+    // the build side is provably broadcast-sized — and an AQE size
+    // re-decision on this join was the round-12 driver-side 4x outlier
+    // on this family (the same class the r11 bigram/kneser fix pinned).
+    // PlanSpec pins the shape.
+    val kept = sig.join(broadcast(cool), Seq("i", "minhash"))
     val a = kept.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
     val b = kept.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
     a.join(b, Seq("i", "minhash"))
@@ -1450,15 +1456,22 @@ object Dedup extends QueryGroup {
       .cache()
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
-    val dots = simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    // the banded candidate list is bounded (simhash bands + df caps), so
+    // it is FORCE-broadcast into the tf table — AQE re-deciding this
+    // join's build side was the round-12 driver-side outlier class;
+    // PlanSpec pins the shape. Likewise `dots` (one row per candidate
+    // pair) broadcasts into the doc-sized norm table so nrm never
+    // shuffles for the final re-rank.
+    val dots = broadcast(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       .join(tf.select(col("doc_id").as("doc_a"), col("wh2"), col("c").as("ca")),
         Seq("doc_a"))
       .join(tf.select(col("doc_id").as("doc_b"), col("wh2"), col("c").as("cb")),
         Seq("doc_b", "wh2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("ca") * col("cb")).cast(LongType).as("dot"))
-    dots
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nn").as("na")), Seq("doc_a"))
+    broadcast(broadcast(dots)
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nn").as("na")),
+          Seq("doc_a")))
       .join(nrm.select(col("doc_id").as("doc_b"), col("nn").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("dot"),
         (col("dot").cast(DoubleType) / (col("na") * col("nb"))).as("cos_tf"))

@@ -59,6 +59,31 @@ class BenchGateSpec extends AnyFunSuite {
     assert(over == Seq(("q_slow", 7.2, 3.6)))
   }
 
+  test("a local segment spike stretches only that query's budget") {
+    // round-12 scenario: global load 1.0 but one stretch of the board ran
+    // under a transient spike — the per-query factor (measured by the
+    // probes bracketing that segment) stretches exactly the spiked
+    // queries' budgets, leaving the rest of the board gated tight
+    val (over, _) = Bench.budgetCheck(
+      Seq("q_fast" -> 0.49, "q_slow" -> 5.0), budgets,
+      factor = 1.0, perQueryFactor = Map("q_slow" -> 3.0))
+    assert(over.isEmpty)
+    // the un-spiked query is still judged at factor 1.0
+    val (over2, _) = Bench.budgetCheck(
+      Seq("q_fast" -> 0.6, "q_slow" -> 5.0), budgets,
+      factor = 1.0, perQueryFactor = Map("q_slow" -> 3.0))
+    assert(over2 == Seq(("q_fast", 0.6, 0.5)))
+  }
+
+  test("per-query factor never tightens below the global factor") {
+    // a query whose local probes measured idle still gets the global
+    // stretch — max(global, local), never min
+    val (over, _) = Bench.budgetCheck(
+      Seq("q_slow" -> 3.5), budgets,
+      factor = 1.8, perQueryFactor = Map("q_slow" -> 1.0))
+    assert(over.isEmpty)
+  }
+
   test("calibration factor: ratio of medians, clamped to [1, 4]") {
     // idle machine, pinned 0.4s: factor 1.0 exactly
     assert(Bench.calibrationFactor(Seq(0.4, 0.4, 0.4), Some(0.4)) == 1.0)

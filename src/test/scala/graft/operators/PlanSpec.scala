@@ -567,6 +567,32 @@ class PlanSpec extends SparkSuite {
     assert(scans <= 2, s"candidate side rescans the corpus ($scans scans)")
   }
 
+  test("dedup_minhash_pairs: band-df filter is a forced broadcast; no cartesian") {
+    val df = SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the cool (df<=50 band values) table is bounded by the band space —
+    // it must meet the signature table as a BROADCAST so only the banded
+    // a⋈b self-join shuffles; an AQE re-decision here was the round-12
+    // driver-side 4x outlier on this family
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_tf_cosine: candidate pairs broadcast into tf; norms never shuffle for re-rank") {
+    val df = SparkEntry.queries("dedup_tf_cosine")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // three pinned broadcasts: candidates→tf(doc_a), dots→nrm(doc_a),
+    // (dots⋈nrm)→nrm(doc_b); only the (doc_b, wh2) co-key join shuffles tf
+    val bhj = finalSection.linesIterator
+      .count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"tf_cosine has $bhj broadcast joins:\n$p")
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("asof family: no quadratic unbounded-FOLLOWING window frame") {
     // Spark's unbounded-following frame re-scans to the partition end per
     // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both

@@ -3,20 +3,41 @@
 
 Usage: python3 tools/pin_budgets.py board1.json board2.json [out.json]
 
-Budget per query = 1.5 x max(board1, board2) + 0.35 s additive floor —
+Budget per query = 1.5 x max(board1, board2) + 0.35 s additive floor --
 the ratio absorbs proportional noise, the floor absorbs scheduling
 jitter on sub-second queries. The boards must be full-registry min-of-2
-runs written by graft.Bench (bench_board.json).
+runs written by graft.Bench (bench_board.json), each from a FRESH JVM
+(`sbt "runMain graft.Bench"` alone in its session -- warm-state plans
+grade greener than the driver's).
 
-"_calibration" = min of the two boards' calibration_sec: the most
-idle-machine estimate, pinned alongside the budgets measured on those
-same runs. At gate time Bench re-measures the same fixed probe and
-stretches every budget by the clamped ratio, so a loaded driver machine
-(round 9: ~1.8x across all 167 queries) no longer fails the gate while
-a query that regressed relative to its neighbors still does.
+The md5/shingle scan family gets a wider margin (WIDE_FAMILY below:
+2.5 x max + 0.6): round 12's driver ran exactly this family 4-6x slower
+than its own round-11 board while everything else held at 0.96x -- the
+family's cost tracks page-cache state of documents.parquet, which the
+CPU-bound calibration probe cannot see, so its budgets must absorb what
+normalization cannot.
+
+"_calibration" = the MEAN of the two boards' calibration_sec: a
+representative-load pin. Round 12 pinned the MIN (0.965 s, a cold-JVM
+outlier against a 2.0-2.2 s steady state) which made every driver run
+look 2.1x-loaded; the factor clamp then hid real headroom. At gate time
+Bench re-measures the same fixed probe per segment and stretches each
+budget by max(global, local-segment) clamped ratio.
 """
 import json
 import sys
+
+# md5/shingle/dot-product scan family: cost dominated by full-text or
+# full-embedding scans whose wall time tracks page-cache residency, not
+# CPU load -- the round-12 driver outlier class. Keep in sync with the
+# dedup/shingle queries in llm/Dedup.scala.
+WIDE_FAMILY = {
+    "dedup_canonical", "dedup_minhash_sig", "dedup_minhash_pairs",
+    "dedup_minhash_ml", "dedup_tf_cosine", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_prefix_filter", "q30_fingerprint_dedup", "q30b_shingle_stats",
+    "q31_cosine_topk",
+}
 
 if len(sys.argv) < 3:
     sys.exit(__doc__)
@@ -31,7 +52,7 @@ keys = sorted(set(b1["queries"]) | set(b2["queries"]))
 doc = {}
 cals = [b["calibration_sec"] for b in (b1, b2) if b.get("calibration_sec", 0) > 0]
 if cals:
-    doc["_calibration"] = round(min(cals), 3)
+    doc["_calibration"] = round(sum(cals) / len(cals), 3)
 else:
     print("WARN: neither board carries calibration_sec - gate will run "
           "un-normalized (factor 1.0)", file=sys.stderr)
@@ -39,7 +60,10 @@ for q in keys:
     t1, t2 = b1["queries"].get(q, 0.0), b2["queries"].get(q, 0.0)
     if min(t1, t2) < 0:
         sys.exit(f"{q} has a failure marker in a board - fix before pinning")
-    doc[q] = round(1.5 * max(t1, t2) + 0.35, 2)
+    if q in WIDE_FAMILY:
+        doc[q] = round(2.5 * max(t1, t2) + 0.6, 2)
+    else:
+        doc[q] = round(1.5 * max(t1, t2) + 0.35, 2)
 
 with open(out_path, "w") as f:
     json.dump(doc, f, indent=1)
