@@ -38,21 +38,24 @@ private[graft] abstract class DerivedFixture(root: String, table: String) {
       case _ =>
         val keyDir = Fixtures.path(root) + s"/${dirKey(dir)}"
         val p = s"$keyDir/$fp"
+        // migration sweep: fixtures written before the keyDir layout
+        // (root/<fp> instead of root/<dirKey>/<fp>-tag) sit directly
+        // under root, outside every keyDir, and would otherwise leak
+        // one orphan per historical fingerprint forever — drop any
+        // root child that is not a 12-hex keyDir. Runs on every
+        // session's FIRST touch of this fixture root (not only on a
+        // re-derive): a session whose fixture is already current would
+        // otherwise never reclaim pre-migration debris.
+        Option(new java.io.File(Fixtures.path(root)).listFiles())
+          .getOrElse(Array.empty)
+          .filterNot(_.getName.matches("[0-9a-f]{12}"))
+          .foreach(f => graft.streaming.CommitFiles.rmTree(f))
         // cross-session reuse: a COMPLETE build from a previous JVM is
         // valid iff it matches the current source fingerprint (the
         // atomic rename below is what makes existence imply complete)
         if (!new java.io.File(p).exists()) {
           Option(new java.io.File(keyDir).listFiles()).getOrElse(Array.empty)
             .foreach(f => graft.streaming.CommitFiles.rmTree(f)) // stale fps + orphan tmps
-          // migration sweep: fixtures written before the keyDir layout
-          // (root/<fp> instead of root/<dirKey>/<fp>-tag) sit directly
-          // under root, outside every keyDir, and would otherwise leak
-          // one orphan per historical fingerprint forever — drop any
-          // root child that is not a 12-hex keyDir
-          Option(new java.io.File(Fixtures.path(root)).listFiles())
-            .getOrElse(Array.empty)
-            .filterNot(_.getName.matches("[0-9a-f]{12}"))
-            .foreach(f => graft.streaming.CommitFiles.rmTree(f))
           val tmp = s"$keyDir/.tmp-$fp"
           build(s, dir, tmp)
           Files.move(Paths.get(tmp), Paths.get(p), StandardCopyOption.ATOMIC_MOVE)

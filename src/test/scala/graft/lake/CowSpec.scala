@@ -124,6 +124,25 @@ class CowSpec extends SparkSuite {
       s"pruning must skip units (${pruned.inputFiles.length} of $flCount read)")
   }
 
+  test("COW pruned read: local and distributed planning select identical units and rows") {
+    // the two-mode planner mirrored from ZLayout.overlapFids: default =
+    // collect-the-filelist local planning; LocalPlanBytesKey=0 forces the
+    // overlap filter onto the Spark-job path (only surviving paths reach
+    // the driver — the ~10⁶-unit manifest shape). Both modes must compute
+    // the identical unit set and rows.
+    val ranges = Seq(("ck", 200L, 399L), ("dy", 9496L, 9861L))
+    val local = CowTable.prunedRead(spark, root, 1L, ranges)
+    val localFiles = local.inputFiles.sorted.toSeq
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    try {
+      val dist = CowTable.prunedRead(spark, root, 1L, ranges)
+      assert(dist.inputFiles.sorted.toSeq == localFiles,
+        "COW planning modes disagree on the pruned unit set")
+      assert(dist.exceptAll(local).isEmpty && local.exceptAll(dist).isEmpty)
+      assert(local.count() > 0)
+    } finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+  }
+
   test("mergeInto refuses to run over pending merge-on-read deletes") {
     val dir = graft.core.Fixtures.path("cowspec_refuse")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
@@ -151,6 +170,62 @@ class CowSpec extends SparkSuite {
     assert(v3.count() == 45)
     assert(v3.filter(col("o_orderkey") === survivor)
       .head.getAs[Double]("o_totalprice") == 9.0)
+  }
+
+  test("appendEvolved refuses keys that a pending merge-on-read delete would hide") {
+    val dir = graft.core.Fixtures.path("cowspec_append_refuse")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .orderBy("o_orderkey").limit(50)
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    CowTable.init(spark, orders, dir)
+    CowTable.deleteWhere(spark, dir,
+      orders.filter(col("o_orderkey").isin(keys.take(5): _*))
+        .select("o_orderkey"))
+    // re-appending a deleted key: the carried-forward delete set would
+    // hide the new row at read — must refuse, not silently commit
+    val e = intercept[IllegalArgumentException] {
+      CowTable.appendEvolved(spark, dir,
+        orders.filter(col("o_orderkey") === keys.head))
+    }
+    assert(e.getMessage.contains("pending"), e.getMessage)
+    // genuinely-new keys append fine even with deletes pending
+    CowTable.appendEvolved(spark, dir,
+      orders.filter(col("o_orderkey") === keys(10))
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    assert(CowTable.readVersion(spark, dir, 2L).count() == 46)
+    // and after folding the deletes the once-refused key is appendable
+    CowTable.compactDeletes(spark, dir)
+    CowTable.appendEvolved(spark, dir,
+      orders.filter(col("o_orderkey") === keys.head))
+    assert(CowTable.readVersion(spark, dir, 4L).count() == 47)
+  }
+
+  test("opt-in clustering verification refuses an upsert whose ck differs from the stored row") {
+    val dir = graft.core.Fixtures.path("cowspec_cluster_guard")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .orderBy("o_orderkey").limit(50)
+    val first = orders.orderBy("o_orderkey").limit(1)
+    CowTable.init(spark, orders, dir)
+    spark.conf.set(CowTable.VerifyClusteringKey, "true")
+    try {
+      // legal merge: same clustering columns, lands in the stored row's
+      // fid — the verifier finds the key only inside the rewrite set
+      CowTable.mergeInto(spark, dir,
+        first.withColumn("o_totalprice", lit(7.0)))
+      val v1 = CowTable.readVersion(spark, dir, 1L)
+      assert(v1.count() == 50)
+      // contract violation: same key, shifted o_custkey → different ck →
+      // different fid; the stored row's unit is NOT rewritten and the
+      // commit would hold two rows for one key — must refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        CowTable.mergeInto(spark, dir,
+          first.withColumn("o_custkey", col("o_custkey") + 30000L))
+      }
+      assert(e.getMessage.contains("clustering"), e.getMessage)
+    } finally spark.conf.unset(CowTable.VerifyClusteringKey)
   }
 
   test("vacuum GC is a reachability walk: shared gen-0 units survive v0's expiry") {

@@ -241,6 +241,35 @@ class LakeSpec extends SparkSuite {
       "the stale fingerprint dir must be swept, not leaked")
   }
 
+  test("pre-migration root debris is reclaimed on first touch, not only on re-derive") {
+    // fixtures written before the keyDir layout sit directly under the
+    // root; a session whose fixture is already CURRENT never re-derives,
+    // so the sweep must run on the session's first touch or the debris
+    // leaks forever. Two instances of the same fixture = two sessions.
+    class Memo extends graft.core.DerivedFixture("lakespec_memo_root", "orders") {
+      override protected def build(s: org.apache.spark.sql.SparkSession,
+          dir: String, target: String): Unit =
+        s.read.parquet(s"$dir/orders.parquet").write.parquet(target)
+    }
+    val src = graft.core.Fixtures.path("lakespec_src3")
+    Seq((1L, 10L, "O", 5.0,
+        java.sql.Timestamp.valueOf("1996-03-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
+    val p = (new Memo).ensure(spark, src)
+    val root = Paths.get(graft.core.Fixtures.path("lakespec_memo_root"))
+    val debris = root.resolve("0123456789abcdef-v0") // pre-keyDir naming
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("part-old.parquet"), "old bytes")
+    // fresh "session": empty live map, fixture already complete on disk —
+    // no rebuild happens, the debris must still be reclaimed
+    val p2 = (new Memo).ensure(spark, src)
+    assert(p2 == p && new java.io.File(p2).exists())
+    assert(!Files.exists(debris),
+      "pre-migration root debris must be reclaimed on first touch")
+  }
+
   test("a crashed (partial) build is never accepted as a complete fixture") {
     val src = graft.core.Fixtures.path("lakespec_src2")
     Seq((1L, 10L, "O", 5.0,

@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Cluster-packaging smoke: the first thing a real user does with this
+# engine — package the library and spark-submit a job — exercised
+# end-to-end. The repo compiles against the unmanaged /opt/spark/jars
+# and has no runtime deps beyond Spark itself, so the THIN jar from
+# `sbt package` is the deployable artifact (no assembly/shading needed;
+# scalatest is test-scope only).
+#
+# Usage: bash tools/submit_smoke.sh
+# Exit 0 = packaged jar ran under spark-submit and produced the
+# reference converter's contract output (10-way repartitioned parquet).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "[smoke] packaging thin jar"
+sbt -batch package > /tmp/submit_smoke_sbt.log 2>&1 || {
+  tail -20 /tmp/submit_smoke_sbt.log; exit 1; }
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- -tests | head -1)
+[ -n "$JAR" ] || { echo "[smoke] no jar produced"; exit 1; }
+echo "[smoke] jar: $JAR"
+
+IN=$(mktemp -d /tmp/smoke_tsv.XXXX)
+OUT=/tmp/smoke_out_parquet
+rm -rf "$OUT"
+printf 'product_id\tproduct_category\tprice\n' >  "$IN/data.tsv"
+printf '1\tbooks\t9.99\n2\tbooks\t4.50\n3\ttoys\t7.00\n' >> "$IN/data.tsv"
+printf '4\tgames\t1.25\n5\ttoys\t3.75\n' >> "$IN/data.tsv"
+
+echo "[smoke] spark-submit graft.ConverterMain"
+/opt/spark/bin/spark-submit \
+  --master "local[4]" \
+  --class graft.ConverterMain \
+  "$JAR" "$IN" "$OUT" > /tmp/submit_smoke_run.log 2>&1 || {
+  tail -30 /tmp/submit_smoke_run.log; exit 1; }
+
+# contract checks: _SUCCESS marker, 10 part files (repartition(10)),
+# 5 rows round-tripped with the all-string schema
+[ -f "$OUT/_SUCCESS" ] || { echo "[smoke] missing _SUCCESS"; exit 1; }
+PARTS=$(ls "$OUT"/part-*.parquet | wc -l)
+[ "$PARTS" -eq 10 ] || { echo "[smoke] expected 10 part files, got $PARTS"; exit 1; }
+python3 - "$OUT" <<'EOF'
+import sys, glob
+import pyarrow.parquet as pq
+tables = [pq.read_table(f) for f in sorted(glob.glob(sys.argv[1] + "/part-*.parquet"))]
+rows = sum(t.num_rows for t in tables)
+assert rows == 5, f"expected 5 rows, got {rows}"
+schema = tables[0].schema
+assert all(str(schema.field(n).type) == "string" for n in schema.names), schema
+cats = sorted(c for t in tables for c in t.column("product_category").to_pylist())
+assert cats == ["books", "books", "games", "toys", "toys"], cats
+print("[smoke] parquet contract OK: 5 rows, all-string schema, categories match")
+EOF
+echo "[smoke] PASS: thin jar + spark-submit end-to-end"
