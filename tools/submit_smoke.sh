@@ -22,9 +22,15 @@ echo "[smoke] jar: $JAR"
 IN=$(mktemp -d /tmp/smoke_tsv.XXXX)
 OUT=/tmp/smoke_out_parquet
 rm -rf "$OUT"
-printf 'product_id\tproduct_category\tprice\n' >  "$IN/data.tsv"
-printf '1\tbooks\t9.99\n2\tbooks\t4.50\n3\ttoys\t7.00\n' >> "$IN/data.tsv"
-printf '4\tgames\t1.25\n5\ttoys\t3.75\n' >> "$IN/data.tsv"
+# 40 rows: repartition(10) round-robins rows, and Spark writes a part
+# file only for NON-EMPTY partitions — enough rows guarantees all 10
+printf 'product_id\tproduct_category\tprice\n' > "$IN/data.tsv"
+for i in $(seq 1 40); do
+  case $((i % 4)) in
+    0) c=books;; 1) c=toys;; 2) c=games;; 3) c=music;;
+  esac
+  printf '%s\t%s\t%s.25\n' "$i" "$c" "$i" >> "$IN/data.tsv"
+done
 
 echo "[smoke] spark-submit graft.ConverterMain"
 /opt/spark/bin/spark-submit \
@@ -34,20 +40,21 @@ echo "[smoke] spark-submit graft.ConverterMain"
   tail -30 /tmp/submit_smoke_run.log; exit 1; }
 
 # contract checks: _SUCCESS marker, 10 part files (repartition(10)),
-# 5 rows round-tripped with the all-string schema
+# 40 rows round-tripped with the all-string schema
 [ -f "$OUT/_SUCCESS" ] || { echo "[smoke] missing _SUCCESS"; exit 1; }
 PARTS=$(ls "$OUT"/part-*.parquet | wc -l)
 [ "$PARTS" -eq 10 ] || { echo "[smoke] expected 10 part files, got $PARTS"; exit 1; }
 python3 - "$OUT" <<'EOF'
 import sys, glob
+from collections import Counter
 import pyarrow.parquet as pq
 tables = [pq.read_table(f) for f in sorted(glob.glob(sys.argv[1] + "/part-*.parquet"))]
 rows = sum(t.num_rows for t in tables)
-assert rows == 5, f"expected 5 rows, got {rows}"
+assert rows == 40, f"expected 40 rows, got {rows}"
 schema = tables[0].schema
 assert all(str(schema.field(n).type) == "string" for n in schema.names), schema
-cats = sorted(c for t in tables for c in t.column("product_category").to_pylist())
-assert cats == ["books", "books", "games", "toys", "toys"], cats
-print("[smoke] parquet contract OK: 5 rows, all-string schema, categories match")
+cats = Counter(c for t in tables for c in t.column("product_category").to_pylist())
+assert cats == Counter(books=10, toys=10, games=10, music=10), cats
+print("[smoke] parquet contract OK: 40 rows, all-string schema, categories match")
 EOF
 echo "[smoke] PASS: thin jar + spark-submit end-to-end"
