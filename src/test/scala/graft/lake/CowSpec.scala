@@ -143,6 +143,40 @@ class CowSpec extends SparkSuite {
     } finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
   }
 
+  test("the COW planner handles a 200k-unit filelist; both modes agree at that scale") {
+    // the 100 TB-scale datapoint (the batch family's LakeSpec precedent):
+    // 200k units is 2x the ~1e5 a 100 TB table carries at 1 GiB units.
+    // The filelist is synthetic — plannedPaths only plans, it never
+    // opens the units, so the paths need not exist.
+    val dir = graft.core.Fixtures.path("cowspec_bigplan")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    Files.createDirectories(Paths.get(dir))
+    spark.range(200000).select(
+        concat(lit("g0-f"), col("id").cast("string")).as("path"),
+        col("id").as("fid"), lit(1L).as("n"),
+        (col("id") % 1000L).as("ck_min"), (col("id") % 1000L + 50L).as("ck_max"),
+        (col("id") % 500L).as("dy_min"), (col("id") % 500L + 20L).as("dy_max"),
+        (col("id") % 700L).as("o_custkey_min"), (col("id") % 700L + 30L).as("o_custkey_max"),
+        col("id").as("o_orderkey_min"), (col("id") + 10L).as("o_orderkey_max"))
+      .coalesce(2).write.parquet(s"$dir/v=0/filelist")
+    graft.streaming.CommitFiles.atomicWrite(Paths.get(dir, "_latest"), "0")
+    val ranges = Seq(("ck", 100L, 120L), ("dy", 40L, 60L))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (local, tl) = timed(CowTable.plannedPaths(spark, dir, 0L, ranges))
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    val (dist, td) =
+      try timed(CowTable.plannedPaths(spark, dir, 0L, ranges))
+      finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+    assert(local.nonEmpty && local == dist,
+      s"COW planning modes disagree at 200k units: local=${local.size} dist=${dist.size}")
+    assert(local.size < 200000, "the predicate must actually prune")
+    info(f"200k-unit filelist: local plan $tl%.2f s, distributed plan $td%.2f s, " +
+      s"${local.size} units selected")
+  }
+
   test("mergeInto refuses to run over pending merge-on-read deletes") {
     val dir = graft.core.Fixtures.path("cowspec_refuse")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))

@@ -57,4 +57,32 @@ cats = Counter(c for t in tables for c in t.column("product_category").to_pylist
 assert cats == Counter(books=10, toys=10, games=10, music=10), cats
 print("[smoke] parquet contract OK: 40 rows, all-string schema, categories match")
 EOF
-echo "[smoke] PASS: thin jar + spark-submit end-to-end"
+# Second leg: the LIBRARY itself (not just the trivial converter)
+# through spark-submit — graft.Verify runs registry queries that
+# exercise the custom Catalyst expressions (q31's codegen'd
+# dot_product, q22's BcDiv via GraftExtensions), proving the packaged
+# jar carries the whole engine, not only the demo class.
+VOUT=/tmp/smoke_verify_out
+rm -rf "$VOUT"
+echo "[smoke] spark-submit graft.Verify (library leg)"
+SPARK_GRAFT_CPUS=4 /opt/spark/bin/spark-submit \
+  --master "local[4]" \
+  --class graft.Verify \
+  "$JAR" /root/testdata/sf0.001 "$VOUT" \
+  q01_scan_agg q22_math_funcs q31_cosine_topk \
+  > /tmp/submit_smoke_verify.log 2>&1 || {
+  tail -30 /tmp/submit_smoke_verify.log; exit 1; }
+for q in q01_scan_agg q22_math_funcs q31_cosine_topk; do
+  [ -f "$VOUT/$q/_SUCCESS" ] || { echo "[smoke] $q missing output"; exit 1; }
+  [ ! -f "$VOUT/$q/_ERROR" ]  || { echo "[smoke] $q errored:"; cat "$VOUT/$q/_ERROR"; exit 1; }
+done
+python3 - "$VOUT" <<'EOF'
+import sys, glob
+import pyarrow.parquet as pq
+for q in ("q01_scan_agg", "q22_math_funcs", "q31_cosine_topk"):
+    rows = sum(pq.read_table(f).num_rows
+               for f in glob.glob(f"{sys.argv[1]}/{q}/part-*.parquet"))
+    assert rows > 0, f"{q}: empty result through spark-submit"
+    print(f"[smoke] {q}: {rows} rows via packaged jar")
+EOF
+echo "[smoke] PASS: thin jar + spark-submit end-to-end (converter + library)"
