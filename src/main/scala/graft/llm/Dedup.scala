@@ -512,7 +512,38 @@ object Dedup extends QueryGroup {
   // popular band value is otherwise quadratic at 100 TB, the same guard
   // as the minhash band join. 48-bit signatures come from one md5 prefix
   // per word (ANSI-safe longs).
-  private[llm] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Session-scoped materialization of the banded-simhash candidate
+    * pairs three queries start from (`dedup_simhash_pairs`,
+    * `dedup_tf_cosine`'s candidate set, `text_edit_distance`'s re-rank
+    * input) — the GraphOps.PairsMemo pattern: the FIRST family query in
+    * a session pays one parquet write of the (doc_a, doc_b, hamming)
+    * rows and the rest read it back. Keyed by the SOURCE FILE STATE of
+    * documents.parquet (never the path), staged + atomically renamed,
+    * stale fingerprints swept — a rewritten corpus or crashed build can
+    * never serve stale/partial pairs. Cold-vs-warm cost disclosed in
+    * SCALING.md next to PairsMemo's. */
+  private[llm] object SimhashPairsMemo
+      extends graft.core.DerivedFixture("simhash_pairs_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      simhashPairsDirect(s, dir)
+        .write.mode("overwrite").parquet(target)
+
+    def pairs(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** The memoized candidate set every consumer reads (same rows as
+    * [[simhashPairsDirect]] — the memo is content-keyed). Unordered: a
+    * parquet read guarantees no row order, so the GRADED row re-sorts
+    * ([[simhashPairsGraded]]); join consumers don't care. */
+  private[llm] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    SimhashPairsMemo.pairs(s, d)
+
+  private def simhashPairsGraded(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  private[llm] def simhashPairsDirect(s: SparkSession, d: String): DataFrame = {
     val wh = words(T.documents(s, d)).select(col("doc_id"),
       h48(col("word")).as("h48"))
     // one pass, no bit explode: 48 codegen'd popcount sums per doc; the
@@ -1542,7 +1573,7 @@ object Dedup extends QueryGroup {
     "dedup_minhash_sig"     -> QueryDef(minhashSig, Some(minhashSigSql)),
     "dedup_minhash_pairs"   -> QueryDef(minhashPairs, Some(minhashPairsSql)),
     "dedup_simhash"         -> QueryDef(simhash, Some(simhashSql)),
-    "dedup_simhash_pairs"   -> QueryDef(simhashPairs, Some(simhashPairsSql)),
+    "dedup_simhash_pairs"   -> QueryDef(simhashPairsGraded, Some(simhashPairsSql)),
     "dedup_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "dedup_prefix_filter"   -> QueryDef(prefixFilter, Some(prefixFilterSql)),
     "dedup_cdc_chunks"      -> QueryDef(cdcDupChunks, Some(cdcDupChunksSql)),
