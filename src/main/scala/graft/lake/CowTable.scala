@@ -840,14 +840,20 @@ object CowQueries extends QueryGroup {
     * bounded by the commit's change locality, never table size. */
   private def cowIncrAgg(s: SparkSession, d: String): DataFrame = {
     val p = CowFixture.ensure(s, d)
-    def pathsAt(v: Long): Set[String] =
+    // each version's filelist/delete set is consulted twice in the diff
+    // loop (as v and as v-1) — memoize so the metadata reads cost one
+    // tiny job per VERSION, not per loop edge (these collects dominated
+    // the query's local wall time: pure job-scheduling overhead)
+    val pathsMemo = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val delsMemo = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def pathsAt(v: Long): Set[String] = pathsMemo.getOrElseUpdate(v,
       CowTable.filelist(s, p, v).select(col("path"))
-        .collect().map(_.getString(0)).toSet
-    def delsAt(v: Long): Set[Long] =
+        .collect().map(_.getString(0)).toSet)
+    def delsAt(v: Long): Set[Long] = delsMemo.getOrElseUpdate(v,
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(p, s"v=$v", "deletes"))) Set.empty
       else s.read.parquet(s"$p/v=$v/deletes")
-        .collect().map(_.getLong(0)).toSet
+        .collect().map(_.getLong(0)).toSet)
     def readUnits(paths: Set[String]): DataFrame =
       s.read.option("mergeSchema", "true")
         .parquet(paths.toSeq.sorted.map(x => s"$p/files/$x"): _*)
