@@ -67,9 +67,13 @@ object Bench {
             false
           }
           finally graft.core.Release.storage(spark)
+        // capture elapsed BEFORE the boundary probe: evaluating it in
+        // the tuple below would charge the ~2s probe to every 48th
+        // query's measured time (and bake it into re-pinned budgets)
+        val elapsed = (System.nanoTime() - t0) / 1e9
         if ((i + 1) % SegmentSize == 0 && i + 1 < selected.size)
           cals += calibrate(spark, nCpus)
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        name -> (if (ok) Some(elapsed) else None)
       }.toIndexedSeq
       cals += calibrate(spark, nCpus)
       (times, cals.toIndexedSeq)

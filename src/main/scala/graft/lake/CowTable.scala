@@ -170,48 +170,26 @@ object CowTable {
       Some(s.read.parquet(s"$root/v=$v/deletes"))
     else None
 
-  /** Size on disk of a version's filelist — the cheap driver-side signal
-    * that picks the planning mode (same mechanism as
-    * [[ZLayout.overlapFids]]'s manifest-bytes check). */
-  private def filelistBytes(root: String, v: Long): Long =
-    CommitFiles.partSet(Paths.get(root, s"v=$v", "filelist")).toSeq
-      .map(f => new java.io.File(f).length()).sum
-
-  /** Two-mode overlap planner over a snapshot's filelist (the COW
-    * manifest), mirroring [[ZLayout.overlapFids]]: at or below
-    * `spark.graft.lake.localPlanBytes` the filelist is collected once
-    * and filtered on the driver (no job-scheduling latency for the
-    * common metadata-scale case); above it the overlap filter runs as a
-    * Spark job and only the SURVIVING unit paths reach the driver —
+  /** Unit paths of a snapshot, overlap-planned through the shared
+    * [[OverlapPlan]] two-mode planner (the filelist IS the COW
+    * manifest): driver-local under `spark.graft.lake.localPlanBytes`, a
+    * Spark job above it — only SURVIVING unit paths reach the driver,
     * bounded by the true overlap set, never the manifest size, which is
     * the shape that holds at ~10⁶-unit manifests. Both modes compute
-    * the identical set (`LakeSpec` pins them equal on the COW fixture).
-    * Empty `ranges` = an unpruned read: every committed path (the full
-    * collect is then inherent — the read needs each path). */
+    * the identical set (`CowSpec` pins them equal on the COW fixture
+    * and at a 200k-unit synthetic filelist). Empty `ranges` = an
+    * unpruned read: every committed path (the full collect is then
+    * inherent — the read needs each path). */
   private[lake] def plannedPaths(s: SparkSession, root: String, v: Long,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
     val fl = filelist(s, root, v)
     val rel =
       if (ranges.isEmpty) fl.select(col("path")).collect()
         .map(_.getString(0)).toSeq
-      else {
-        val limit = s.conf.getOption(ZLayout.LocalPlanBytesKey)
-          .map(_.toLong).getOrElse(ZLayout.LocalPlanBytesDefault)
-        if (filelistBytes(root, v) <= limit)
-          fl.select(col("path") +: ranges.flatMap { case (c, _, _) =>
-              Seq(col(s"${c}_min"), col(s"${c}_max")) }: _*)
-            .collect().toSeq
-            .filter { r =>
-              ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
-                r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi } }
-            .map(_.getString(0))
-        else {
-          val pred = ranges.map { case (c, lo, hi) =>
-            col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
-          fl.filter(pred).select(col("path")).collect()
-            .map(_.getString(0)).toSeq
-        }
-      }
+      else OverlapPlan.survivors(s, fl,
+          OverlapPlan.bytesOf(Paths.get(root, s"v=$v", "filelist")),
+          Seq(col("path")), ranges)
+        .map(_.getString(0))
     rel.sorted.map(p => s"$root/files/$p")
   }
 

@@ -36,6 +36,51 @@ import graft.streaming.CommitFiles
   * `q52_zorder_layout` measurement), so a 2-D range predicate selects
   * O(perimeter) files instead of a full dimension stripe.
   */
+/** THE two-mode overlap planner — one implementation for every manifest
+  * shape in the lake family (batch `_manifest` keyed by fid, streamed
+  * `_manifest` keyed by (batch, fid), COW filelists keyed by path). At
+  * or below `spark.graft.lake.localPlanBytes` the manifest collects
+  * once and filters on the driver (Iceberg's local planning — no
+  * job-scheduling latency at metadata scale); above it the identical
+  * filter runs as a Spark job and only SURVIVING key rows reach the
+  * driver. Both modes compute the identical set — pinned per caller
+  * (`LakeSpec`, `StreamLakeSpec`, `CowSpec`), and keeping the logic in
+  * ONE place is what makes that contract survive future edits. */
+private[lake] object OverlapPlan {
+  /** Key projections of `manifest` rows whose `[c_min, c_max]` stats
+    * overlap EVERY `(c, lo, hi)` range. `manifestBytes` picks the mode
+    * (a driver-side file stat — no Spark job, no read). */
+  def survivors(spark: SparkSession, manifest: DataFrame,
+      manifestBytes: Long, keyCols: Seq[org.apache.spark.sql.Column],
+      ranges: Seq[(String, Long, Long)]): Seq[org.apache.spark.sql.Row] = {
+    require(ranges.nonEmpty, "lake: overlap planning needs at least one range")
+    val limit = spark.conf.getOption(ZLayout.LocalPlanBytesKey)
+      .map(_.toLong).getOrElse(ZLayout.LocalPlanBytesDefault)
+    val nKeys = keyCols.size
+    if (manifestBytes <= limit)
+      manifest
+        .select(keyCols ++ ranges.flatMap { case (c, _, _) =>
+          Seq(col(s"${c}_min"), col(s"${c}_max")) }: _*)
+        .collect().toSeq
+        .filter { r =>
+          ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
+            r.getLong(nKeys + 2 * i + 1) >= lo &&
+              r.getLong(nKeys + 2 * i) <= hi } }
+        .map(r => org.apache.spark.sql.Row.fromSeq(
+          (0 until nKeys).map(r.get)))
+    else {
+      val pred = ranges.map { case (c, lo, hi) =>
+        col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
+      manifest.filter(pred).select(keyCols: _*).collect().toSeq
+    }
+  }
+
+  /** Driver-side byte size of a manifest directory — the mode signal. */
+  def bytesOf(dir: java.nio.file.Path): Long =
+    CommitFiles.partSet(dir).toSeq
+      .map(f => new java.io.File(f).length()).sum
+}
+
 object ZLayout {
   /** fid = zkey div 2^20: the Morton key's high bits (ck bits ≥10
     * interleaved with dy bits ≥10), so one fid bounds BOTH dimensions.
@@ -97,43 +142,18 @@ object ZLayout {
   val LocalPlanBytesKey = "spark.graft.lake.localPlanBytes"
   val LocalPlanBytesDefault: Long = 16L << 20
 
-  /** Size on disk of the manifest — a driver-side file stat, the cheap
-    * signal that picks the planning mode (no Spark job, no read). */
-  private def manifestBytes(path: String): Long =
-    CommitFiles.partSet(Paths.get(s"$path/_manifest")).toSeq
-      .map(f => new java.io.File(f).length()).sum
-
   /** fids whose stats overlap EVERY `(column, lo, hi)` range — the
-    * overlap planner, in whichever mode [[LocalPlanBytesKey]] selects.
-    * Both modes compute the identical set (`LakeSpec` pins it): overlap
-    * is per-row over (min,max) pairs, so it distributes trivially. */
+    * [[OverlapPlan]] two-mode planner keyed by fid. Both modes compute
+    * the identical set (`LakeSpec` pins it): overlap is per-row over
+    * (min,max) pairs, so it distributes trivially. */
   private[lake] def overlapFids(spark: SparkSession, path: String,
       ranges: Seq[(String, Long, Long)]): Seq[Long] = {
-    require(ranges.nonEmpty, "lake: overlap planning needs at least one range")
     ranges.foreach { case (c, _, _) => require(StatsCols.contains(c),
       s"lake: no manifest stats for column '$c' (have: ${StatsCols.mkString(", ")})") }
-    val limit = spark.conf.getOption(LocalPlanBytesKey)
-      .map(_.toLong).getOrElse(LocalPlanBytesDefault)
-    if (manifestBytes(path) <= limit) {
-      // local planning: one bounded collect of the metadata-scale
-      // manifest, filter on the driver
-      manifest(spark, path)
-        .select(col("fid") +:
-          ranges.flatMap { case (c, _, _) =>
-            Seq(col(s"${c}_min"), col(s"${c}_max")) }: _*)
-        .collect().toSeq
-        .filter { r =>
-          ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
-            r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi } }
-        .map(_.getLong(0)).sorted
-    } else {
-      // distributed planning: the filter runs as a Spark job over the
-      // manifest table; only surviving fids reach the driver
-      val pred = ranges.map { case (c, lo, hi) =>
-        col(s"${c}_max") >= lo && col(s"${c}_min") <= hi }.reduce(_ && _)
-      manifest(spark, path).filter(pred)
-        .select(col("fid")).collect().map(_.getLong(0)).sorted.toSeq
-    }
+    OverlapPlan.survivors(spark, manifest(spark, path),
+        OverlapPlan.bytesOf(Paths.get(s"$path/_manifest")),
+        Seq(col("fid")), ranges)
+      .map(_.getLong(0)).sorted
   }
 
   /** Manifest-pruned scan on arbitrary [[StatsCols]] ranges: keep only

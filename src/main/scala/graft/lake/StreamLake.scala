@@ -132,27 +132,14 @@ object StreamLake {
     * equality. */
   def prunedOrders(spark: SparkSession, dir: String,
       ckLo: Long, ckHi: Long, dyLo: Long, dyHi: Long): DataFrame = {
-    val limit = spark.conf.getOption(ZLayout.LocalPlanBytesKey)
-      .map(_.toLong).getOrElse(ZLayout.LocalPlanBytesDefault)
-    val bytes = CommitFiles.partSet(Paths.get(s"$dir/_manifest")).toSeq
-      .map(f => new java.io.File(f).length()).sum
     // batch is a DISCOVERED partition column (int-inferred from the
-    // dir names); cast both keys so either collect is type-stable
+    // dir names); cast both keys so either mode's collect is type-stable
     val sel: Seq[(Long, Long)] =
-      if (bytes <= limit)
-        manifest(spark, dir)
-          .select(col("batch").cast("long"), col("fid").cast("long"),
-            col("ck_min"), col("ck_max"), col("dy_min"), col("dy_max"))
-          .collect().toSeq
-          .filter(r => r.getLong(3) >= ckLo && r.getLong(2) <= ckHi &&
-            r.getLong(5) >= dyLo && r.getLong(4) <= dyHi)
-          .map(r => (r.getLong(0), r.getLong(1))).sorted
-      else
-        manifest(spark, dir)
-          .filter(col("ck_max") >= ckLo && col("ck_min") <= ckHi &&
-            col("dy_max") >= dyLo && col("dy_min") <= dyHi)
-          .select(col("batch").cast("long"), col("fid").cast("long")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      OverlapPlan.survivors(spark, manifest(spark, dir),
+          OverlapPlan.bytesOf(Paths.get(s"$dir/_manifest")),
+          Seq(col("batch").cast("long"), col("fid").cast("long")),
+          Seq(("ck", ckLo, ckHi), ("dy", dyLo, dyHi)))
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
     val scan =
       if (sel.isEmpty) scanAll(spark, dir).limit(0)
       else spark.read.option("basePath", dir)

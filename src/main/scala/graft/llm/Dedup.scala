@@ -262,6 +262,12 @@ object Dedup extends QueryGroup {
   private[llm] val GradedModulus = 1000003L
   private[llm] val GradedMaxBandDf = 50L
 
+  /** Largest bands × modulus band space for which the hot-band table is
+    * force-broadcast (≤ 32M two-long rows ≈ a few hundred MB worst case,
+    * realistically far less since only VALUES WITH df ≤ cap survive);
+    * beyond it the banded join must shuffle — see minhashPairsOf. */
+  private[llm] val MaxBroadcastBandSpace = 32L << 20
+
   /** Band-space-parameterized signature computation (SCALING.md ceiling
     * #1): `modulus` bounds the per-band value space, so once the corpus
     * approaches it every band value goes hot and the df cap destroys
@@ -326,13 +332,20 @@ object Dedup extends QueryGroup {
       .agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") <= maxBandDf)
       .select(col("i"), col("minhash"))
-    // FORCED broadcast, not left to AQE: cool is bounded by the band
-    // space (≤ bands × modulus distinct values, two longs per row), so
-    // the build side is provably broadcast-sized — and an AQE size
-    // re-decision on this join was the round-12 driver-side 4x outlier
-    // on this family (the same class the r11 bigram/kneser fix pinned).
-    // PlanSpec pins the shape.
-    val kept = sig.join(broadcast(cool), Seq("i", "minhash"))
+    // FORCED broadcast when the band space proves it small: |cool| ≤
+    // bands × modulus distinct (i, minhash) rows, so under the bound the
+    // build side is provably broadcast-sized and the forced hint removes
+    // the AQE size re-decision that was the round-12 driver-side 4x
+    // outlier on this family (the same class the r11 bigram/kneser fix
+    // pinned; PlanSpec pins the graded shape). ABOVE the bound the bound
+    // itself is the warning: under the corpus-scaling rule (modulus ≥
+    // ~100 × docs) |cool| grows with the corpus — bands × docs rows in
+    // practice — and forcing a broadcast there would OOM the driver at
+    // exactly the scale the parameterization targets, so the join is
+    // left to shuffle/AQE.
+    val bandSpace = bands.toLong * modulus
+    val coolSide = if (bandSpace <= MaxBroadcastBandSpace) broadcast(cool) else cool
+    val kept = sig.join(coolSide, Seq("i", "minhash"))
     val a = kept.select(col("doc_id").as("doc_a"), col("i"), col("minhash"))
     val b = kept.select(col("doc_id").as("doc_b"), col("i"), col("minhash"))
     a.join(b, Seq("i", "minhash"))
@@ -579,7 +592,10 @@ object Dedup extends QueryGroup {
         expr("bit_count(sig_a ^ sig_b)").cast(LongType))
       .filter(col("hamming") <= 5)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // no trailing orderBy: the only caller is the memo's parquet write,
+    // whose consumers either re-sort (the graded row) or join (order
+    // irrelevant) — a forced range-sort shuffle here is pure cold-path
+    // cost on exactly the build the memoization exists to minimize
   }
 
   /** CTE chain through `pairs` (banded simhash candidates) — shared with

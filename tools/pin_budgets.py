@@ -49,6 +49,12 @@ for name, b in (("board1", b1), ("board2", b2)):
         sys.exit(f"{name} records failed={b['failed']} - fix before pinning")
 
 keys = sorted(set(b1["queries"]) | set(b2["queries"]))
+# a renamed/removed family query silently falling back to the tight
+# margin reproduces the round-12 false-red mode — fail loudly instead
+ghosts = WIDE_FAMILY - set(keys)
+if ghosts:
+    sys.exit(f"WIDE_FAMILY entries not in either board (renamed query? "
+             f"update the set): {sorted(ghosts)}")
 doc = {}
 cals = [b["calibration_sec"] for b in (b1, b2) if b.get("calibration_sec", 0) > 0]
 if cals:
