@@ -64,7 +64,12 @@ private[lake] object OverlapPlan {
         .collect().toSeq
         .filter { r =>
           ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
-            r.getLong(nKeys + 2 * i + 1) >= lo &&
+            // null stats (a unit whose column is all-null) must behave
+            // exactly like the Spark-job mode's SQL comparison — NULL
+            // compares false, the row is dropped — or the two modes
+            // disagree on degenerate manifests
+            !r.isNullAt(nKeys + 2 * i) && !r.isNullAt(nKeys + 2 * i + 1) &&
+              r.getLong(nKeys + 2 * i + 1) >= lo &&
               r.getLong(nKeys + 2 * i) <= hi } }
         .map(r => org.apache.spark.sql.Row.fromSeq(
           (0 until nKeys).map(r.get)))

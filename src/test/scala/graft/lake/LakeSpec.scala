@@ -128,6 +128,29 @@ class LakeSpec extends SparkSuite {
       s"${local.size} fids selected")
   }
 
+  test("overlap planning modes agree on NULL stats rows (dropped, not crashed)") {
+    // a unit whose stats column is all-null yields null min/max; SQL
+    // comparison drops it in the Spark-job mode, so the driver-local
+    // mode must drop it too instead of NPEing on getLong
+    val dir = graft.core.Fixtures.path("lakespec_nullstats")
+    graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
+    spark.range(3).select(
+        col("id").as("fid"), lit(1L).as("n"),
+        when(col("id") === 1L, lit(null)).otherwise(col("id") * 100L)
+          .cast("long").as("ck_min"),
+        when(col("id") === 1L, lit(null)).otherwise(col("id") * 100L + 50L)
+          .cast("long").as("ck_max"))
+      .coalesce(1).write.parquet(s"$dir/_manifest")
+    val ranges = Seq(("ck", 0L, 1000L))
+    val local = ZLayout.overlapFids(spark, dir, ranges)
+    spark.conf.set(ZLayout.LocalPlanBytesKey, "0")
+    val dist =
+      try ZLayout.overlapFids(spark, dir, ranges)
+      finally spark.conf.unset(ZLayout.LocalPlanBytesKey)
+    assert(local == Seq(0L, 2L) && dist == local,
+      s"null-stats row handling diverged: local=$local dist=$dist")
+  }
+
   test("vacuum expires exactly the old committed versions, pointer-safely") {
     val dir = graft.core.Fixtures.path("lakespec_vacuum")
     graft.streaming.CommitFiles.rmTree(new java.io.File(dir))
