@@ -15,6 +15,15 @@ import org.apache.spark.sql.SparkSession
   * regeneration — across JVM restarts, not just within one session's
   * in-memory map. Keying by source-dir first keeps one source's
   * re-derive from evicting another's (sf0.01 and sf0.1 coexist). */
+private[graft] object DerivedFixture {
+  /** Roots whose pre-keyDir migration sweep already ran this JVM. */
+  private val sweptRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Entries younger than this survive the migration sweep — long
+    * enough that anything it deletes cannot be a live writer's. */
+  private val SweepGraceMs = 6L * 3600 * 1000
+}
+
 private[graft] abstract class DerivedFixture(root: String, table: String) {
   private val live = scala.collection.mutable.Map.empty[String, (String, String)]
 
@@ -42,14 +51,20 @@ private[graft] abstract class DerivedFixture(root: String, table: String) {
         // (root/<fp> instead of root/<dirKey>/<fp>-tag) sit directly
         // under root, outside every keyDir, and would otherwise leak
         // one orphan per historical fingerprint forever — drop any
-        // root child that is not a 12-hex keyDir. Runs on every
-        // session's FIRST touch of this fixture root (not only on a
-        // re-derive): a session whose fixture is already current would
-        // otherwise never reclaim pre-migration debris.
-        Option(new java.io.File(Fixtures.path(root)).listFiles())
-          .getOrElse(Array.empty)
-          .filterNot(_.getName.matches("[0-9a-f]{12}"))
-          .foreach(f => graft.streaming.CommitFiles.rmTree(f))
+        // root child that is not a 12-hex keyDir. ONCE per JVM per
+        // root (not on every cache-miss ensure), and only entries
+        // older than a grace window: a concurrent JVM running
+        // pre-keyDir code, or any tool staging data under the root,
+        // must not have a LIVE directory deleted out from under it —
+        // genuine migration debris is by definition old.
+        if (DerivedFixture.sweptRoots.add(Fixtures.path(root))) {
+          val cutoff = System.currentTimeMillis() - DerivedFixture.SweepGraceMs
+          Option(new java.io.File(Fixtures.path(root)).listFiles())
+            .getOrElse(Array.empty)
+            .filterNot(_.getName.matches("[0-9a-f]{12}"))
+            .filter(_.lastModified < cutoff)
+            .foreach(f => graft.streaming.CommitFiles.rmTree(f))
+        }
         // cross-session reuse: a COMPLETE build from a previous JVM is
         // valid iff it matches the current source fingerprint (the
         // atomic rename below is what makes existence imply complete)

@@ -399,10 +399,49 @@ object Ann extends QueryGroup {
       .select(col("q_id"), col("q_emb"), col("q_nsq"), col("ck"))
   }
 
+  /** Disk+session memo for [[ivfModelDirect]] — the quantizer model is
+    * rebuilt by FIVE consumers (`ivf`, `ivfPq`, `clusterDiverse`,
+    * `IvfIndex.build`, `StreamIvf`), and the Lloyd loop is a chain of
+    * many tiny Spark jobs (two collects per iteration) whose wall time
+    * tracks scheduler noise, not data size — the round-13 bench breach.
+    * Same DerivedFixture pattern as `Dedup.SimhashPairsMemo`: the first
+    * consumer in a session pays one build + parquet write of the
+    * (vec_id, ck) assignments and the k-row centroid table, the rest
+    * read it back; keyed by the SOURCE FILE STATE of embeddings.parquet.
+    * Params live in the fixture ROOT (not the layoutTag) so one
+    * parameterization's stale-sweep can never delete another's fixture
+    * (IvfSweepSpec builds k=64/256 beside the registry's k=8). */
+  private final class IvfModelFixture(k: Int, iters: Int)
+      extends graft.core.DerivedFixture(s"ann_ivf_model/k$k-i$iters",
+        "embeddings") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val (lists, cdf) = ivfModelDirect(s, dir, k, iters)
+      lists.select(col("vec_id"), col("ck")).write.parquet(s"$target/assign")
+      cdf.write.parquet(s"$target/cents")
+    }
+  }
+
+  private val ivfModelMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), IvfModelFixture]
+
   /** Deterministic IVF model shared by the top-k probe path and the
     * cluster-balanced sampler: the final inverted lists (vec_id, emb,
-    * nsq, ck) plus the centroid table (ck, cvec, c_nsq). */
+    * nsq, ck) plus the centroid table (ck, cvec, c_nsq). Memoized on
+    * disk per (source state, k, iters); values are identical to
+    * [[ivfModelDirect]] (doubles round-trip parquet exactly). */
   private[graft] def ivfModel(s: SparkSession, d: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val p = ivfModelMemo
+      .getOrElseUpdate((k, iters), new IvfModelFixture(k, iters))
+      .ensure(s, d)
+    (normed(s, d).join(s.read.parquet(s"$p/assign"), Seq("vec_id")),
+      s.read.parquet(s"$p/cents"))
+  }
+
+  /** The un-memoized model build — one distributed Lloyd loop; only the
+    * k×dim centroid table touches the driver. */
+  private[llm] def ivfModelDirect(s: SparkSession, d: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     require(k >= 1 && iters >= 0,
@@ -472,9 +511,41 @@ object Ann extends QueryGroup {
     * distributed job per Lloyd round, not one per subspace. Only the
     * nsub×ksub×dsub codebook (constant-size) touches the driver.
     * Returns (codes (vec_id, s, ck), codebook (s, ck, cvec, c_nsq),
-    * dsub, nsub). */
+    * dsub, nsub). Memoized on disk per (source state, m, ksub, iters) —
+    * see [[pqModel]]. */
+  private final class PqModelFixture(m: Int, ksub: Int, iters: Int)
+      extends graft.core.DerivedFixture(s"ann_pq_model/m$m-k$ksub-i$iters",
+        "embeddings") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val (codes, cdf, dsub, nsub) = pqModelDirect(s, dir, m, ksub, iters)
+      codes.write.parquet(s"$target/codes")
+      cdf.write.parquet(s"$target/cents")
+      // the derived grid dims ride along as a 1-row table so the read
+      // path never re-scans the corpus for max(size(emb))
+      s.range(1).select(lit(dsub).as("dsub"), lit(nsub).as("nsub"))
+        .write.parquet(s"$target/meta")
+    }
+  }
+
+  private val pqModelMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), PqModelFixture]
+
+  /** Disk+session memo for [[pqModelDirect]] — same economics and
+    * pattern as [[ivfModel]]'s memo (two consumers: `pqAdc`, `ivfPq`;
+    * the per-subspace Lloyd loop is the scheduler-noise-bound cost). */
   private[llm] def pqModel(s: SparkSession, d: String, m: Int, ksub: Int,
       iters: Int): (DataFrame, DataFrame, Int, Int) = {
+    val p = pqModelMemo
+      .getOrElseUpdate((m, ksub, iters), new PqModelFixture(m, ksub, iters))
+      .ensure(s, d)
+    val meta = s.read.parquet(s"$p/meta").collect()(0)
+    (s.read.parquet(s"$p/codes"), s.read.parquet(s"$p/cents"),
+      meta.getAs[Int]("dsub"), meta.getAs[Int]("nsub"))
+  }
+
+  private[llm] def pqModelDirect(s: SparkSession, d: String, m: Int,
+      ksub: Int, iters: Int): (DataFrame, DataFrame, Int, Int) = {
     import s.implicits._
     require(m >= 1 && ksub >= 1 && iters >= 0,
       s"pqModel: need m >= 1, ksub >= 1, iters >= 0; got m=$m ksub=$ksub iters=$iters")
