@@ -215,6 +215,17 @@ object Bench {
       val (over, unbudgeted) = budgetCheck(results, text, factor, perQueryFactor)
       if (unbudgeted.nonEmpty)
         System.err.println(s"[bench] no budget pinned for: ${unbudgeted.mkString(", ")}")
+      // Self-spike blind spot: the probes share the JVM with the queries,
+      // so a code change that adds GC/cache pressure slows its own
+      // segment's probes and earns itself a local stretch. A pass that
+      // exists ONLY under an outsized local factor is flagged loudly
+      // (not failed — round 12's genuine 4-6x environmental segment
+      // spikes are exactly what the local factor must absorb).
+      val absorbed = localOnlyPasses(results, text, factor, perQueryFactor)
+      if (absorbed.nonEmpty)
+        System.err.println("[bench] WARN: passing only under a local " +
+          s"segment factor >1.5x global (self-spike suspects): " +
+          absorbed.mkString(", "))
       if (over.nonEmpty || failed > 0) {
         val detail = over.map { case (k, v, b) =>
           "\"" + k + "\":{\"sec\":" + num(v, 2) + ",\"budget\":" + num(b, 2) + "}"
@@ -294,5 +305,24 @@ object Bench {
         (k, v, budgets(k) * eff(k)) }
     val unbudgeted = results.collect { case (k, _) if !budgets.contains(k) => k }
     (over, unbudgeted)
+  }
+
+  /** Queries whose pass depends on a LOCAL segment factor more than
+    * 1.5x the global one — i.e. they would breach if their local
+    * stretch were capped at `factor * 1.5`. These are the
+    * self-inflicted-spike suspects (a change whose own GC/cache
+    * pressure slows its segment's bracketing probes buys itself budget
+    * the global median never sees): surfaced as a warning so they get
+    * investigated, but NOT failed — genuine one-segment environmental
+    * spikes (round 12 measured 4-6x) must still be absorbed. */
+  private[graft] def localOnlyPasses(results: Seq[(String, Double)],
+      budgetJson: String, factor: Double,
+      perQueryFactor: Map[String, Double]): Seq[String] = {
+    val budgets = parseBudgets(budgetJson) - CalibrationKey
+    def eff(k: String, cap: Double): Double =
+      math.max(factor, math.min(perQueryFactor.getOrElse(k, 1.0), cap))
+    results.collect { case (k, v)
+      if v >= 0 && budgets.get(k).exists(b =>
+        v > b * eff(k, factor * 1.5) && v <= b * eff(k, 4.0)) => k }
   }
 }

@@ -263,10 +263,15 @@ object Dedup extends QueryGroup {
   private[llm] val GradedMaxBandDf = 50L
 
   /** Largest bands × modulus band space for which the hot-band table is
-    * force-broadcast (≤ 32M two-long rows ≈ a few hundred MB worst case,
-    * realistically far less since only VALUES WITH df ≤ cap survive);
-    * beyond it the banded join must shuffle — see minhashPairsOf. */
-  private[llm] val MaxBroadcastBandSpace = 32L << 20
+    * force-broadcast; beyond it the banded join must shuffle — see
+    * minhashPairsOf. Sized honestly: 8M (i, minhash) rows carry ~16
+    * data bytes each but a broadcast HashedRelation's layout is ~3×
+    * that, so the WORST case is ~400 MB on the driver (needs the
+    * standard ≥4g driver; realistically far less, since only band
+    * values with df ≤ cap survive the hot-band filter). The graded pin
+    * (8 bands × modulus 1000003 ≈ 8.0M) sits just inside, keeping the
+    * PlanSpec-pinned broadcast shape. */
+  private[llm] val MaxBroadcastBandSpace = 8L << 20
 
   /** Band-space-parameterized signature computation (SCALING.md ceiling
     * #1): `modulus` bounds the per-band value space, so once the corpus
@@ -544,7 +549,28 @@ object Dedup extends QueryGroup {
 
     def pairs(s: SparkSession, d: String): DataFrame =
       s.read.parquet(ensure(s, d))
+
+    /** On-disk bytes of the materialized pair fixture — a PROVABLE size
+      * bound available without a Spark job, used to gate downstream
+      * force-broadcasts of the candidate set (the df cap bounds per-band
+      * fan-out, not the TOTAL pair count, which grows with the corpus). */
+    def bytes(s: SparkSession, d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length
+      walk(new java.io.File(ensure(s, d)))
+    }
   }
+
+  /** Largest on-disk pair-fixture size for which tf-cosine (and any
+    * other consumer) may FORCE-broadcast the candidate set: 32 MB of
+    * snappy parquet is ~2M (doc_a, doc_b, hamming) rows ≈ ~200 MB as a
+    * broadcast HashedRelation — safe on the standard driver. Above it
+    * the join is left to shuffle/AQE: at SCALING.md's corpus targets the
+    * pair count grows with the corpus and an unconditional broadcast
+    * would OOM the driver. */
+  private[llm] val MaxPairsBroadcastBytes = 32L << 20
 
   /** The memoized candidate set every consumer reads (same rows as
     * [[simhashPairsDirect]] — the memo is content-keyed). Unordered: a
@@ -1536,20 +1562,24 @@ object Dedup extends QueryGroup {
       .cache()
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
-    // the banded candidate list is bounded (simhash bands + df caps), so
-    // it is FORCE-broadcast into the tf table — AQE re-deciding this
-    // join's build side was the round-12 driver-side outlier class;
-    // PlanSpec pins the shape. Likewise `dots` (one row per candidate
-    // pair) broadcasts into the doc-sized norm table so nrm never
-    // shuffles for the final re-rank.
-    val dots = broadcast(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    // the banded candidate list is FORCE-broadcast into the tf table
+    // when its materialized fixture is provably small (on-disk bytes ≤
+    // MaxPairsBroadcastBytes — AQE re-deciding this join's build side
+    // was the round-12 driver-side outlier class; PlanSpec pins the
+    // shape at graded scale). `dots` (one row per candidate pair) is
+    // bounded by the same count, so the same gate lets it broadcast
+    // into the doc-sized norm table. Past the bound — pair count grows
+    // with the corpus — the hints drop and the joins shuffle.
+    val bcOk = SimhashPairsMemo.bytes(s, d) <= MaxPairsBroadcastBytes
+    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
+    val dots = bc(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       .join(tf.select(col("doc_id").as("doc_a"), col("wh2"), col("c").as("ca")),
         Seq("doc_a"))
       .join(tf.select(col("doc_id").as("doc_b"), col("wh2"), col("c").as("cb")),
         Seq("doc_b", "wh2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("ca") * col("cb")).cast(LongType).as("dot"))
-    broadcast(broadcast(dots)
+    bc(bc(dots)
         .join(nrm.select(col("doc_id").as("doc_a"), col("nn").as("na")),
           Seq("doc_a")))
       .join(nrm.select(col("doc_id").as("doc_b"), col("nn").as("nb")), Seq("doc_b"))

@@ -84,6 +84,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(over.isEmpty)
   }
 
+  test("a pass that exists only under an outsized local factor is flagged") {
+    // q_slow at 5.0 passes the gate via its 3.0 local factor (budget
+    // 2.0 * 3.0 = 6.0) but would breach if local stretch were capped at
+    // 1.5x global (2.0 * 1.5 = 3.0) — the self-spike suspect surface
+    val flagged = Bench.localOnlyPasses(
+      Seq("q_fast" -> 0.49, "q_slow" -> 5.0), budgets,
+      factor = 1.0, perQueryFactor = Map("q_slow" -> 3.0))
+    assert(flagged == Seq("q_slow"))
+    // under a modest local factor (within 1.5x global) nothing is flagged
+    assert(Bench.localOnlyPasses(
+      Seq("q_slow" -> 2.5), budgets,
+      factor = 1.0, perQueryFactor = Map("q_slow" -> 1.4)).isEmpty)
+    // an outright breach (fails even WITH the full local factor) is the
+    // gate's business, not this flag's
+    assert(Bench.localOnlyPasses(
+      Seq("q_slow" -> 9.0), budgets,
+      factor = 1.0, perQueryFactor = Map("q_slow" -> 3.0)).isEmpty)
+  }
+
   test("calibration factor: ratio of medians, clamped to [1, 4]") {
     // idle machine, pinned 0.4s: factor 1.0 exactly
     assert(Bench.calibrationFactor(Seq(0.4, 0.4, 0.4), Some(0.4)) == 1.0)
