@@ -59,6 +59,55 @@ object Dedup extends QueryGroup {
       .withColumn("pos", col("pos0") + 1)
       .select(col("doc_id"), col("pos"), col("sh"))
 
+  /** Session+disk memo of the HASHED shingle table (doc_id, pos, shh) —
+    * the words→shingle→md5 pipeline is the single biggest shared cost of
+    * the text/dedup board (nine queries recomputed it: q30b, lsh_recall,
+    * prefix_filter, the capped-set family, winnow, boilerplate and the
+    * three span queries), and it is exactly linear in corpus bytes — the
+    * passes a 100 TB run spends its time in. SimhashPairsMemo economics:
+    * the first consumer in a session pays one corpus scan + a compact
+    * 3-long-column parquet write; the rest read it back. Source-state
+    * keyed, staged + atomic, stale-swept (the DerivedFixture contract).
+    * Raw shingle STRINGS are deliberately not stored: only minhash needs
+    * them (for its second hash) and storing them would make the fixture
+    * corpus-sized instead of 24 bytes/token. */
+  private[llm] object ShingleHashMemo
+      extends graft.core.DerivedFixture("shingle_h48_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      shingles(T.documents(s, dir))
+        .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
+        .write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** Covered duplicated positions (doc_id, pos): every word position
+    * inside a 5-gram whose distinct-doc df is ≥ 2 — the C4-style span
+    * relation `text_dedup_spans` (cut), `text_dup_span_merge` (islands)
+    * and `text_dup_coverage` (count) all start from. Built ON TOP of
+    * [[ShingleHashMemo]], so a cold session pays the corpus scan once
+    * and the df+explode+distinct once, total, for all three. */
+  private[llm] object DupCoverMemo
+      extends graft.core.DerivedFixture("dup_cover_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val hsh = ShingleHashMemo.table(s, dir)
+      val dup = hsh.select(col("doc_id"), col("shh")).distinct()
+        .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("shh"))
+      hsh.join(dup, Seq("shh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
+        .distinct()
+        .write.parquet(target)
+    }
+
+    def positions(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
   /** Null-safe squared-norm SQL for embedding oracles: the CASE defers
     * `list_inner_product` (which hard-errors on NULL list elements) until
     * the null-element check has passed — DuckDB evaluates CASE branches
@@ -131,9 +180,8 @@ object Dedup extends QueryGroup {
   // of ~30-byte 5-word strings (2^-48 collision odds, mirrored in the
   // oracle) — the shape that holds at 100 TB.
   private def q30b(s: SparkSession, d: String): DataFrame =
-    shingles(T.documents(s, d))
-      .select(col("doc_id"),
-        h48(col("sh")).as("shh"))
+    ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("shh")).as("n_distinct"))
@@ -400,8 +448,8 @@ object Dedup extends QueryGroup {
   // truth side is sampled (exhaustion is the evaluation's cost, not the
   // pipeline's) — this is the oracle-checkable exact form.
   private def lshRecall(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingles(T.documents(s, d))
-      .select(col("doc_id"), h48(col("sh")).as("sh")).distinct()
+    val dsh = ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh").as("sh")).distinct()
       .cache() // truth self-join reads both sides
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val truth = dsh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -761,15 +809,10 @@ object Dedup extends QueryGroup {
   // doc_id, the text family's standard exchange.
   private def dupCoverage(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-    val sh = shingles(docs)
-      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
-    val dup = sh.groupBy(col("shh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2).select(col("shh"))
-    val covered = sh.join(dup, Seq("shh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + 4)).as("cp"))
-      .distinct()
+    // the shared covered-position relation (memoized across the three
+    // span queries); countDistinct(doc_id) >= 2 and distinct-then-count
+    // >= 2 select the identical dup-shingle set
+    val covered = DupCoverMemo.positions(s, d)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
     words(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
@@ -813,11 +856,16 @@ object Dedup extends QueryGroup {
   // The oracle is the EXHAUSTIVE uncapped join, so the driver grades the
   // lossless claim itself on every run.
   /** Exact Jaccard ≥ 1/2 pairs over UNCAPPED distinct shingle sets. */
-  private[llm] def prefixFilterPairs(docs: DataFrame): DataFrame = {
-    val dsh = shingles(docs)
+  private[llm] def prefixFilterPairs(docs: DataFrame): DataFrame =
+    prefixFilterPairsFrom(shingles(docs)
       .select(col("doc_id"), h48(col("sh")).as("sh"))
-      .distinct()
-      .cache() // df + sizes + prefix + both verify sides read it
+      .distinct())
+
+  /** The pipeline over a pre-built distinct (doc_id, sh-long) set — the
+    * registry path feeds the memoized table, the arbitrary-docs entry
+    * above rebuilds it (spec fixtures). */
+  private def prefixFilterPairsFrom(dsh0: DataFrame): DataFrame = {
+    val dsh = dsh0.cache() // df + sizes + prefix + both verify sides read it
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val dfT = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -853,7 +901,8 @@ object Dedup extends QueryGroup {
   }
 
   private def prefixFilter(s: SparkSession, d: String): DataFrame =
-    prefixFilterPairs(T.documents(s, d))
+    prefixFilterPairsFrom(ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh").as("sh")).distinct())
 
   // exhaustive uncapped oracle — equality IS the lossless-recall proof
   private val prefixFilterSql =
@@ -885,12 +934,12 @@ object Dedup extends QueryGroup {
     * boilerplate shingles past the cap dilute the ML-side distance).
     * Cached — read up to four times per consumer. */
   private[llm] def cappedShingleSet(s: SparkSession, d: String): DataFrame = {
-    // hash BEFORE distinct so the dedup shuffle already carries longs
-    val dsh = shingles(T.documents(s, d))
-      .select(col("doc_id"), h48(col("sh")).as("sh"))
+    // hashed in the shared memo (the shuffle already carries longs)
+    val dsh = ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh").as("sh"))
       .distinct()
       // read twice below (kept probe side + rare build side): cache so the
-      // scan→shingle→hash→distinct chain runs once
+      // read→distinct chain runs once
       .cache()
     val rare = dsh.groupBy("sh")
       .agg(count(lit(1)).as("df"))

@@ -284,8 +284,8 @@ object Pipeline extends QueryGroup {
   // df aggregation and the 1:N df join runs on 8-byte keys (a truly hot
   // boilerplate shingle is AQE-skew-split, same guard as the join family).
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
-    val dsh = Dedup.shingles(T.documents(s, d))
-      .select(col("doc_id"), h48(col("sh")).as("shh")).distinct()
+    val dsh = Dedup.ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh")).distinct()
     val dfc = dsh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
     dsh.join(dfc, Seq("shh"))
       .groupBy(col("doc_id"))
@@ -624,16 +624,10 @@ object Pipeline extends QueryGroup {
         posexplode(filter(split(col("text"), " "), w => w =!= ""))
           .as(Seq("pos0", "word")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
-    val hsh = Dedup.shingles(T.documents(s, d))
-      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
-      .cache() // read twice: df computation + coverage join
-    val dup = hsh.select(col("doc_id"), col("shh")).distinct()
-      .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("shh"))
-    val cov = hsh.join(dup, Seq("shh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
-      .distinct()
+    // the shared covered-position relation (memoized across the three
+    // span queries — text_dup_coverage / text_dup_span_merge use the
+    // identical rows)
+    val cov = Dedup.DupCoverMemo.positions(s, d)
     val kept = wrd.join(cov, Seq("doc_id", "pos"), "left_anti")
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
@@ -710,16 +704,7 @@ object Pipeline extends QueryGroup {
   // agg on 48-bit shingle keys, dup side distinct → 1 row/key); the
   // islands window and both rollups all ride ONE doc_id exchange.
   private def dupSpanMerge(s: SparkSession, d: String): DataFrame = {
-    val hsh = Dedup.shingles(T.documents(s, d))
-      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
-      .cache() // read twice: dup-key derivation + coverage join
-    val dup = hsh.select(col("doc_id"), col("shh")).distinct()
-      .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("shh"))
-    val cov = hsh.join(dup, Seq("shh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
-      .distinct()
+    val cov = Dedup.DupCoverMemo.positions(s, d)
     val spans = cov
       .withColumn("grp",
         col("pos") - row_number()

@@ -145,9 +145,8 @@ object TextStats extends QueryGroup {
   // 5-word shingle strings — hashing first is what survives 100 TB
   // (2^-48 collision odds; distinct-per-doc makes the window order total).
   private def winnow(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingles(T.documents(s, d))
-      .select(col("doc_id"),
-        Dedup.h48(col("sh")).as("h"))
+    val dsh = Dedup.ShingleHashMemo.table(s, d)
+      .select(col("doc_id"), col("shh").as("h"))
       .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
     dsh.withColumn("rn", row_number().over(w).cast(LongType))
