@@ -1161,7 +1161,24 @@ object Ann extends QueryGroup {
     * ties on the RAW cosine break to the lower neighbor_id in both
     * engines; output cosine rounds through DECIMAL(10,4) (the rerank
     * convention). */
-  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+  /** Disk+session memo of the k-NN edge relation: the Σ cell² self-join
+    * plus the per-node window is the expensive stage, and BOTH graded
+    * consumers start from the identical rows (`emb_knn_graph` presents
+    * them sorted; `emb_knn_components` thresholds + CC over them). */
+  private object KnnGraphMemo
+      extends graft.core.DerivedFixture("knn_graph_memo", "embeddings") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      knnGraphDirect(s, dir).write.parquet(target)
+
+    def edges(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  private def knnGraph(s: SparkSession, d: String): DataFrame =
+    KnnGraphMemo.edges(s, d).orderBy(col("vec_id"), col("rn"))
+
+  private def knnGraphDirect(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d).join(buckets(s, d, planes = 4), Seq("vec_id"))
     val a = n.select(col("vec_id"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
@@ -1178,7 +1195,6 @@ object Ann extends QueryGroup {
       .select(col("vec_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
         col("rn"))
-      .orderBy(col("vec_id"), col("rn"))
   }
 
   private val knnGraphSql =
@@ -1205,7 +1221,7 @@ object Ann extends QueryGroup {
     * threshold compares the DECIMAL(10,4)-rounded cosine so the edge set
     * is boundary-stable across engines. */
   private def knnComponents(s: SparkSession, d: String): DataFrame = {
-    val edges = knnGraph(s, d).filter(col("cos_sim") >= 0.25)
+    val edges = KnnGraphMemo.edges(s, d).filter(col("cos_sim") >= 0.25)
       .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
     val nodes = normed(s, d).select(col("vec_id"))
     nodes.join(

@@ -560,7 +560,7 @@ object Pipeline extends QueryGroup {
   private def decontaminateGraded(s: SparkSession, d: String): DataFrame =
     decontaminate(s, d).orderBy(col("doc_id"))
 
-  private def decontaminateDirect(s: SparkSession, d: String): DataFrame = {
+  private[llm] def decontaminateDirect(s: SparkSession, d: String): DataFrame = {
     val sh8 = shingle8(T.documents(s, d))
       .cache() // read three times (bench build, overlap probe, totals)
     val bench = sh8.filter(col("doc_id") % benchMod === 0)

@@ -266,9 +266,10 @@ class LakeSpec extends SparkSuite {
 
   test("pre-migration root debris is reclaimed on first touch, not only on re-derive") {
     // fixtures written before the keyDir layout sit directly under the
-    // root; a session whose fixture is already CURRENT never re-derives,
-    // so the sweep must run on the session's first touch or the debris
-    // leaks forever. Two instances of the same fixture = two sessions.
+    // root. The sweep contract (round 14): ONCE per JVM per root, and
+    // only entries older than the grace window — so OLD debris present
+    // at the JVM's first touch of the root is reclaimed, while a fresh
+    // directory (possibly a live concurrent writer's) survives.
     class Memo extends graft.core.DerivedFixture("lakespec_memo_root", "orders") {
       override protected def build(s: org.apache.spark.sql.SparkSession,
           dir: String, target: String): Unit =
@@ -280,17 +281,25 @@ class LakeSpec extends SparkSuite {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .coalesce(1).write.mode("overwrite").parquet(s"$src/orders.parquet")
-    val p = (new Memo).ensure(spark, src)
     val root = Paths.get(graft.core.Fixtures.path("lakespec_memo_root"))
+    // old debris, planted BEFORE the JVM's first touch of this root
     val debris = root.resolve("0123456789abcdef-v0") // pre-keyDir naming
     Files.createDirectories(debris)
     Files.writeString(debris.resolve("part-old.parquet"), "old bytes")
-    // fresh "session": empty live map, fixture already complete on disk —
-    // no rebuild happens, the debris must still be reclaimed
-    val p2 = (new Memo).ensure(spark, src)
-    assert(p2 == p && new java.io.File(p2).exists())
+    val old = System.currentTimeMillis() - 8L * 3600 * 1000
+    assert(debris.toFile.setLastModified(old))
+    val p = (new Memo).ensure(spark, src)
+    assert(new java.io.File(p).exists())
     assert(!Files.exists(debris),
       "pre-migration root debris must be reclaimed on first touch")
+    // fresh (grace-window) debris planted after the sweep survives the
+    // next touch: the sweep must never race a live writer
+    val fresh = root.resolve("fedcba9876543210-v0")
+    Files.createDirectories(fresh)
+    val p2 = (new Memo).ensure(spark, src)
+    assert(p2 == p)
+    assert(Files.exists(fresh),
+      "a fresh non-keyDir entry must survive (grace window + once-per-JVM)")
   }
 
   test("a crashed (partial) build is never accepted as a complete fixture") {

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
-"""Re-pin per-query bench budgets from TWO fresh full boards.
+"""Re-pin per-query bench budgets from fresh full boards.
 
-Usage: python3 tools/pin_budgets.py board1.json board2.json [out.json]
+Usage: python3 tools/pin_budgets.py board1.json board2.json [board3.json ...] [out.json]
+
+Any argument ending in .json that parses as a Bench board (has a
+"queries" map) is a board; the last argument is the output path when it
+does not parse as a board (default bench_budgets.json). Use >= 3 boards:
+same-code board totals vary ~13% while the calibration probe moves ~2%,
+so a two-board max leaves hair-width breaches on the third run.
 
 Budget per query = max(1.5 x max(board1, board2) + 0.35 s,
 max(board1, board2) + 1.0 s) -- the ratio absorbs proportional noise,
@@ -43,14 +49,34 @@ WIDE_FAMILY = {
 
 if len(sys.argv) < 3:
     sys.exit(__doc__)
-b1, b2 = (json.load(open(p)) for p in sys.argv[1:3])
-out_path = sys.argv[3] if len(sys.argv) > 3 else "bench_budgets.json"
 
-for name, b in (("board1", b1), ("board2", b2)):
+
+def load_board(p):
+    try:
+        b = json.load(open(p))
+        return b if isinstance(b, dict) and "queries" in b else None
+    except (OSError, ValueError):
+        return None
+
+
+args = sys.argv[1:]
+boards = [(p, load_board(p)) for p in args]
+out_path = "bench_budgets.json"
+if boards[-1][1] is None:
+    out_path = args[-1]
+    boards = boards[:-1]
+bad = [p for p, b in boards if b is None]
+if bad:
+    sys.exit(f"not Bench boards (no 'queries' map): {bad}")
+if len(boards) < 2:
+    sys.exit("need at least two boards to pin from")
+boards = [b for _, b in boards]
+
+for i, b in enumerate(boards):
     if b.get("failed", 0):
-        sys.exit(f"{name} records failed={b['failed']} - fix before pinning")
+        sys.exit(f"board{i + 1} records failed={b['failed']} - fix before pinning")
 
-keys = sorted(set(b1["queries"]) | set(b2["queries"]))
+keys = sorted(set().union(*(b["queries"] for b in boards)))
 # a renamed/removed family query silently falling back to the tight
 # margin reproduces the round-12 false-red mode — fail loudly instead
 ghosts = WIDE_FAMILY - set(keys)
@@ -58,25 +84,26 @@ if ghosts:
     sys.exit(f"WIDE_FAMILY entries not in either board (renamed query? "
              f"update the set): {sorted(ghosts)}")
 doc = {}
-cals = [b["calibration_sec"] for b in (b1, b2) if b.get("calibration_sec", 0) > 0]
+cals = [b["calibration_sec"] for b in boards if b.get("calibration_sec", 0) > 0]
 if cals:
     doc["_calibration"] = round(sum(cals) / len(cals), 3)
 else:
-    print("WARN: neither board carries calibration_sec - gate will run "
+    print("WARN: no board carries calibration_sec - gate will run "
           "un-normalized (factor 1.0)", file=sys.stderr)
 for q in keys:
-    t1, t2 = b1["queries"].get(q, 0.0), b2["queries"].get(q, 0.0)
-    if min(t1, t2) < 0:
+    ts = [b["queries"].get(q, 0.0) for b in boards]
+    if min(ts) < 0:
         sys.exit(f"{q} has a failure marker in a board - fix before pinning")
+    t = max(ts)
     if q in WIDE_FAMILY:
-        doc[q] = round(2.5 * max(t1, t2) + 0.6, 2)
+        doc[q] = round(2.5 * t + 0.6, 2)
     else:
         # absolute 1 s headroom floor: short queries' wall time is
         # dominated by scheduler jitter that scales with nothing the
         # ratio margin can see (q20_string_funcs swung 0.38 -> 1.60 s
         # across rounds on identical code) -- a sub-second pin needs
         # at least a full second of absolute slack
-        doc[q] = round(max(1.5 * max(t1, t2) + 0.35, max(t1, t2) + 1.0), 2)
+        doc[q] = round(max(1.5 * t + 0.35, t + 1.0), 2)
 
 with open(out_path, "w") as f:
     json.dump(doc, f, indent=1)
