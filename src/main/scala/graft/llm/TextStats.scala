@@ -750,7 +750,26 @@ object TextStats extends QueryGroup {
       .agg(sum(col("contrib")).as("score_dec"),
         count(lit(1)).cast(LongType).as("n_terms"))
 
-  private[llm] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+  /** Disk+session memo of the first-pass BM25 score table — THREE
+    * consumers recomputed the identical broadcast-into-postings pass:
+    * the graded `text_bm25`, `retrieval_rrf`'s lexical arm, and
+    * `retrieval_prf`'s feedback selection. Probe-bounded rows
+    * (q_doc, doc_id, score_dec DECIMAL(20,10), n_terms) — decimals
+    * round-trip parquet exactly, so ranking order is untouched. */
+  private object Bm25ScoresMemo
+      extends graft.core.DerivedFixture("bm25_scores_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      bm25ScoresDirect(s, dir).write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  private[llm] def bm25Scores(s: SparkSession, d: String): DataFrame =
+    Bm25ScoresMemo.table(s, d)
+
+  private[llm] def bm25ScoresDirect(s: SparkSession, d: String): DataFrame = {
     val tf = termFreqs(T.documents(s, d))
     // deliberately NOT cached: the four consumers (dl, df, probes,
     // candidates) do recompute the explode+agg, but it is not the
@@ -912,7 +931,9 @@ object TextStats extends QueryGroup {
       st.select(col("n_docs")))
     val fw = Window.partitionBy(col("q_doc"))
       .orderBy(col("score_dec").desc, col("doc_id"))
-    val fb = bm25Score(tf, qidf, dl, st.select(col("avgdl")))
+    // the first-pass score table is the shared memo (identical values:
+    // same tf/qidf/dl derivation) — one posting pass instead of two
+    val fb = bm25Scores(s, d)
       .withColumn("rn", row_number().over(fw)).filter(col("rn") <= 3)
       .select(col("q_doc"), col("doc_id"))
     // feedback-term mining: the 3·|probes|-row fb set broadcasts into the
