@@ -41,7 +41,11 @@ private[graft] abstract class DerivedFixture(root: String, table: String) {
 
   def ensure(s: SparkSession, d: String): String = synchronized {
     val dir = d.replaceFirst("^file:(//)?", "").stripSuffix("/")
-    val fp = s"${SourceState.fingerprint(dir, table)}-$layoutTag"
+    // `table` may name several source tables comma-separated (a fixture
+    // derived from a join must re-derive when EITHER side changes)
+    val fp = table.split(',')
+      .map(t => SourceState.fingerprint(dir, t)).mkString("-") +
+      s"-$layoutTag"
     live.get(dir) match {
       case Some((oldFp, p)) if oldFp == fp && new java.io.File(p).exists() => p
       case _ =>

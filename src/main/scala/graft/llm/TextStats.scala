@@ -446,15 +446,33 @@ object TextStats extends QueryGroup {
   // rule); per-doc sums are exact decimals and the final /n is one IEEE
   // division. Docs with <2 words have no bigrams and are absent —
   // unscorable, like the tfidf family's empty docs.
+  /** Disk+session memo of the per-doc bigram counts (doc_id, h1, h2, c)
+    * — `text_bigram_lm` and `text_kneser_ney` both start from the
+    * identical lead()-window aggregation over the positioned token
+    * stream (the round-12 plan-flip surface; a parquet read is an even
+    * stronger plan pin than the Materialize.cut it replaces). */
+  private object BigramCountsMemo
+      extends graft.core.DerivedFixture("bigram_counts_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val pos = words(T.documents(s, dir))
+        .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      pos.withColumn("wh2", lead(col("wh"), 1).over(w))
+        .filter(col("wh2").isNotNull)
+        .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
+        .agg(count(lit(1)).as("c"))
+        .write.parquet(target)
+    }
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
   private def bigramLm(s: SparkSession, d: String): DataFrame = {
     val pos = words(T.documents(s, d))
       .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = graft.core.Materialize.cut(pos
-      .withColumn("wh2", lead(col("wh"), 1).over(w))
-      .filter(col("wh2").isNotNull)
-      .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
-      .agg(count(lit(1)).as("c")))
+    val bg = BigramCountsMemo.table(s, d)
     val bgModel = bg.groupBy(col("h1"), col("h2"))
       .agg(sum(col("c")).cast(LongType).as("cb"))
     // |V|-bounded; cut so its three consumers (two model joins + the
@@ -536,14 +554,7 @@ object TextStats extends QueryGroup {
   // and the final /n is one IEEE division. Docs with <2 words are
   // absent (unscorable).
   private def kneserNey(s: SparkSession, d: String): DataFrame = {
-    val pos = words(T.documents(s, d))
-      .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = graft.core.Materialize.cut(pos
-      .withColumn("wh2", lead(col("wh"), 1).over(w))
-      .filter(col("wh2").isNotNull)
-      .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
-      .agg(count(lit(1)).as("c")))
+    val bg = BigramCountsMemo.table(s, d)
     val bgModel = graft.core.Materialize.cut(
       bg.groupBy(col("h1"), col("h2"))
         .agg(sum(col("c")).cast(LongType).as("cb")))

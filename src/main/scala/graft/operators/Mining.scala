@@ -46,9 +46,26 @@ object Mining extends QueryGroup {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("o")).agg(collect_set(col("it")).as("its"))
 
+  /** Disk+session memo of [[liftedPairsDirect]] — `mine_pairs` and
+    * `mine_assoc_rules` start from the identical frequent-pair relation
+    * (support-pruned, so the row count is item-vocabulary-bounded).
+    * Keyed on BOTH source tables: the baskets are a lineitem⋈part. */
+  private object LiftedPairsMemo
+      extends graft.core.DerivedFixture("mine_lifted_pairs", "lineitem,part") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      liftedPairsDirect(s, dir).write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  private def liftedPairs(s: SparkSession, d: String): DataFrame =
+    LiftedPairsMemo.table(s, d)
+
   /** Frequent pairs with both item supports and lift. Columns:
     * (ia, ib, pair_cnt, supp_a, supp_b, n_orders, lift). */
-  private def liftedPairs(s: SparkSession, d: String): DataFrame = {
+  private def liftedPairsDirect(s: SparkSession, d: String): DataFrame = {
     // the basket-array relation feeds n / supp / pairs — cut once
     val b = Materialize.cut(basketArrays(s, d))
     val n = b.agg(count(lit(1)).as("n_orders"))
