@@ -780,7 +780,7 @@ object TextStats extends QueryGroup {
   private[llm] def bm25Scores(s: SparkSession, d: String): DataFrame =
     Bm25ScoresMemo.table(s, d)
 
-  private[llm] def bm25ScoresDirect(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25ScoresDirect(s: SparkSession, d: String): DataFrame = {
     val tf = termFreqs(T.documents(s, d))
     // deliberately NOT cached: the four consumers (dl, df, probes,
     // candidates) do recompute the explode+agg, but it is not the

