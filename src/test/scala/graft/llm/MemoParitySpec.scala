@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** The round-14 derived-relation memos claim VALUE IDENTITY with the
+  * direct pipelines they replaced (doubles and decimals round-trip
+  * parquet exactly; the hash/agg derivations are deterministic). This
+  * suite pins that claim, so a future edit to a direct pipeline that
+  * forgets the memo's layoutTag bump — or any parquet round-trip
+  * surprise — fails here instead of in the driver's oracle gate.
+  * sf0.001 keeps each comparison sub-second. */
+class MemoParitySpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Order-free multiset equality via sorted canonical rows. */
+  private def assertSameRows(memo: DataFrame, direct: DataFrame): Unit = {
+    val m = memo.collect().map(_.toString).sorted
+    val x = direct.collect().map(_.toString).sorted
+    assert(m.length == x.length,
+      s"row counts differ: memo ${m.length} vs direct ${x.length}")
+    assert(m.sameElements(x), {
+      val diff = m.zip(x).find { case (a, b) => a != b }
+      s"first differing row: $diff"
+    })
+  }
+
+  test("ShingleHashMemo equals the inline shingle+h48 pipeline") {
+    import org.apache.spark.sql.functions.col
+    assertSameRows(
+      Dedup.ShingleHashMemo.table(spark, d),
+      Dedup.shingles(graft.core.Tables.documents(spark, d))
+        .select(col("doc_id"), col("pos"), Dedup.h48(col("sh")).as("shh")))
+  }
+
+  test("DecontamMemo equals decontaminateDirect") {
+    assertSameRows(
+      Pipeline.DecontamMemo.table(spark, d),
+      Pipeline.decontaminateDirect(spark, d))
+  }
+
+  test("ivfModel memo equals ivfModelDirect (lists and centroids)") {
+    val (lists, cdf) = Ann.ivfModel(spark, d, k = 4, iters = 2)
+    val (listsD, cdfD) = Ann.ivfModelDirect(spark, d, k = 4, iters = 2)
+    assertSameRows(lists, listsD)
+    assertSameRows(cdf, cdfD)
+  }
+
+  test("pqModel memo equals pqModelDirect (codes, codebook, grid)") {
+    val (codes, cdf, dsub, nsub) = Ann.pqModel(spark, d, m = 4, ksub = 4,
+      iters = 1)
+    val (codesD, cdfD, dsubD, nsubD) = Ann.pqModelDirect(spark, d, m = 4,
+      ksub = 4, iters = 1)
+    assert(dsub == dsubD && nsub == nsubD,
+      s"grid differs: ($dsub,$nsub) vs ($dsubD,$nsubD)")
+    assertSameRows(codes, codesD)
+    assertSameRows(cdf, cdfD)
+  }
+
+  test("bm25 score memo equals bm25ScoresDirect (exact decimals)") {
+    assertSameRows(
+      TextStats.bm25Scores(spark, d),
+      TextStats.bm25ScoresDirect(spark, d))
+  }
+}
