@@ -203,7 +203,7 @@ object Bench {
             val cals = passes(minPassIdx(name))._2
             val seg = i / SegmentSize
             val bracket = math.max(cals(seg), cals(math.min(seg + 1, cals.size - 1)))
-            name -> math.min(4.0, math.max(1.0, bracket / p))
+            name -> math.min(MaxLoadFactor, math.max(1.0, bracket / p))
           }.toMap
         case _ => Map.empty
       }
@@ -244,6 +244,14 @@ object Bench {
     * seconds (not a query budget). */
   private[graft] val CalibrationKey = "_calibration"
 
+  /** The one load-factor ceiling shared by every clamp site (global
+    * factor, per-segment local factor, and the self-spike detector's
+    * "did it actually pass" upper bound): a calibration glitch never
+    * writes a >MaxLoadFactor blank check, and keeping it in ONE place
+    * means the detector can never silently diverge from the real gate
+    * if the ceiling changes. */
+  private[graft] val MaxLoadFactor = 4.0
+
   /** Fixed CPU-bound calibration probe: `cpus` partitions, each running a
     * constant-size xxhash64 chain — no I/O, no shuffle, no data
     * dependence, so its wall time tracks the machine's CURRENT per-core
@@ -275,7 +283,7 @@ object Bench {
       pinned: Option[Double]): Double = pinned match {
     case Some(p) if p > 0 && samples.nonEmpty =>
       val s = samples.sorted
-      math.min(4.0, math.max(1.0, s(s.size / 2) / p))
+      math.min(MaxLoadFactor, math.max(1.0, s(s.size / 2) / p))
     case _ => 1.0
   }
 
@@ -323,6 +331,6 @@ object Bench {
       math.max(factor, math.min(perQueryFactor.getOrElse(k, 1.0), cap))
     results.collect { case (k, v)
       if v >= 0 && budgets.get(k).exists(b =>
-        v > b * eff(k, factor * 1.5) && v <= b * eff(k, 4.0)) => k }
+        v > b * eff(k, factor * 1.5) && v <= b * eff(k, MaxLoadFactor)) => k }
   }
 }

@@ -32,8 +32,12 @@ private[graft] abstract class DerivedFixture(root: String, table: String) {
 
   /** Bump when the derivation itself changes (e.g. a layout knob): the
     * tag joins the source fingerprint in the path, so a code change can
-    * never silently reuse a layout built by older code. */
-  protected def layoutTag: String = "v1"
+    * never silently reuse a layout built by older code. `protected[graft]`
+    * (not `protected`) so a LAYERED fixture — one whose build READS
+    * another fixture — can compose its upstream's tag into its own,
+    * making an upstream derivation bump invalidate dependents
+    * automatically instead of relying on a hand-synced double bump. */
+  protected[graft] def layoutTag: String = "v1"
 
   private def dirKey(d: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -61,13 +65,28 @@ private[graft] abstract class DerivedFixture(root: String, table: String) {
         // pre-keyDir code, or any tool staging data under the root,
         // must not have a LIVE directory deleted out from under it —
         // genuine migration debris is by definition old.
-        if (DerivedFixture.sweptRoots.add(Fixtures.path(root))) {
+        if (!DerivedFixture.sweptRoots.contains(Fixtures.path(root))) {
           val cutoff = System.currentTimeMillis() - DerivedFixture.SweepGraceMs
-          Option(new java.io.File(Fixtures.path(root)).listFiles())
+          // per-entry try: one transient delete failure must not abort
+          // the rest of the sweep; the root is marked swept only AFTER
+          // a fully-clean pass, so a partial sweep retries on the next
+          // ensure() instead of leaking debris for the JVM's lifetime
+          val allOk = Option(new java.io.File(Fixtures.path(root)).listFiles())
             .getOrElse(Array.empty)
             .filterNot(_.getName.matches("[0-9a-f]{12}"))
             .filter(_.lastModified < cutoff)
-            .foreach(f => graft.streaming.CommitFiles.rmTree(f))
+            .map { f =>
+              // rmTree's File.delete() fails SILENTLY (returns false),
+              // so success is judged by post-delete existence, not by
+              // the absence of an exception
+              val ok =
+                try { graft.streaming.CommitFiles.rmTree(f); !f.exists() }
+                catch { case scala.util.control.NonFatal(_) => false }
+              if (!ok) System.err.println(
+                s"[fixtures] sweep of $f incomplete (will retry next ensure)")
+              ok
+            }.forall(identity)
+          if (allOk) DerivedFixture.sweptRoots.add(Fixtures.path(root))
         }
         // cross-session reuse: a COMPLETE build from a previous JVM is
         // valid iff it matches the current source fingerprint (the

@@ -1165,7 +1165,7 @@ object Ann extends QueryGroup {
     * plus the per-node window is the expensive stage, and BOTH graded
     * consumers start from the identical rows (`emb_knn_graph` presents
     * them sorted; `emb_knn_components` thresholds + CC over them). */
-  private object KnnGraphMemo
+  private[llm] object KnnGraphMemo
       extends graft.core.DerivedFixture("knn_graph_memo", "embeddings") {
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
@@ -1178,7 +1178,7 @@ object Ann extends QueryGroup {
   private def knnGraph(s: SparkSession, d: String): DataFrame =
     KnnGraphMemo.edges(s, d).orderBy(col("vec_id"), col("rn"))
 
-  private def knnGraphDirect(s: SparkSession, d: String): DataFrame = {
+  private[llm] def knnGraphDirect(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d).join(buckets(s, d, planes = 4), Seq("vec_id"))
     val a = n.select(col("vec_id"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))

@@ -91,8 +91,19 @@ object Dedup extends QueryGroup {
     * and the df+explode+distinct once, total, for all three. */
   private[llm] object DupCoverMemo
       extends graft.core.DerivedFixture("dup_cover_memo", "documents") {
+    // layered on ShingleHashMemo: composing its tag means a shingle-
+    // derivation bump re-derives this fixture too (same source
+    // fingerprint would otherwise serve a stale downstream silently)
+    override protected[graft] def layoutTag: String =
+      s"v1-sh${ShingleHashMemo.layoutTag}"
+
     override protected def build(s: SparkSession, dir: String,
-        target: String): Unit = {
+        target: String): Unit =
+      positionsDirect(s, dir).write.parquet(target)
+
+    /** The un-memoized derivation — the build's body, exposed so
+      * `MemoParitySpec` can pin memo ≡ direct. */
+    private[llm] def positionsDirect(s: SparkSession, dir: String): DataFrame = {
       val hsh = ShingleHashMemo.table(s, dir)
       val dup = hsh.select(col("doc_id"), col("shh")).distinct()
         .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
@@ -101,7 +112,6 @@ object Dedup extends QueryGroup {
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
         .distinct()
-        .write.parquet(target)
     }
 
     def positions(s: SparkSession, d: String): DataFrame =

@@ -55,6 +55,11 @@ object GraphOps extends QueryGroup {
     // previous fingerprint's directory (it is swept on the next
     // re-derive of the same source-dir key), and a crashed build can
     // never be mistaken for a complete memo.
+    // layered on ShingleHashMemo (jaccardPairs → cappedShingleSet reads
+    // it): the composed tag re-derives this fixture on a shingle bump
+    override protected[graft] def layoutTag: String =
+      s"v1-sh${Dedup.ShingleHashMemo.layoutTag}"
+
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
       Dedup.jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)

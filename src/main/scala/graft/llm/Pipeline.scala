@@ -856,6 +856,12 @@ object Pipeline extends QueryGroup {
     * twice. Unordered; the graded query re-sorts. */
   private[llm] object VerdictMemo
       extends graft.core.DerivedFixture("curate_verdict_memo", "documents") {
+    // layered on DecontamMemo (the build's decontaminate() reads it):
+    // composing the upstream tag makes a decontamination bump
+    // invalidate this fixture automatically
+    override protected[graft] def layoutTag: String =
+      s"v1-dc${DecontamMemo.layoutTag}"
+
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
       curateVerdictDirect(s, dir).write.parquet(target)
@@ -867,7 +873,7 @@ object Pipeline extends QueryGroup {
   private def curateVerdict(s: SparkSession, d: String): DataFrame =
     VerdictMemo.table(s, d).orderBy(col("doc_id"))
 
-  private def curateVerdictDirect(s: SparkSession, d: String): DataFrame = {
+  private[llm] def curateVerdictDirect(s: SparkSession, d: String): DataFrame = {
     val rep = wordStats(T.documents(s, d))
     val dec = decontaminate(s, d).select(col("doc_id"), col("is_clean"))
     val canon = T.documents(s, d)

@@ -451,10 +451,15 @@ object TextStats extends QueryGroup {
     * identical lead()-window aggregation over the positioned token
     * stream (the round-12 plan-flip surface; a parquet read is an even
     * stronger plan pin than the Materialize.cut it replaces). */
-  private object BigramCountsMemo
+  private[llm] object BigramCountsMemo
       extends graft.core.DerivedFixture("bigram_counts_memo", "documents") {
     override protected def build(s: SparkSession, dir: String,
-        target: String): Unit = {
+        target: String): Unit =
+      tableDirect(s, dir).write.parquet(target)
+
+    /** The un-memoized derivation — the build's body, exposed so
+      * `MemoParitySpec` can pin memo ≡ direct. */
+    private[llm] def tableDirect(s: SparkSession, dir: String): DataFrame = {
       val pos = words(T.documents(s, dir))
         .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -462,7 +467,6 @@ object TextStats extends QueryGroup {
         .filter(col("wh2").isNotNull)
         .groupBy(col("doc_id"), col("wh").as("h1"), col("wh2").as("h2"))
         .agg(count(lit(1)).as("c"))
-        .write.parquet(target)
     }
 
     def table(s: SparkSession, d: String): DataFrame =

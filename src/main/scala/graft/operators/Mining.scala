@@ -50,7 +50,7 @@ object Mining extends QueryGroup {
     * `mine_assoc_rules` start from the identical frequent-pair relation
     * (support-pruned, so the row count is item-vocabulary-bounded).
     * Keyed on BOTH source tables: the baskets are a lineitem⋈part. */
-  private object LiftedPairsMemo
+  private[graft] object LiftedPairsMemo
       extends graft.core.DerivedFixture("mine_lifted_pairs", "lineitem,part") {
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
@@ -65,7 +65,7 @@ object Mining extends QueryGroup {
 
   /** Frequent pairs with both item supports and lift. Columns:
     * (ia, ib, pair_cnt, supp_a, supp_b, n_orders, lift). */
-  private def liftedPairsDirect(s: SparkSession, d: String): DataFrame = {
+  private[graft] def liftedPairsDirect(s: SparkSession, d: String): DataFrame = {
     // the basket-array relation feeds n / supp / pairs — cut once
     val b = Materialize.cut(basketArrays(s, d))
     val n = b.agg(count(lit(1)).as("n_orders"))

@@ -64,4 +64,34 @@ class MemoParitySpec extends SparkSuite {
       TextStats.bm25Scores(spark, d),
       TextStats.bm25ScoresDirect(spark, d))
   }
+
+  test("DupCoverMemo equals its direct covered-positions derivation") {
+    assertSameRows(
+      Dedup.DupCoverMemo.positions(spark, d),
+      Dedup.DupCoverMemo.positionsDirect(spark, d))
+  }
+
+  test("VerdictMemo equals curateVerdictDirect") {
+    assertSameRows(
+      Pipeline.VerdictMemo.table(spark, d),
+      Pipeline.curateVerdictDirect(spark, d))
+  }
+
+  test("KnnGraphMemo equals knnGraphDirect") {
+    assertSameRows(
+      Ann.KnnGraphMemo.edges(spark, d),
+      Ann.knnGraphDirect(spark, d))
+  }
+
+  test("BigramCountsMemo equals its direct lead()-window derivation") {
+    assertSameRows(
+      TextStats.BigramCountsMemo.table(spark, d),
+      TextStats.BigramCountsMemo.tableDirect(spark, d))
+  }
+
+  test("LiftedPairsMemo equals liftedPairsDirect") {
+    assertSameRows(
+      graft.operators.Mining.LiftedPairsMemo.table(spark, d),
+      graft.operators.Mining.liftedPairsDirect(spark, d))
+  }
 }

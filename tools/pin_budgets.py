@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Re-pin per-query bench budgets from fresh full boards.
 
-Usage: python3 tools/pin_budgets.py board1.json board2.json [board3.json ...] [out.json]
+Usage: python3 tools/pin_budgets.py board1.json board2.json [...] [-o out.json]
 
-Any argument ending in .json that parses as a Bench board (has a
-"queries" map) is a board; the last argument is the output path when it
-does not parse as a board (default bench_budgets.json). Use >= 3 boards:
+Every positional argument is an input board (must have a "queries"
+map); the output path is given EXPLICITLY via -o/--out (default
+bench_budgets.json). The old trailing-positional output form was
+removed: inferring "last arg that does not parse as a board" silently
+consumed a board-shaped out path as an input. Use >= 3 boards:
 same-code board totals vary ~13% while the calibration probe moves ~2%,
 so a two-board max leaves hair-width breaches on the third run.
 
@@ -60,11 +62,14 @@ def load_board(p):
 
 
 args = sys.argv[1:]
-boards = [(p, load_board(p)) for p in args]
 out_path = "bench_budgets.json"
-if boards[-1][1] is None:
-    out_path = args[-1]
-    boards = boards[:-1]
+if "-o" in args or "--out" in args:
+    i = args.index("-o") if "-o" in args else args.index("--out")
+    if i + 1 >= len(args):
+        sys.exit("-o/--out needs a path argument")
+    out_path = args[i + 1]
+    args = args[:i] + args[i + 2:]
+boards = [(p, load_board(p)) for p in args]
 bad = [p for p, b in boards if b is None]
 if bad:
     sys.exit(f"not Bench boards (no 'queries' map): {bad}")
@@ -96,7 +101,10 @@ for q in keys:
         sys.exit(f"{q} has a failure marker in a board - fix before pinning")
     t = max(ts)
     if q in WIDE_FAMILY:
-        doc[q] = round(2.5 * t + 0.6, 2)
+        # same absolute jitter floor as below: a family query that gets
+        # memoized into the sub-second range still needs >= 1 s of
+        # absolute slack or scheduler jitter reproduces the breach mode
+        doc[q] = round(max(2.5 * t + 0.6, t + 1.0), 2)
     else:
         # absolute 1 s headroom floor: short queries' wall time is
         # dominated by scheduler jitter that scales with nothing the
