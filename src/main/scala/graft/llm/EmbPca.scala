@@ -176,11 +176,67 @@ object EmbPca extends QueryGroup {
       floor(col("tj").cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
         .cast(LongType).as("qm"))
 
-  /** Top principal component by [[PowerIters]] rounds of power iteration
-    * on the 1e6-scaled per-n covariance, starting from all-ones. */
-  private def topPc(s: SparkSession, d: String): DataFrame = {
+  /** The whole spectral model every consumer below derives from the one
+    * Gramian pass: per-dim mean (k, qm), the two iterated directions
+    * (k, v9), and the scalar row (lam1_6, lam2_6, trace6). All BIGINTs
+    * (NULL trace on an empty corpus) — parquet round-trips them exactly,
+    * so the memoized model is value-identical to this direct build
+    * (`MemoParitySpec` pins it). */
+  private[llm] def pcaModelDirect(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val g = gram(s, d)
-    powerIterate(fullMatrixOf(g)).join(meanVecOf(g), Seq("k"))
+    val c1 = fullMatrixOf(g)
+    val v1 = graft.core.Materialize.cut(powerIterate(c1))
+    val lam1 = rayleighLam(c1, v1)
+    val c2 = deflatedOf(c1, v1, lam1)
+    val v2 = graft.core.Materialize.cut(powerIterate(c2))
+    val lam2 = rayleighLam(c2, v2)
+    val trace = c1.filter(col("j") === col("k")).agg(sum(col("c")).as("trace6"))
+    val scalars = lam1.select(col("lam6").as("lam1_6"))
+      .crossJoin(lam2.select(col("lam6").as("lam2_6")))
+      .crossJoin(trace)
+    (meanVecOf(g), v1, v2, scalars)
+  }
+
+  /** Disk+session memo of the spectral model — the `PqModelMemo` move
+    * applied to this family: the gram → c1 → powerIterate → Rayleigh →
+    * deflate → powerIterate chain (many tiny dim²-row jobs whose wall
+    * time tracks scheduler latency, not data) was rebuilt independently
+    * by FIVE consumers (`emb_top_pc`, `emb_top_pc2`, `emb_remove_top_pc`,
+    * `emb_pca_var_explained`, `emb_whiten_top2` — board slots #3 and #5
+    * in round 14). The model is k-row/dim-row output — a tiny parquet —
+    * so the first consumer pays one build and the rest read it back.
+    * [[PowerIters]] joins the layoutTag: changing the iteration count
+    * changes the derivation and must invalidate the fixture. */
+  private object PcaModelFixture
+      extends graft.core.DerivedFixture("emb_pca_model", "embeddings") {
+    override protected[graft] def layoutTag: String = s"v1-p$PowerIters"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val (mean, v1, v2, scalars) = pcaModelDirect(s, dir)
+      mean.write.parquet(s"$target/mean")
+      v1.write.parquet(s"$target/v1")
+      v2.write.parquet(s"$target/v2")
+      scalars.write.parquet(s"$target/scalars")
+    }
+  }
+
+  /** The memoized (mean, v1, v2, scalars) model — identical values to
+    * [[pcaModelDirect]] (BIGINT columns round-trip parquet exactly). */
+  private[llm] def pcaModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val p = PcaModelFixture.ensure(s, d)
+    (s.read.parquet(s"$p/mean"), s.read.parquet(s"$p/v1"),
+      s.read.parquet(s"$p/v2"), s.read.parquet(s"$p/scalars"))
+  }
+
+  /** Top principal component by [[PowerIters]] rounds of power iteration
+    * on the 1e6-scaled per-n covariance, starting from all-ones — read
+    * from the shared [[pcaModel]] memo. */
+  private def topPc(s: SparkSession, d: String): DataFrame = {
+    val (mean, v1, _, _) = pcaModel(s, d)
+    v1.join(mean, Seq("k"))
       .select(col("k").as("pos"),
         (col("qm").cast(DoubleType) / lit(1.0e6)).as("mean_v"),
         (col("v9").cast(DoubleType) / lit(1.0e9)).as("pc"))
@@ -238,10 +294,7 @@ object EmbPca extends QueryGroup {
   }
 
   private def topPc2(s: SparkSession, d: String): DataFrame = {
-    val c1 = fullMatrixOf(gram(s, d))
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
-    val c2 = deflatedOf(c1, v1, rayleighLam(c1, v1))
-    val v2 = powerIterate(c2)
+    val (_, v1, v2, _) = pcaModel(s, d)
     v1.select(col("k"), col("v9").as("p1"))
       .join(v2.select(col("k"), col("v9").as("p2")), Seq("k"))
       .select(col("k").as("pos"),
@@ -260,14 +313,11 @@ object EmbPca extends QueryGroup {
     * Degenerate corpus: NULL trace (SQL sum-over-empty), λ̂₁ = 0,
     * NULL ratio — both engines identically. */
   private def varExplained(s: SparkSession, d: String): DataFrame = {
-    val c1 = fullMatrixOf(gram(s, d))
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
-    val trace = c1.filter(col("j") === col("k")).agg(sum(col("c")).as("trace6"))
-    trace.crossJoin(rayleighLam(c1, v1))
-      .select(col("trace6"), col("lam6"),
-        when(col("trace6") > 0,
-          col("lam6").cast(DoubleType) / col("trace6").cast(DoubleType))
-          .as("var_explained"))
+    val (_, _, _, scalars) = pcaModel(s, d)
+    scalars.select(col("trace6"), col("lam1_6").as("lam6"),
+      when(col("trace6") > 0,
+        col("lam1_6").cast(DoubleType) / col("trace6").cast(DoubleType))
+        .as("var_explained"))
   }
 
   /** The all-but-the-top application: per vector, the projection
@@ -279,12 +329,11 @@ object EmbPca extends QueryGroup {
     * integers. Zero-norm vectors (or a zero iterate) get a DEFINED null
     * cosine — the family's degenerate contract. */
   private def removeTopPc(s: SparkSession, d: String): DataFrame = {
-    val g = gram(s, d)
+    val (mean, vec, _, _) = pcaModel(s, d)
     val comp = quantized(s, d)
       .select(col("vec_id"), posexplode(col("qa")).as(Seq("k", "qv")))
-    val centered = comp.join(broadcast(meanVecOf(g)), Seq("k"))
+    val centered = comp.join(broadcast(mean), Seq("k"))
       .select(col("vec_id"), col("k"), (col("qv") - col("qm")).as("cv"))
-    val vec = graft.core.Materialize.cut(powerIterate(fullMatrixOf(g)))
     val vn2 = vec.select(
       sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
         .as("vn2"))
@@ -313,20 +362,15 @@ object EmbPca extends QueryGroup {
     * Rayleigh BIGINTs, and each output is one fixed IEEE chain
     * (cast, /1e15, /√(λ̂/1e6)). λ̂ ⩽ 0 (possible for the deflated matrix
     * on a degenerate spectrum) yields a DEFINED null coordinate.
-    * Scale shape: corpus passes are the one Gramian pass plus one
-    * narrow centered-dot aggregation; everything between is dim²-row
-    * algebra with k-row broadcasts. */
+    * Scale shape: the spectral model comes from the shared [[pcaModel]]
+    * memo (one Gramian pass + dim²-row algebra, paid once per source
+    * state); this query's own cost is ONE narrow centered-dot
+    * aggregation with dim-row broadcasts. */
   private def whitenTop2(s: SparkSession, d: String): DataFrame = {
-    val g = gram(s, d)
-    val c1 = fullMatrixOf(g)
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
-    val lam1 = rayleighLam(c1, v1)
-    val c2 = deflatedOf(c1, v1, lam1)
-    val v2 = graft.core.Materialize.cut(powerIterate(c2))
-    val lam2 = rayleighLam(c2, v2)
+    val (mean, v1, v2, scalars) = pcaModel(s, d)
     val comp = quantized(s, d)
       .select(col("vec_id"), posexplode(col("qa")).as(Seq("k", "qv")))
-    val centered = comp.join(broadcast(meanVecOf(g)), Seq("k"))
+    val centered = comp.join(broadcast(mean), Seq("k"))
       .select(col("vec_id"), col("k"), (col("qv") - col("qm")).as("cv"))
     centered
       .join(broadcast(v1.select(col("k"), col("v9").as("va"))), Seq("k"))
@@ -334,8 +378,8 @@ object EmbPca extends QueryGroup {
       .groupBy(col("vec_id"))
       .agg(sum(col("cv") * col("va")).as("dot1"),
         sum(col("cv") * col("vb")).as("dot2"))
-      .crossJoin(broadcast(lam1.select(col("lam6").as("lam1"))))
-      .crossJoin(broadcast(lam2.select(col("lam6").as("lam2"))))
+      .crossJoin(broadcast(
+        scalars.select(col("lam1_6").as("lam1"), col("lam2_6").as("lam2"))))
       .select(col("vec_id"),
         when(col("lam1") > 0,
           col("dot1").cast(DoubleType) / lit(1.0e15) /

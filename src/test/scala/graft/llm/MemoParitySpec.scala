@@ -89,6 +89,15 @@ class MemoParitySpec extends SparkSuite {
       TextStats.BigramCountsMemo.tableDirect(spark, d))
   }
 
+  test("pcaModel memo equals pcaModelDirect (mean, v1, v2, scalars)") {
+    val (mean, v1, v2, scalars) = EmbPca.pcaModel(spark, d)
+    val (meanD, v1D, v2D, scalarsD) = EmbPca.pcaModelDirect(spark, d)
+    assertSameRows(mean, meanD)
+    assertSameRows(v1, v1D)
+    assertSameRows(v2, v2D)
+    assertSameRows(scalars, scalarsD)
+  }
+
   test("LiftedPairsMemo equals liftedPairsDirect") {
     assertSameRows(
       graft.operators.Mining.LiftedPairsMemo.table(spark, d),
