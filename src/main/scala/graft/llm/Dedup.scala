@@ -884,10 +884,19 @@ object Dedup extends QueryGroup {
       .join(sizes, Seq("doc_id"))
       // t = 1/2 prefix bound: m − ⌈m/2⌉ + 1 = ⌊m/2⌋ + 1 rarest tokens
       .filter(col("rn") <= col("nsh") / 2 + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("sh"), col("nsh"))
+    // PPJoin length filter (the standard companion to the prefix
+    // bound): J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so at t = 1/2 any pair
+    // with one set more than twice the other's size can NEVER verify —
+    // pruned at candidate GENERATION (exact integer compare riding the
+    // sizes the prefix rows already carry), shrinking the verification
+    // fan-out instead of paying the doc_a-set expansion to reject it
+    val cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
+        col("nsh").as("na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
+        col("nsh").as("nb")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") <= col("na") * 2 && col("na") <= col("nb") * 2)
       .select("doc_a", "doc_b").distinct()
     // verification fan-out is CANDIDATE-bounded: each candidate pair
     // expands to doc_a's set once, then an equi-join on (doc_b, sh)
