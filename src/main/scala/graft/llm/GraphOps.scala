@@ -74,8 +74,17 @@ object GraphOps extends QueryGroup {
       * pairs the memo never stored). */
     def pairsAtLeast(s: SparkSession, d: String, minJaccard: Double): DataFrame = {
       require(minJaccard >= 0.3, s"memo stores jaccard >= 0.3 only; got $minJaccard")
+      scoredPairsAtLeast(s, d, minJaccard).select(col("doc_a"), col("doc_b"))
+    }
+
+    /** Same slice WITH the stored exact-Jaccard score — the raw double
+      * [[Dedup.jaccardPairs]] computed (parquet round-trips it exactly),
+      * for consumers that grade or rank on the value (`dedup_minhash_ml`'s
+      * exact side). */
+    def scoredPairsAtLeast(s: SparkSession, d: String,
+        minJaccard: Double): DataFrame = {
+      require(minJaccard >= 0.3, s"memo stores jaccard >= 0.3 only; got $minJaccard")
       s.read.parquet(ensure(s, d)).filter(col("jaccard") >= minJaccard)
-        .select(col("doc_a"), col("doc_b"))
     }
   }
 

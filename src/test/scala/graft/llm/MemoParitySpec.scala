@@ -98,6 +98,12 @@ class MemoParitySpec extends SparkSuite {
     assertSameRows(scalars, scalarsD)
   }
 
+  test("MlLsh pairs memo equals minhashLshPairsDirect (registry 0.4)") {
+    assertSameRows(
+      MlLsh.minhashLshPairs(spark, d, maxJaccardDist = 0.4),
+      MlLsh.minhashLshPairsDirect(spark, d, maxJaccardDist = 0.4))
+  }
+
   test("LiftedPairsMemo equals liftedPairsDirect") {
     assertSameRows(
       graft.operators.Mining.LiftedPairsMemo.table(spark, d),
