@@ -818,20 +818,35 @@ object CowQueries extends QueryGroup {
     * bounded by the commit's change locality, never table size. */
   private def cowIncrAgg(s: SparkSession, d: String): DataFrame = {
     val p = CowFixture.ensure(s, d)
-    // each version's filelist/delete set is consulted twice in the diff
-    // loop (as v and as v-1) — memoize so the metadata reads cost one
-    // tiny job per VERSION, not per loop edge (these collects dominated
-    // the query's local wall time: pure job-scheduling overhead)
-    val pathsMemo = scala.collection.mutable.Map.empty[Long, Set[String]]
-    val delsMemo = scala.collection.mutable.Map.empty[Long, Set[Long]]
-    def pathsAt(v: Long): Set[String] = pathsMemo.getOrElseUpdate(v,
-      CowTable.filelist(s, p, v).select(col("path"))
-        .collect().map(_.getString(0)).toSet)
-    def delsAt(v: Long): Set[Long] = delsMemo.getOrElseUpdate(v,
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(p, s"v=$v", "deletes"))) Set.empty
-      else s.read.parquet(s"$p/v=$v/deletes")
-        .collect().map(_.getLong(0)).toSet)
+    // ALL metadata in TWO Spark jobs, not one per version/loop edge:
+    // the 5 filelists (key stats riding along) union-collect once, the
+    // pending delete sets union-collect once. The former per-version
+    // collects plus the per-edge stats-join collects were ~15 tiny jobs
+    // of pure scheduling latency — three rounds of board slot #1 — for
+    // metadata that is KB-sized at any table size (change-locality-
+    // bounded, like Iceberg local planning). The unit-key overlap test
+    // then runs on the collected stats driver-side.
+    val flRows = (0L to 4L).map(v =>
+        CowTable.filelist(s, p, v).select(lit(v).as("v"), col("path"),
+          col("o_orderkey_min"), col("o_orderkey_max")))
+      .reduce(_.unionByName(_)).collect()
+    // (path, key-min, key-max) per version
+    val fl: Map[Long, Seq[(String, Long, Long)]] = flRows
+      .groupBy(_.getLong(0)).view.mapValues(_.toSeq.map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    def pathsAt(v: Long): Set[String] =
+      fl.getOrElse(v, Seq.empty).map(_._1).toSet
+    val delVs = (0L to 4L).filter(v => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, s"v=$v", "deletes")))
+    val dels: Map[Long, Set[Long]] =
+      if (delVs.isEmpty) Map.empty
+      else delVs.map { v =>
+          val df = s.read.parquet(s"$p/v=$v/deletes")
+          df.select(lit(v).as("v"), col(df.columns.head).as("k"))
+        }.reduce(_.unionByName(_)).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    def delsAt(v: Long): Set[Long] = dels.getOrElse(v, Set.empty)
     def readUnits(paths: Set[String]): DataFrame =
       s.read.option("mergeSchema", "true")
         .parquet(paths.toSeq.sorted.map(x => s"$p/files/$x"): _*)
@@ -845,20 +860,22 @@ object CowQueries extends QueryGroup {
             .cast(DecimalType(18, 2)).as("revenue"))
     // rows matching `keys` inside version v's snapshot, located through
     // the filelist's key stats — only overlapping units are read (the
-    // compactDeletes targeting), so the step stays change-bounded
+    // compactDeletes targeting), so the step stays change-bounded; the
+    // overlap test itself runs on the already-collected stats (no job)
     def rowsOf(keys: Set[Long], v: Long): Option[DataFrame] =
       if (keys.isEmpty) None
       else {
         import s.implicits._
-        val kdf = keys.toSeq.sorted.toDF("o_orderkey")
-        val hit = CowTable.filelist(s, p, v)
-          .join(broadcast(kdf.select(col("o_orderkey").as("dk"))),
-            col("dk").between(col("o_orderkey_min"), col("o_orderkey_max")),
-            "left_semi")
-          .select(col("path")).collect().map(_.getString(0)).toSet
+        val hit = fl.getOrElse(v, Seq.empty).collect {
+          case (path, kmin, kmax) if keys.exists(k => k >= kmin && k <= kmax) =>
+            path
+        }.toSet
         if (hit.isEmpty) None
-        else Some(readUnits(hit)
-          .join(broadcast(kdf), Seq("o_orderkey"), "left_semi"))
+        else {
+          val kdf = keys.toSeq.sorted.toDF("o_orderkey")
+          Some(readUnits(hit)
+            .join(broadcast(kdf), Seq("o_orderkey"), "left_semi"))
+        }
       }
     val steps = scala.collection.mutable.ArrayBuffer(
       part(readUnits(pathsAt(0L)), +1))
