@@ -209,27 +209,19 @@ object Pipeline extends QueryGroup {
     // EMPTY tokens are dropped (the words() rule): counting them inflated
     // n_words on whitespace-heavy docs, let '' become top_word, and built
     // bigrams like 'x ' — the signal disagreed with every other token
-    // count in the repo for the same document
-    val wc = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("doc_id"), h48(col("w")).as("wh"))
-      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    // count in the repo for the same document.
+    // Both halves ride the shared per-doc token memos now: the word
+    // counts ARE TermFreqsMemo's rows, and the per-doc bigram counts ARE
+    // BigramCountsMemo's (distinct (h1,h2) pairs ≡ distinct bigrams —
+    // words cannot contain the split character, so the pair is a
+    // bijective encoding of the concatenated form the oracle used to
+    // hash; the oracle now mirrors the pair derivation exactly)
+    val wc = TextStats.termFreqsMemo(s, d)
     val wordAgg = wc.groupBy(col("doc_id")).agg(
       sum(col("c")).cast(LongType).as("n_words"),
       count(lit(1)).as("n_uniq_words"),
       max(col("c")).as("top_word_n"))
-    val bc = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("ws"))
-      // sequence(1, 0) would DESCEND, not empty out — guard 1-word docs
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ws) >= 2
-          |  THEN transform(sequence(1, size(ws) - 1),
-          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
-          |  ELSE array() END""".stripMargin)).as("b"))
-      .select(col("doc_id"), h48(col("b")).as("bh"))
-      .groupBy(col("doc_id"), col("bh")).agg(count(lit(1)).as("c"))
+    val bc = TextStats.BigramCountsMemo.table(s, d)
     val biAgg = bc.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_uniq_bigrams"),
       max(col("c")).as("top_bigram_n"))
@@ -247,24 +239,26 @@ object Pipeline extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // bigram derivation mirrors BigramCountsMemo: per-word 48-bit hashes
+  // paired by a lead() window over filtered positions — the pair is a
+  // bijective encoding of the old concatenated "w1 w2" form (words
+  // cannot contain the split character)
   private val repetitionSql =
-    """WITH w AS (
-      |  SELECT doc_id, CAST('0x'||substring(md5(u),1,12) AS BIGINT) AS wh
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+    """WITH wp AS (
+      |  SELECT doc_id, CAST('0x'||substring(md5(u),1,12) AS BIGINT) AS wh, pos
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u,
+      |          generate_subscripts(string_split(text, ' '), 1) AS pos
       |        FROM documents) WHERE u <> ''),
-      |wc AS (SELECT doc_id, wh, count(*) AS c FROM w GROUP BY 1, 2),
+      |wc AS (SELECT doc_id, wh, count(*) AS c FROM wp GROUP BY 1, 2),
       |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
       |         COUNT(*) AS n_uniq_words, MAX(c) AS top_word_n
       |       FROM wc GROUP BY 1),
-      |b AS (
-      |  SELECT doc_id, CAST('0x'||substring(md5(bg),1,12) AS BIGINT) AS bh
-      |  FROM (SELECT doc_id,
-      |          unnest(list_transform(range(1, len(ws)),
-      |            i -> ws[i] || ' ' || ws[i+1])) AS bg
-      |        FROM (SELECT doc_id,
-      |                list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      |              FROM documents))),
-      |bc AS (SELECT doc_id, bh, count(*) AS c FROM b GROUP BY 1, 2),
+      |bp AS (
+      |  SELECT doc_id, wh AS h1,
+      |    lead(wh) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      |  FROM wp),
+      |bc AS (SELECT doc_id, h1, h2, count(*) AS c FROM bp
+      |       WHERE h2 IS NOT NULL GROUP BY 1, 2, 3),
       |ba AS (SELECT doc_id, COUNT(*) AS n_uniq_bigrams, MAX(c) AS top_bigram_n
       |       FROM bc GROUP BY 1)
       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
@@ -1070,7 +1064,7 @@ object Pipeline extends QueryGroup {
     * boundaries against the REAL logit distribution, not a copy that
     * could drift on a retune. */
   private[llm] def decileDocSignals(s: SparkSession, d: String): DataFrame = {
-    val tf = TextStats.termFreqs(T.documents(s, d))
+    val tf = TextStats.termFreqsMemo(s, d)
     val n = Window.partitionBy(col("doc_id"))
     val terms = tf
       .withColumn("nt", sum(col("c")).over(n).cast(LongType))

@@ -389,9 +389,7 @@ object TextStats extends QueryGroup {
   // ever outgrows broadcast, the build side is unique per key, which is
   // exactly the shape AQE's skew-split handles.
   private def perplexity(s: SparkSession, d: String): DataFrame = {
-    val tf = words(T.documents(s, d))
-      .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
-      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+    val tf = termFreqsMemo(s, d)
     val voc = tf.groupBy(col("wh")).agg(sum(col("c")).cast(LongType).as("cw"))
     val n = voc.agg(sum(col("cw")).cast(LongType).as("nt"))
     val lp = voc.crossJoin(broadcast(n))
@@ -638,7 +636,7 @@ object TextStats extends QueryGroup {
   // text_tfidf/perplexity libm rule); c·logp sums exactly in decimal and
   // ONE IEEE division closes the formula.
   private def entropy(s: SparkSession, d: String): DataFrame = {
-    val tf = termFreqs(T.documents(s, d))
+    val tf = termFreqsMemo(s, d)
     val tw = Window.partitionBy(col("doc_id"))
     tf.withColumn("n", sum(col("c")).over(tw).cast(LongType))
       .withColumn("logp",
@@ -701,6 +699,31 @@ object TextStats extends QueryGroup {
     words(docs)
       .select(col("doc_id"), Dedup.h48(col("word")).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+
+  /** Disk+session memo of [[termFreqs]] over the CORPUS table — the
+    * per-doc token substrate the linear text tail kept re-deriving:
+    * `text_perplexity`, `text_entropy`, `text_classifier`,
+    * `retrieval_prf`, `text_repetition`'s word half and the curation
+    * decile signals each paid the identical corpus scan → explode →
+    * (doc_id, wh) hash agg. Rows are all BIGINTs (parquet-exact);
+    * ShingleHashMemo economics — the first consumer in a session pays
+    * one corpus pass, the rest read 24-byte rows back. Arbitrary-docs
+    * callers (streaming batches, probe slices) keep using [[termFreqs]]
+    * directly. */
+  private[llm] object TermFreqsMemo
+      extends graft.core.DerivedFixture("term_freqs_memo", "documents") {
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      termFreqs(T.documents(s, dir)).write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** The memoized corpus term-frequency relation — identical rows to
+    * `termFreqs(T.documents(s, d))` (`MemoParitySpec` pins it). */
+  private[llm] def termFreqsMemo(s: SparkSession, d: String): DataFrame =
+    TermFreqsMemo.table(s, d)
 
   /** The retrieval probe rule, ONE definition for every surface (inline
     * BM25, RRF's two halves, the persisted postings index, the RAG demo):
@@ -883,7 +906,7 @@ object TextStats extends QueryGroup {
   // the logit to 0 — no libm anywhere. Empty/whitespace-only docs have
   // no terms and are absent (unscorable), same as the tfidf family.
   private def classifier(s: SparkSession, d: String): DataFrame =
-    termFreqs(T.documents(s, d))
+    termFreqsMemo(s, d)
       .withColumn("w", pmod(col("wh"), lit(1009L)) - lit(504L))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("w")).as("wsum"),
@@ -935,8 +958,12 @@ object TextStats extends QueryGroup {
     // warm JVM, but the r11 driver gate priced the SEVEN-consumer
     // recompute at 12.55 s vs the builder's 5.33 — an
     // environment-sensitive 7× recompute surface is not worth a 0.1 s
-    // local win; the cut makes the corpus explode+agg cost deterministic
-    val tf = graft.core.Materialize.cut(termFreqs(T.documents(s, d)))
+    // local win. The memo replaces the corpus recompute; the cut STAYS
+    // on top of it — seven consumers read one localCheckpoint instead
+    // of seven parquet scans of the memo (r15 A/B: memo+cut ≤ the old
+    // recompute+cut in every paired run; memo-without-cut was the
+    // worst variant)
+    val tf = graft.core.Materialize.cut(termFreqsMemo(s, d))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(LongType).cast(DoubleType) /

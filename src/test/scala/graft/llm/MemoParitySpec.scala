@@ -104,6 +104,12 @@ class MemoParitySpec extends SparkSuite {
       MlLsh.minhashLshPairsDirect(spark, d, maxJaccardDist = 0.4))
   }
 
+  test("TermFreqsMemo equals the inline termFreqs corpus derivation") {
+    assertSameRows(
+      TextStats.termFreqsMemo(spark, d),
+      TextStats.termFreqs(graft.core.Tables.documents(spark, d)))
+  }
+
   test("LiftedPairsMemo equals liftedPairsDirect") {
     assertSameRows(
       graft.operators.Mining.LiftedPairsMemo.table(spark, d),
