@@ -884,19 +884,29 @@ object Dedup extends QueryGroup {
       .join(sizes, Seq("doc_id"))
       // t = 1/2 prefix bound: m − ⌈m/2⌉ + 1 = ⌊m/2⌋ + 1 rarest tokens
       .filter(col("rn") <= col("nsh") / 2 + 1)
-      .select(col("doc_id"), col("sh"), col("nsh"))
-    // PPJoin length filter (the standard companion to the prefix
-    // bound): J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so at t = 1/2 any pair
-    // with one set more than twice the other's size can NEVER verify —
-    // pruned at candidate GENERATION (exact integer compare riding the
-    // sizes the prefix rows already carry), shrinking the verification
-    // fan-out instead of paying the doc_a-set expansion to reject it
+      .select(col("doc_id"), col("sh"), col("nsh"), col("rn"))
+    // PPJoin's two candidate-generation filters, both exact integer
+    // compares riding columns the prefix rows already carry:
+    //  - LENGTH: J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so at t = 1/2 a pair
+    //    with one set more than twice the other's can NEVER verify;
+    //  - POSITIONAL: common tokens follow the one global (df, sh)
+    //    order, so a match at ranks (ra, rb) bounds the overlap by
+    //    ra-onward ∩ rb-onward plus everything before — for the pair's
+    //    FIRST common token (which the prefix theorem guarantees sits
+    //    inside both prefixes) overlap ≤ 1 + min(na−ra, nb−rb) exactly.
+    //    Dropping rows that cannot reach 3·overlap ≥ na+nb is lossless:
+    //    a verifying pair's first-common-token row always survives, and
+    //    the distinct() needs any one surviving row per pair.
+    // Both prune BEFORE verification, shrinking the doc_a-set expansion
+    // instead of paying it to reject the pair.
     val cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
-        col("nsh").as("na"))
+        col("nsh").as("na"), col("rn").as("ra"))
       .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
-        col("nsh").as("nb")), Seq("sh"))
+        col("nsh").as("nb"), col("rn").as("rb")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("nb") <= col("na") * 2 && col("na") <= col("nb") * 2)
+        col("nb") <= col("na") * 2 && col("na") <= col("nb") * 2 &&
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
+          col("na") + col("nb"))
       .select("doc_a", "doc_b").distinct()
     // verification fan-out is CANDIDATE-bounded: each candidate pair
     // expands to doc_a's set once, then an equi-join on (doc_b, sh)

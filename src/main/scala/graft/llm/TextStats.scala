@@ -725,6 +725,56 @@ object TextStats extends QueryGroup {
   private[llm] def termFreqsMemo(s: SparkSession, d: String): DataFrame =
     TermFreqsMemo.table(s, d)
 
+  /** Disk+session memo of the BM25 "model" — the four derived tables
+    * every retrieval pass re-aggregated from the corpus tf at query
+    * time: per-doc lengths (doc_id, dl), the 1-row corpus stats
+    * (n_docs, avgdl), the document frequencies (wh, df), and the
+    * probes' top-3-idf query terms (q_doc, wh, idf). All exact-typed
+    * (BIGINT counts, DECIMAL(18,6) idf; avgdl is ONE IEEE division
+    * that round-trips parquet bit-for-bit). Layered on
+    * [[TermFreqsMemo]] — the composed layoutTag re-derives on a tf
+    * bump. `retrieval_prf` was the consumer that paid this whole
+    * derivation INSIDE its query (sf1 worst-absolute, 11.3 s): with
+    * the model read back, its query-time work is the feedback mining
+    * join plus the one expanded scoring pass. */
+  private[llm] object Bm25ModelMemo
+      extends graft.core.DerivedFixture("bm25_model_memo", "documents") {
+    override protected[graft] def layoutTag: String =
+      s"v1-tf${TermFreqsMemo.layoutTag}"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit = {
+      val (dl, st, df_, qidf) = bm25ModelDirect(s, dir)
+      dl.write.parquet(s"$target/dl")
+      st.write.parquet(s"$target/st")
+      df_.write.parquet(s"$target/df")
+      qidf.write.parquet(s"$target/qidf")
+    }
+
+    def parts(s: SparkSession, d: String)
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val p = ensure(s, d)
+      (s.read.parquet(s"$p/dl"), s.read.parquet(s"$p/st"),
+        s.read.parquet(s"$p/df"), s.read.parquet(s"$p/qidf"))
+    }
+  }
+
+  /** The un-memoized model derivation (dl, stats, df, query terms) —
+    * exactly the four tables `bm25ScoresDirect` builds inline; exposed
+    * so `MemoParitySpec` can pin memo ≡ direct. */
+  private[llm] def bm25ModelDirect(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = TermFreqsMemo.table(s, d)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
+      st.select(col("n_docs")))
+    (dl, st, df_, qidf)
+  }
+
   /** The retrieval probe rule, ONE definition for every surface (inline
     * BM25, RRF's two halves, the persisted postings index, the RAG demo):
     * every 100th id probes, capped at the sf0.1 id range. The cap is the
@@ -953,24 +1003,16 @@ object TextStats extends QueryGroup {
   // DESC, wh) total order; everything else inherits text_bm25's pinned
   // rounding points.
   private def prf(s: SparkSession, d: String): DataFrame = {
-    // tf IS materialized here (unlike text_bm25's 4-consumer tf): the
-    // r10/r11 local A/B said the cut was a ~0.1 s wash on the builder's
-    // warm JVM, but the r11 driver gate priced the SEVEN-consumer
-    // recompute at 12.55 s vs the builder's 5.33 — an
-    // environment-sensitive 7× recompute surface is not worth a 0.1 s
-    // local win. The memo replaces the corpus recompute; the cut STAYS
-    // on top of it — seven consumers read one localCheckpoint instead
-    // of seven parquet scans of the memo (r15 A/B: memo+cut ≤ the old
-    // recompute+cut in every paired run; memo-without-cut was the
-    // worst variant)
-    val tf = graft.core.Materialize.cut(termFreqsMemo(s, d))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(LongType).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("avgdl"))
-    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-    val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
-      st.select(col("n_docs")))
+    // History of this derivation's cost (the r11 driver priced a
+    // SEVEN-consumer tf recompute at 12.55 s vs the builder's 5.33):
+    // r11 added a Materialize.cut, r15 moved tf to the parquet memo,
+    // and now the dl/st/df/qidf model is ALSO a shared memo (read back
+    // as tiny parquet) — the query-time tf consumers drop from seven
+    // to TWO (feedback mining + the expanded scoring pass), and at two
+    // consumers a parquet re-read beats a corpus-sized localCheckpoint
+    // write, so the cut goes too
+    val tf = termFreqsMemo(s, d)
+    val (dl, st, df_, qidf) = Bm25ModelMemo.parts(s, d)
     val fw = Window.partitionBy(col("q_doc"))
       .orderBy(col("score_dec").desc, col("doc_id"))
     // the first-pass score table is the shared memo (identical values:

@@ -110,6 +110,15 @@ class MemoParitySpec extends SparkSuite {
       TextStats.termFreqs(graft.core.Tables.documents(spark, d)))
   }
 
+  test("Bm25ModelMemo equals bm25ModelDirect (dl, stats, df, qidf)") {
+    val (dl, st, df, qidf) = TextStats.Bm25ModelMemo.parts(spark, d)
+    val (dlD, stD, dfD, qidfD) = TextStats.bm25ModelDirect(spark, d)
+    assertSameRows(dl, dlD)
+    assertSameRows(st, stD)
+    assertSameRows(df, dfD)
+    assertSameRows(qidf, qidfD)
+  }
+
   test("LiftedPairsMemo equals liftedPairsDirect") {
     assertSameRows(
       graft.operators.Mining.LiftedPairsMemo.table(spark, d),
