@@ -1613,16 +1613,27 @@ object Pipeline extends QueryGroup {
     * linear passes. */
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val B = 1024
-    val t = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .withColumn("b", h48(col("word")) % B)
+    // r15: the token stream was re-exploded SIX times (two bucket
+    // counts, two totals, the bucket domain, the final weight join) —
+    // the sweep's worst absolute. The per-(doc, wh, c) relation the
+    // explode fed is exactly TermFreqsMemo (same h48 hash, so
+    // wh % B IS the bucket); doc attributes join back from the
+    // documents table (broadcast — doc-count-sized), token counts
+    // become Σc, and one Materialize.cut serves the six consumers
+    // (the ≥5-consumer rule from retrieval_prf's history)
+    val t = graft.core.Materialize.cut(
+      TextStats.termFreqsMemo(s, d)
+        .withColumn("b", col("wh") % B)
+        .join(broadcast(T.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))), Seq("doc_id")))
     val isT = col("lang") === "en"
     def cnt(pred: org.apache.spark.sql.Column, name: String) =
-      t.filter(pred).groupBy(col("b")).agg(count(lit(1)).as(name))
+      t.filter(pred).groupBy(col("b")).agg(sum(col("c")).as(name))
+    // coalesce: sum-over-empty is NULL where the old count(*) was 0 —
+    // a corpus with no target-language (or no raw) docs must keep the
+    // smoothed denominators finite, not null out every weight
     def tot(pred: org.apache.spark.sql.Column, name: String) =
-      t.filter(pred).agg(count(lit(1)).as(name))
+      t.filter(pred).agg(coalesce(sum(col("c")), lit(0L)).as(name))
     def q6(e: org.apache.spark.sql.Column) =
       (e.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType)
     def p(c: String, n: String) =
@@ -1637,7 +1648,7 @@ object Pipeline extends QueryGroup {
         .as("lrq"))
     t.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("lrq")).as("weight_q6"))
+      .agg(sum(col("c") * col("lrq")).as("weight_q6"))
       .orderBy(col("weight_q6").desc, col("doc_id"))
       .limit(20)
   }
