@@ -334,18 +334,34 @@ object Profiling extends QueryGroup {
       case "customer"   => T.customer(s, d)
     }
 
+  // r15: all five counts per relationship derive from ONE key-level
+  // relation — child keys pre-aggregated to (k, cc), full-outer-joined
+  // with the distinct parent keys (both sides hash-partitioned on k, so
+  // the join adds no exchange), then a single 1-row aggregate. This
+  // replaces the four separate probes (count+countDistinct expand,
+  // anti join, semi join) that re-shuffled the child table three
+  // times — the sweep's #3 absolute at sf1. Null-key semantics are
+  // unchanged: equi-joins never match nulls, so a null child-key group
+  // lands parent-less (orphans, like the anti join kept it), a null
+  // parent key lands child-less (counted in n_parent_keys, never
+  // covered), and countDistinct's null-exclusion is the k-not-null
+  // guard on n_child_keys.
   private def profileIntegrity(s: SparkSession, d: String): DataFrame =
     fkRels.map { case (name, childT, ck, parentT, pk) =>
-      val c = tableOf(s, d, childT).select(col(ck).as("k"))
-      val p = tableOf(s, d, parentT).select(col(pk).as("k")).distinct()
-      val a = c.agg(count(lit(1)).as("n_child"),
-        countDistinct(col("k")).as("n_child_keys"))
-      val o = c.join(p, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val pc = p.agg(count(lit(1)).as("n_parent_keys"))
-      val cov = p.join(c, Seq("k"), "left_semi")
-        .agg(count(lit(1)).as("n_covered_parents"))
-      a.crossJoin(o).crossJoin(pc).crossJoin(cov)
+      val cks = tableOf(s, d, childT).select(col(ck).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cc"))
+      val pks = tableOf(s, d, parentT).select(col(pk).as("k")).distinct()
+        .withColumn("isp", lit(1))
+      cks.join(pks, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(col("cc")), lit(0L)).as("n_child"),
+          count(when(col("cc").isNotNull && col("k").isNotNull, 1))
+            .as("n_child_keys"),
+          coalesce(sum(when(col("isp").isNull, col("cc"))), lit(0L))
+            .as("n_orphans"),
+          count(col("isp")).as("n_parent_keys"),
+          count(when(col("cc").isNotNull && col("isp").isNotNull, 1))
+            .as("n_covered_parents"))
         .select(lit(name).as("rel"), col("n_child"), col("n_child_keys"),
           col("n_orphans"), col("n_parent_keys"), col("n_covered_parents"),
           (col("n_orphans").cast(DoubleType) /
