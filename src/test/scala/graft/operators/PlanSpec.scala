@@ -599,6 +599,21 @@ class PlanSpec extends SparkSuite {
     assert(!finalSection.contains("CartesianProduct"), p)
   }
 
+  test("curate_dsir_weights: doc attrs and bucket ratios broadcast; no cartesian") {
+    val df = SparkEntry.queries("curate_dsir_weights")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // two pinned broadcasts ride the memoized tf relation: the
+    // doc-count-sized (doc_id, lang, source) attribute join and the
+    // 1024-row bucket log-ratio table — the corpus-sized side must
+    // never shuffle for either
+    val bhj = finalSection.linesIterator
+      .count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"dsir has $bhj broadcast joins:\n$p")
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
   test("asof family: no quadratic unbounded-FOLLOWING window frame") {
     // Spark's unbounded-following frame re-scans to the partition end per
     // row (O(n²) per user — the 10× sweep measured q54 at 12.5×); both
