@@ -119,6 +119,12 @@ class MemoParitySpec extends SparkSuite {
     assertSameRows(qidf, qidfD)
   }
 
+  test("Bm25TopRanksMemo equals the direct rank window over the scores") {
+    assertSameRows(
+      TextStats.Bm25TopRanksMemo.table(spark, d),
+      TextStats.topRanksDirect(spark, d))
+  }
+
   test("LiftedPairsMemo equals liftedPairsDirect") {
     assertSameRows(
       graft.operators.Mining.LiftedPairsMemo.table(spark, d),
