@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types._
 
 object TmpPrfProbe {
   def main(args: Array[String]): Unit = {
@@ -21,51 +20,47 @@ object TmpPrfProbe {
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.range(1000).selectExpr("sum(id)").collect()
-    val tf = TextStats.termFreqsMemo(spark, d)
-    val (dl, st, df_, qidf) = TextStats.Bm25ModelMemo.parts(spark, d)
-    t("warm-everything") { tf.count(); dl.count(); df_.count(); qidf.count() }
-    val fw = Window.partitionBy(col("q_doc"))
-      .orderBy(col("score_dec").desc, col("doc_id"))
-    var fb: org.apache.spark.sql.DataFrame = null
-    t("fb-top3") {
-      fb = TextStats.bm25Scores(spark, d)
-        .withColumn("rn", row_number().over(fw)).filter(col("rn") <= 3)
-        .select(col("q_doc"), col("doc_id"))
-      fb.count()
+    val dsh = Dedup.ShingleHashMemo.table(spark, d)
+      .select(col("doc_id"), col("shh").as("sh")).distinct().cache()
+    t("dsh-distinct") { println("COUNT dsh " + dsh.count()) }
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val dfT = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    var pref: org.apache.spark.sql.DataFrame = null
+    t("prefix-window") {
+      pref = dsh.join(dfT, Seq("sh"))
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, Seq("doc_id"))
+        .filter(col("rn") <= col("nsh") / 2 + 1)
+        .select(col("doc_id"), col("sh"), col("nsh"), col("rn"))
+        .cache()
+      println("COUNT pref " + pref.count())
     }
-    val ew = Window.partitionBy(col("q_doc"))
-      .orderBy(col("escore").desc, col("wh"))
-    var expTerms: org.apache.spark.sql.DataFrame = null
-    t("mining") {
-      expTerms = tf.join(broadcast(fb), Seq("doc_id"))
-        .groupBy(col("q_doc"), col("wh")).agg(sum(col("c")).as("fc"))
-        .join(df_, Seq("wh")).crossJoin(broadcast(st.select(col("n_docs"))))
-        .withColumn("idf",
-          log((((col("n_docs") - col("df")).cast(DoubleType) + 0.5) /
-            (col("df").cast(DoubleType) + 0.5)) + 1.0)
-            .cast(DecimalType(18, 6)))
-        .withColumn("escore", col("idf") * col("fc").cast(DecimalType(18, 0)))
-        .join(qidf.select(col("q_doc"), col("wh")), Seq("q_doc", "wh"),
-          "left_anti")
-        .withColumn("ern", row_number().over(ew))
-        .filter(col("ern") <= 2)
-        .select(col("q_doc"), col("wh"), col("idf"))
-      expTerms.count()
+    var cand: org.apache.spark.sql.DataFrame = null
+    t("cand-join") {
+      cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
+          col("nsh").as("na"), col("rn").as("ra"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
+          col("nsh").as("nb"), col("rn").as("rb")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("nb") <= col("na") * 2 && col("na") <= col("nb") * 2 &&
+          (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
+            col("na") + col("nb"))
+        .select("doc_a", "doc_b").distinct().cache()
+      println("COUNT cand " + cand.count())
     }
-    val rw = Window.partitionBy(col("q_doc"))
-      .orderBy(col("score_dec").desc, col("doc_id"))
-    t("final-score") {
-      TextStats.bm25Score(tf, qidf.unionByName(expTerms), dl,
-          st.select(col("avgdl")))
-        .withColumn("rn", row_number().over(rw).cast(LongType))
-        .filter(col("rn") <= 10)
+    t("verify-join") {
+      val inter = cand
+        .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(dsh.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      println("COUNT verified " + inter.count())
+    }
+    t("full-query") {
+      graft.SparkEntry.queries("dedup_prefix_filter")(spark, d)
         .write.format("noop").mode("overwrite").save()
     }
-    locally { val x = TextStats.bm25Scores(spark, d).withColumn("rn", row_number().over(fw)).filter(col("rn") <= 3)
-      x.collect()
-      val pl = x.queryExecution.executedPlan.toString
-      println("PLAN-HAS-WGL " + pl.contains("WindowGroupLimit"))
-      pl.split("\n").filter(l => l.contains("Window") || l.contains("Sort") || l.contains("Exchange")).foreach(l => println("PLANLINE " + l.take(150))) }
     spark.stop()
   }
 }

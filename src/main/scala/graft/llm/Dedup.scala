@@ -878,13 +878,24 @@ object Dedup extends QueryGroup {
     val dsh = dsh0.cache() // df + sizes + prefix + both verify sides read it
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val dfT = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // Prefix construction as ONE hash agg + per-doc array ops (r15):
+    // the former row_number() window paid an exchange + a PARTITION-WIDE
+    // sort of the whole token relation plus a separate sizes join —
+    // the query's dominant stage once the candidate filters landed
+    // (sf1 profile: 7.3 s of 10.5). collect_list needs the same single
+    // exchange but sorts per DOC (array_sort over ≤ doc-length structs,
+    // embarrassingly parallel — the 100 TB shape), nsh rides as
+    // size(ts), and slice() IS the ⌊m/2⌋ + 1 prefix bound. Ordering is
+    // identical: array_sort on struct(df, sh) compares fields
+    // lexicographically, the window's (df, sh) order.
     val pref = dsh.join(dfT, Seq("sh"))
-      .withColumn("rn", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      // t = 1/2 prefix bound: m − ⌈m/2⌉ + 1 = ⌊m/2⌋ + 1 rarest tokens
-      .filter(col("rn") <= col("nsh") / 2 + 1)
-      .select(col("doc_id"), col("sh"), col("nsh"), col("rn"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("nsh"),
+        posexplode(expr("slice(array_sort(ts), 1, size(ts) div 2 + 1)"))
+          .as(Seq("p0", "t")))
+      .select(col("doc_id"), col("t.sh").as("sh"), col("nsh"),
+        (col("p0") + 1).as("rn"))
     // PPJoin's two candidate-generation filters, both exact integer
     // compares riding columns the prefix rows already carry:
     //  - LENGTH: J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so at t = 1/2 a pair
