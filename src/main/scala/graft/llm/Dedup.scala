@@ -1655,12 +1655,13 @@ object Dedup extends QueryGroup {
   // norms are exact BIGINT sums; sqrt is IEEE-correctly-rounded; the final
   // cosine is one pinned multiply + divide → bit-identical both engines.
   private def tfCosine(s: SparkSession, d: String): DataFrame = {
-    val tf = words(T.documents(s, d))
-      .select(col("doc_id"), h48(col("word")).as("wh2"))
-      .groupBy(col("doc_id"), col("wh2")).agg(count(lit(1)).as("c"))
-      // read three times (both dot sides + norms): cache so the
-      // scan→hash→agg chain runs once; released per query by
-      // core.Release.storage like every cache in this family
+    // the same (doc_id, h48(word), count) relation TermFreqsMemo
+    // materializes — read the memo instead of re-scanning the corpus;
+    // cached because three consumers read it (both dot sides + norms),
+    // released per query by core.Release.storage like every cache in
+    // this family
+    val tf = TextStats.termFreqsMemo(s, d)
+      .select(col("doc_id"), col("wh").as("wh2"), col("c"))
       .cache()
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
