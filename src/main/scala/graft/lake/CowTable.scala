@@ -847,51 +847,68 @@ object CowQueries extends QueryGroup {
         .groupBy(_.getLong(0)).view
         .mapValues(_.map(_.getLong(1)).toSet).toMap
     def delsAt(v: Long): Set[Long] = dels.getOrElse(v, Set.empty)
-    def readUnits(paths: Set[String]): DataFrame =
+    def readUnits(paths: Iterable[String]): DataFrame =
       s.read.option("mergeSchema", "true")
         .parquet(paths.toSeq.sorted.map(x => s"$p/files/$x"): _*)
-    // distributive partials; n counts SIGNED contributions so retired
-    // units/hidden rows subtract exactly
-    def part(df: DataFrame, sign: Int) =
-      df.groupBy(col("o_orderstatus"))
-        .agg((count(lit(1)) * sign).as("n"),
-          (sum(col("o_orderkey")) * sign).as("key_sum"),
-          (sum(col("o_totalprice").cast(DecimalType(12, 2))) * sign)
-            .cast(DecimalType(18, 2)).as("revenue"))
-    // rows matching `keys` inside version v's snapshot, located through
-    // the filelist's key stats — only overlapping units are read (the
-    // compactDeletes targeting), so the step stays change-bounded; the
-    // overlap test itself runs on the already-collected stats (no job)
-    def rowsOf(keys: Set[Long], v: Long): Option[DataFrame] =
-      if (keys.isEmpty) None
-      else {
-        import s.implicits._
-        val hit = fl.getOrElse(v, Seq.empty).collect {
-          case (path, kmin, kmax) if keys.exists(k => k >= kmin && k <= kmax) =>
-            path
-        }.toSet
-        if (hit.isEmpty) None
-        else {
-          val kdf = keys.toSeq.sorted.toDF("o_orderkey")
-          Some(readUnits(hit)
-            .join(broadcast(kdf), Seq("o_orderkey"), "left_semi"))
-        }
-      }
-    val steps = scala.collection.mutable.ArrayBuffer(
-      part(readUnits(pathsAt(0L)), +1))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    // r15: the former shape aggregated each refresh STEP separately —
+    // up to 17 per-step groupBys (one exchange each) plus a broadcast
+    // semi-join per delete diff, unioned and re-aggregated: a ~20-stage
+    // DAG of KB-sized work whose cost was pure scheduling latency
+    // (board slot #1 four rounds running). The version loop's edge
+    // diffs are all driver-side set algebra on the ALREADY-collected
+    // metadata, so fold them there into NET SIGNS first:
+    //   - per unit path: +1 when added, -1 when retired, summed over
+    //     edges — a unit added then compacted away nets 0 and is never
+    //     read at all;
+    //   - per (snapshot, delete key): hidden rows subtract at v, a
+    //     compaction-reversed delete adds back at v-1, summed the same
+    //     way.
+    // One signed scan per surviving net value (±1 in any sane history)
+    // and a key-membership filter per delete group replace the joins,
+    // and ONE final aggregation does all the arithmetic: sum(sign),
+    // sum(key·sign), sum(price·sign) are exactly the old per-step
+    // partials re-associated — exact integer/decimal sums, so the
+    // totals are bit-identical (CowSpec's replay oracle re-grades it).
+    val unitSign = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    pathsAt(0L).foreach(x => unitSign(x) += 1)
+    val delSign = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      .withDefaultValue(0)
     for (v <- 1L to 4L) {
       val (cur, prev) = (pathsAt(v), pathsAt(v - 1))
       val (dCur, dPrev) = (delsAt(v), delsAt(v - 1))
-      if ((cur -- prev).nonEmpty) steps += part(readUnits(cur -- prev), +1)
-      if ((prev -- cur).nonEmpty) steps += part(readUnits(prev -- cur), -1)
-      rowsOf(dCur -- dPrev, v).foreach(df => steps += part(df, -1))
-      rowsOf(dPrev -- dCur, v - 1).foreach(df => steps += part(df, +1))
+      (cur -- prev).foreach(x => unitSign(x) += 1)
+      (prev -- cur).foreach(x => unitSign(x) -= 1)
+      (dCur -- dPrev).foreach(k => delSign((v, k)) -= 1)
+      (dPrev -- dCur).foreach(k => delSign((v - 1, k)) += 1)
     }
-    steps.reduce(_.unionByName(_))
+    def signed(df: DataFrame, sg: Int): DataFrame =
+      df.withColumn("sign", lit(sg.toLong))
+    val unitParts = unitSign.groupBy(_._2).collect {
+      case (sg, m) if sg != 0 => signed(readUnits(m.keys), sg)
+    }.toSeq
+    // rows matching a delete-diff key group inside snapshot v, located
+    // through the filelist's key stats — only overlapping units are
+    // read (change-bounded); membership is an isInCollection filter on
+    // the driver-side key set (KB at any table size), not a join
+    val delParts = delSign.groupBy { case ((v, _), sg) => (v, sg) }
+      .collect { case ((v, sg), m) if sg != 0 =>
+        val keys = m.keys.map(_._2).toSet
+        val hit = fl.getOrElse(v, Seq.empty).collect {
+          case (path, kmin, kmax) if keys.exists(k => k >= kmin && k <= kmax) =>
+            path
+        }
+        if (hit.isEmpty) None
+        else Some(signed(readUnits(hit)
+          .filter(col("o_orderkey").isInCollection(keys)), sg))
+      }.flatten.toSeq
+    (unitParts ++ delParts).reduce(_.unionByName(_))
       .groupBy(col("o_orderstatus"))
-      .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"),
-        sum(col("revenue")).cast(DecimalType(18, 2))
-          .cast(StringType).as("revenue"))
+      .agg(sum(col("sign")).as("n"),
+        sum(col("o_orderkey") * col("sign")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)) * col("sign"))
+          .cast(DecimalType(18, 2)).cast(StringType).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
