@@ -1167,6 +1167,10 @@ object Ann extends QueryGroup {
     * them sorted; `emb_knn_components` thresholds + CC over them). */
   private[llm] object KnnGraphMemo
       extends graft.core.DerivedFixture("knn_graph_memo", "embeddings") {
+    // v2: the (label, bucket) cell rides along — constant per vec_id,
+    // needed by emb_knn_components' per-cell CC (see knnComponents)
+    override protected[graft] def layoutTag: String = "v2-cell"
+
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
       knnGraphDirect(s, dir).write.parquet(target)
@@ -1176,7 +1180,9 @@ object Ann extends QueryGroup {
   }
 
   private def knnGraph(s: SparkSession, d: String): DataFrame =
-    KnnGraphMemo.edges(s, d).orderBy(col("vec_id"), col("rn"))
+    KnnGraphMemo.edges(s, d)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
 
   private[llm] def knnGraphDirect(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d).join(buckets(s, d, planes = 4), Seq("vec_id"))
@@ -1194,7 +1200,7 @@ object Ann extends QueryGroup {
       .filter(col("rn") <= 3)
       .select(col("vec_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(10, 4)).cast(DoubleType).as("cos_sim"),
-        col("rn"))
+        col("rn"), col("label"), col("bucket"))
   }
 
   private val knnGraphSql =
@@ -1221,12 +1227,24 @@ object Ann extends QueryGroup {
     * threshold compares the DECIMAL(10,4)-rounded cosine so the edge set
     * is boundary-stable across engines. */
   private def knnComponents(s: SparkSession, d: String): DataFrame = {
-    val edges = KnnGraphMemo.edges(s, d).filter(col("cos_sim") >= 0.25)
-      .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    // r15: every knn edge is INTRA-CELL by construction (candidates are
+    // bounded by the (label, SRP-bucket) cell), so components never
+    // span cells — CC runs per cell in ONE hash aggregation + a local
+    // union-find (functions.CcMinLabels), replacing the distributed
+    // min-label loop that paid 9 rounds ≈ 30+ scheduler-bound jobs here
+    // (the per-round shuffles were of a tiny active set; the cost was
+    // the rounds themselves). Per-cell work is corpus-size-independent:
+    // the plane count holds cell population constant as the corpus
+    // grows — the family's standing scale rule. Labels are identical to
+    // ccLabels' fixed point: min node id per component, a set property.
+    val labeled = KnnGraphMemo.edges(s, d).filter(col("cos_sim") >= 0.25)
+      .groupBy(col("label"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id").as("a"),
+        col("neighbor_id").as("b"))).as("es"))
+      .select(explode(graft.functions.CcMinLabels.of(col("es"))).as("lc"))
+      .select(col("lc.doc_id").as("vec_id"), col("lc.cluster").as("cluster"))
     val nodes = normed(s, d).select(col("vec_id"))
-    nodes.join(
-        Dedup.ccLabels(edges).withColumnRenamed("doc_id", "vec_id"),
-        Seq("vec_id"), "left")
+    nodes.join(labeled, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster"), col("vec_id")).as("cluster"))
       .withColumn("is_canonical", col("vec_id") === col("cluster"))
