@@ -875,8 +875,7 @@ object Dedup extends QueryGroup {
     * registry path feeds the memoized table, the arbitrary-docs entry
     * above rebuilds it (spec fixtures). */
   private def prefixFilterPairsFrom(dsh0: DataFrame): DataFrame = {
-    val dsh = dsh0.cache() // df + sizes + prefix + both verify sides read it
-    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val dsh = dsh0
     val dfT = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
     // Prefix construction as ONE hash agg + per-doc array ops (r15):
     // the former row_number() window paid an exchange + a PARTITION-WIDE
@@ -888,14 +887,26 @@ object Dedup extends QueryGroup {
     // size(ts), and slice() IS the ⌊m/2⌋ + 1 prefix bound. Ordering is
     // identical: array_sort on struct(df, sh) compares fields
     // lexicographically, the window's (df, sh) order.
-    val pref = dsh.join(dfT, Seq("sh"))
+    //
+    // r15b: the per-doc SORTED TOKEN ARRAY the prefix already pays for
+    // is kept (docs rows, cached) and also serves verification — the
+    // former verify path re-shuffled the exploded token relation twice
+    // more (doc_a expansion, (doc_b, sh) equi-join) and re-aggregated
+    // the intersection rows, plus two final sizes joins. Now the token
+    // relation is shuffled ONCE (this groupBy); candidates carry
+    // (na, nb) from the prefix rows, and |A∩B| is one codegen'd
+    // array_intersect per surviving pair over the two distinct arrays —
+    // identical counts, exact integers, same oracle.
+    val arr = dsh.join(dfT, Seq("sh"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("df"), col("sh"))).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("nsh"),
-        posexplode(expr("slice(array_sort(ts), 1, size(ts) div 2 + 1)"))
-          .as(Seq("p0", "t")))
-      .select(col("doc_id"), col("t.sh").as("sh"), col("nsh"),
-        (col("p0") + 1).as("rn"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), t -> t.sh)")
+        .as("sharr"))
+      .select(col("doc_id"), col("sharr"), size(col("sharr")).as("nsh"))
+      .cache() // prefix + both verify sides read it
+    val pref = arr
+      .select(col("doc_id"), col("nsh"),
+        posexplode(expr("slice(sharr, 1, nsh div 2 + 1)")).as(Seq("p0", "sh")))
+      .select(col("doc_id"), col("sh"), col("nsh"), (col("p0") + 1).as("rn"))
     // PPJoin's two candidate-generation filters, both exact integer
     // compares riding columns the prefix rows already carry:
     //  - LENGTH: J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so at t = 1/2 a pair
@@ -908,8 +919,8 @@ object Dedup extends QueryGroup {
     //    Dropping rows that cannot reach 3·overlap ≥ na+nb is lossless:
     //    a verifying pair's first-common-token row always survives, and
     //    the distinct() needs any one surviving row per pair.
-    // Both prune BEFORE verification, shrinking the doc_a-set expansion
-    // instead of paying it to reject the pair.
+    // Both prune BEFORE verification, shrinking the per-pair intersect
+    // work instead of paying it to reject the pair.
     val cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
         col("nsh").as("na"), col("rn").as("ra"))
       .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
@@ -918,20 +929,16 @@ object Dedup extends QueryGroup {
         col("nb") <= col("na") * 2 && col("na") <= col("nb") * 2 &&
         (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
           col("na") + col("nb"))
-      .select("doc_a", "doc_b").distinct()
-    // verification fan-out is CANDIDATE-bounded: each candidate pair
-    // expands to doc_a's set once, then an equi-join on (doc_b, sh)
-    // keeps the shared tokens only
-    val inter = cand
-      .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(dsh.select(col("doc_id").as("doc_b"), col("sh")),
-        Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+      // na/nb are functions of the doc ids, so carrying them through
+      // the distinct adds no rows and saves the two sizes joins
+      .select("doc_a", "doc_b", "na", "nb").distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("sharr").as("sa")),
         Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+      .join(arr.select(col("doc_id").as("doc_b"), col("sharr").as("sb")),
         Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb")))
+        .cast(LongType))
       .filter(col("n_common") * 3 >= col("na") + col("nb"))
       .withColumn("jaccard", col("n_common").cast(DoubleType) /
         (col("na") + col("nb") - col("n_common")).cast(DoubleType))
