@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -69,24 +69,42 @@ object Relational extends QueryGroup {
     // (hugeint significand → double, then ÷10^scale) and is 1 ulp off
     // Spark's correctly-rounded BigDecimal.doubleValue once the unscaled
     // value exceeds 2^53 — observed live on scale-12 charge sums at sf0.01.
-    val money2 = col("l_extendedprice").cast(DecimalType(12, 2))
-    val one2 = lit(1).cast(DecimalType(4, 2))
-    val discPrice = money2 * (one2 - col("l_discount").cast(DecimalType(4, 2)))
-    val charge = discPrice * (one2 + col("l_tax").cast(DecimalType(4, 2)))
-    // Sums are exact decimals internally; the OUTPUT layer casts to double
-    // (round-to-nearest of the identical exact value in both engines,
-    // guaranteed correct only while unscaled sums stay < 2^53) so the
-    // driver's hasher canonicalizes identically.
+    //
+    // r15: the per-row arithmetic runs on UNSCALED LONGS. The former
+    // per-row double→decimal casts went through Double.toString +
+    // BigDecimal parse (6 casts × every row — the whole stage was one
+    // task on this single-row-group fixture and ~2.4 s of it was this),
+    // where (x·10^s + 0.5)::long is three codegen-primitive ops giving
+    // the same unscaled integer for the non-negative exactly-2-decimal
+    // data (the identical data contract the decimal casts already rely
+    // on — a tie can't be exercised, so HALF_UP floor-for-positives
+    // agree). Long sums are exact (< 2^63 by the same bound that keeps
+    // the doubles correct); ONLY the output edge converts: each
+    // group-total long becomes an exact DECIMAL and divides by 10^s
+    // (exact — the quotient's true scale ≤ s < result scale), then one
+    // correctly-rounded cast to double — bit-identical to summing exact
+    // decimals, which the oracle re-grades every run.
+    def u(c: Column, pow: Int): Column =
+      (c * pow + lit(0.5d)).cast(LongType)
+    val ep2 = u(col("l_extendedprice"), 100)
+    val discU4 = ep2 * (lit(100L) - u(col("l_discount"), 100))
+    val chargeU6 = discU4 * (lit(100L) + u(col("l_tax"), 100))
+    def scaled(c: Column, pow: Int): Column =
+      (c.cast(DecimalType(20, 0)) / lit(pow).cast(DecimalType(8, 0)))
+        .cast(DoubleType)
+    val n = count(lit(1))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
-        sum(charge).cast(DoubleType).as("sum_charge"),
-        avgExact(col("l_quantity")).as("avg_qty"),
-        avgExact(col("l_extendedprice")).as("avg_price"),
-        avgExact(col("l_discount")).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        scaled(sum(u(col("l_quantity"), 10000)), 10000).as("sum_qty"),
+        scaled(sum(u(col("l_extendedprice"), 10000)), 10000)
+          .as("sum_base_price"),
+        scaled(sum(discU4), 10000).as("sum_disc_price"),
+        scaled(sum(chargeU6), 1000000).as("sum_charge"),
+        (scaled(sum(u(col("l_quantity"), 10000)), 10000) / n).as("avg_qty"),
+        (scaled(sum(u(col("l_extendedprice"), 10000)), 10000) / n)
+          .as("avg_price"),
+        (scaled(sum(u(col("l_discount"), 10000)), 10000) / n).as("avg_disc"),
+        n.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
