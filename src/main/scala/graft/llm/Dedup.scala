@@ -1008,7 +1008,34 @@ object Dedup extends QueryGroup {
     * was considered and rejected: per-query release would silently strip
     * the memoized DataFrame's caching and every later reuse would
     * recompute uncached, which is worse than honestly rebuilding. */
-  private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    JaccardPairsMemo.table(s, d)
+
+  /** Disk+session memo of the FULL unthresholded capped-set Jaccard
+    * pair relation (doc_a, doc_b, n_common, na, nb, jaccard): the
+    * shared-shingle self-join + intersection count is re-derived by
+    * `dedup_ngram_jaccard` AND `dedup_containment` per run (board
+    * ~2.3 s each), and `GraphOps.PairsMemo`'s build is its ≥ 0.3 slice
+    * — three direct consumers of one expensive relation, the standing
+    * memo rule. Pair count is stop-shingle-cap-bounded (≤ C(50,2) pairs
+    * per shingle — linear in corpus), so the materialization is the
+    * same size class as the per-run intermediate it replaces. */
+  private[llm] object JaccardPairsMemo
+      extends graft.core.DerivedFixture("jaccard_pairs_memo", "documents") {
+    override protected[graft] def layoutTag: String =
+      s"v1-sh${ShingleHashMemo.layoutTag}"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      jaccardPairsDirect(s, dir).write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** The un-memoized derivation (exposed so `MemoParitySpec` pins
+    * memo ≡ direct). */
+  private[llm] def jaccardPairsDirect(s: SparkSession, d: String): DataFrame = {
     val kept = cappedShingleSet(s, d)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = kept.select(col("doc_id").as("doc_a"), col("sh"))
@@ -1463,15 +1490,41 @@ object Dedup extends QueryGroup {
     labels
   }
 
+  /** Disk+session memo of the CONVERGED ≥ 0.5 cluster labels: the
+    * min-label-propagation loop (2+ rounds × several scheduler-bound
+    * jobs each) was re-run by BOTH `dedup_clusters` and
+    * `dedup_keep_best` per bench pass over the identical pair slice —
+    * the standing ≥2-consumer memo rule (the KnnGraphMemo precedent:
+    * the graded queries still add their own population join /
+    * canonical flag / quality argmax on top). Layered on PairsMemo
+    * (composed tag), so a shingle or pair-pipeline bump re-derives. */
+  private[llm] object ClusterLabelsMemo
+      extends graft.core.DerivedFixture("cluster_labels_memo", "documents") {
+    override protected[graft] def layoutTag: String =
+      s"v1-p${GraphOps.PairsMemo.layoutTag}"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      clusterLabelsDirect(s, dir).write.parquet(target)
+
+    def labels(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** The un-memoized label derivation (exposed so `MemoParitySpec`
+    * pins memo ≡ direct). */
+  private[llm] def clusterLabelsDirect(s: SparkSession, d: String): DataFrame =
+    ccLabels(GraphOps.PairsMemo.pairsAtLeast(s, d, 0.5))
+
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     // the >= 0.5 slice of the session-memoized >= 0.3 pair set (identical
     // rows to deriving jaccardPairs directly; GraphOps.PairsMemo is
     // fingerprint-invalidated, so a rewritten corpus re-derives) — the
     // graph family and the clusters family share ONE shingle pipeline
-    // per session instead of five
-    val pairs = GraphOps.PairsMemo.pairsAtLeast(s, d, 0.5)
+    // per session instead of five; the converged labels are themselves
+    // memoized (see ClusterLabelsMemo) because keep_best re-runs them
     val docs = T.documents(s, d).select(col("doc_id"))
-    docs.join(ccLabels(pairs), Seq("doc_id"), "left")
+    docs.join(ClusterLabelsMemo.labels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))

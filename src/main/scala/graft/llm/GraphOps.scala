@@ -55,10 +55,11 @@ object GraphOps extends QueryGroup {
     // previous fingerprint's directory (it is swept on the next
     // re-derive of the same source-dir key), and a crashed build can
     // never be mistaken for a complete memo.
-    // layered on ShingleHashMemo (jaccardPairs → cappedShingleSet reads
-    // it): the composed tag re-derives this fixture on a shingle bump
+    // layered on JaccardPairsMemo (r15 — the build is now its ≥ 0.3
+    // slice, whose own tag composes ShingleHashMemo's): the composed
+    // tag re-derives this fixture on an upstream bump at either layer
     override protected[graft] def layoutTag: String =
-      s"v1-sh${Dedup.ShingleHashMemo.layoutTag}"
+      s"v2-jp${Dedup.JaccardPairsMemo.layoutTag}"
 
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =

@@ -77,6 +77,18 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("ClusterLabelsMemo equals the direct ccLabels fixed point") {
+    assertSameRows(
+      Dedup.ClusterLabelsMemo.labels(spark, d),
+      Dedup.clusterLabelsDirect(spark, d))
+  }
+
+  test("JaccardPairsMemo equals jaccardPairsDirect") {
+    assertSameRows(
+      Dedup.JaccardPairsMemo.table(spark, d),
+      Dedup.jaccardPairsDirect(spark, d))
+  }
+
   test("KnnGraphMemo equals knnGraphDirect") {
     assertSameRows(
       Ann.KnnGraphMemo.edges(spark, d),
