@@ -1309,36 +1309,44 @@ object Dedup extends QueryGroup {
           (col("dotq").cast(DoubleType) /
             (sqrt(col("vq2").cast(DoubleType)) * sqrt(col("cq2").cast(DoubleType))))
             .cast(DecimalType(10, 4))).as("cosc"))
-    val a = n.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
-      col("emb").as("emb_a"), col("nsq").as("nsq_a"))
-    val b = n.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
-      col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    // r15: centroid-cos attaches to the vectors ONCE before the pair
+    // self-join (both sides then carry it for free), and the three
+    // per-label aggregations (pair count, distinct-drop count via a
+    // separate distinct+join) fold into ONE groupBy over the per-pair
+    // rows — same arithmetic, same null handling (a pair with either
+    // centroid-cos null counts as a dup pair but never drops — the
+    // countDistinct's null-skip is exactly the old isNotNull filter),
+    // ~half the exchanges of the former shape, whose cost at bench
+    // scale was pure stage scheduling over KB-sized cells.
+    // cached: BOTH self-join sides read it — without the cache the
+    // whole explode+centroid derivation is cloned into each side
+    // (released per query by core.Release.storage, family convention)
+    val n2 = n.join(cosc, Seq("label", "bucket", "vec_id")).cache()
+    val a = n2.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
+      col("emb").as("emb_a"), col("nsq").as("nsq_a"),
+      col("cosc").as("cosc_a"))
+    val b = n2.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
+      col("emb").as("emb_b"), col("nsq").as("nsq_b"),
+      col("cosc").as("cosc_b"))
     val pairs = a.join(b, Seq("label", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", (dot(col("emb_a"), col("emb_b")) /
         (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).cast(DecimalType(10, 4)))
       .filter(col("cos") >= 0.35)
-      .select(col("label"), col("bucket"), col("vec_a"), col("vec_b"))
-    val judged = pairs
-      .join(cosc.select(col("label"), col("bucket"),
-        col("vec_id").as("vec_a"), col("cosc").as("cosc_a")),
-        Seq("label", "bucket", "vec_a"))
-      .join(cosc.select(col("label"), col("bucket"),
-        col("vec_id").as("vec_b"), col("cosc").as("cosc_b")),
-        Seq("label", "bucket", "vec_b"))
-      .where(col("cosc_a").isNotNull && col("cosc_b").isNotNull)
       // the loser (dropped member) sits CLOSER to the centroid; ties on
-      // the rounded decimal break toward the higher vec_id
+      // the rounded decimal break toward the higher vec_id; null when
+      // either centroid-cos is undefined (zero-norm cell) — the pair is
+      // counted, nothing is dropped
       .select(col("label"),
-        when(col("cosc_a") > col("cosc_b"), col("vec_a"))
-          .otherwise(col("vec_b")).as("drop_id"))
+        when(col("cosc_a").isNotNull && col("cosc_b").isNotNull,
+          when(col("cosc_a") > col("cosc_b"), col("vec_a"))
+            .otherwise(col("vec_b"))).as("drop_id"))
     val base = n.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), countDistinct(col("bucket")).as("n_cells"))
-    val pairAgg = pairs.groupBy(col("label")).agg(count(lit(1)).as("n_dup_pairs"))
-    val dropAgg = judged.select(col("label"), col("drop_id")).distinct()
-      .groupBy(col("label")).agg(count(lit(1)).as("n_dropped"))
+    val pairAgg = pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("drop_id")).as("n_dropped"))
     base.join(pairAgg, Seq("label"), "left")
-      .join(dropAgg, Seq("label"), "left")
       .select(col("label"), col("n_vecs"), col("n_cells"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
