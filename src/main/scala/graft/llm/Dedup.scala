@@ -360,8 +360,31 @@ object Dedup extends QueryGroup {
         expr(s"stack($bands, $stackExpr) AS (i, minhash)"))
   }
 
+  /** Disk+session memo of the GRADED-parameterization signature table
+    * (doc_id, i, minhash): the shingle→md5→8-band-min pass was re-run
+    * by `dedup_minhash_sig`, `dedup_minhash_pairs` AND
+    * `dedup_lsh_recall` per run — the standing ≥2-consumer rule (the
+    * sig query presents the relation sorted, the KnnGraphMemo shape).
+    * Composes ShingleHashMemo's tag as the shingle-DEFINITION version:
+    * this build re-shingles directly (it needs both md5 halves where
+    * the shingle memo stores only h48), but the definition it must
+    * track is the same one. */
+  private[llm] object MinhashSigMemo
+      extends graft.core.DerivedFixture("minhash_sig_memo", "documents") {
+    override protected[graft] def layoutTag: String =
+      s"v1-b$GradedBands-m$GradedModulus-sh${ShingleHashMemo.layoutTag}"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      minhashSigOf(T.documents(s, dir), GradedBands, GradedModulus)
+        .write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
   private def minhashSig(s: SparkSession, d: String): DataFrame =
-    minhashSigOf(T.documents(s, d), GradedBands, GradedModulus)
+    MinhashSigMemo.table(s, d)
       .orderBy(col("doc_id"), col("i"))
 
   private val minhashSigSql =
@@ -383,8 +406,16 @@ object Dedup extends QueryGroup {
   /** Band-space-parameterized candidate pairs; see [[minhashSigOf]] for
     * the corpus-scaling rule on `modulus` and `maxBandDf`. */
   private[llm] def minhashPairsOf(docs: DataFrame, bands: Int,
+      modulus: Long, maxBandDf: Long): DataFrame =
+    minhashPairsFromSig(
+      minhashSigOf(docs, bands, modulus).cache(), // self-joined: compute once
+      bands, modulus, maxBandDf)
+
+  /** The banding pipeline over a prebuilt signature table — the graded
+    * path feeds [[MinhashSigMemo]], the arbitrary-docs entry above
+    * rebuilds it (spec fixtures / scale sweeps). */
+  private def minhashPairsFromSig(sig: DataFrame, bands: Int,
       modulus: Long, maxBandDf: Long): DataFrame = {
-    val sig = minhashSigOf(docs, bands, modulus).cache() // self-joined: compute once
     // hot-band guard: a band value shared by f docs emits f² pairs, so one
     // popular signature is quadratic at scale — drop bands with df >
     // maxBandDf (stop-band removal; same cap jaccardPairs applies to stop
@@ -420,8 +451,8 @@ object Dedup extends QueryGroup {
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsOf(T.documents(s, d), GradedBands, GradedModulus,
-      GradedMaxBandDf)
+    minhashPairsFromSig(MinhashSigMemo.table(s, d), GradedBands,
+      GradedModulus, GradedMaxBandDf)
       .orderBy(col("jaccard_est").desc, col("doc_a"), col("doc_b"))
       .limit(100)
 
@@ -473,7 +504,7 @@ object Dedup extends QueryGroup {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 3)
       .withColumn("jaccard_tenths", expr("(inter * 10) div uni"))
-    val sig = minhashSig(s, d)
+    val sig = MinhashSigMemo.table(s, d)
     val cool = sig.groupBy(col("i"), col("minhash"))
       .agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") <= 50).select(col("i"), col("minhash"))

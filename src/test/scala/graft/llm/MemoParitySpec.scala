@@ -77,6 +77,13 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("MinhashSigMemo equals the direct graded signature derivation") {
+    assertSameRows(
+      Dedup.MinhashSigMemo.table(spark, d),
+      Dedup.minhashSigOf(graft.core.Tables.documents(spark, d),
+        Dedup.GradedBands, Dedup.GradedModulus))
+  }
+
   test("ClusterLabelsMemo equals the direct ccLabels fixed point") {
     assertSameRows(
       Dedup.ClusterLabelsMemo.labels(spark, d),
