@@ -163,13 +163,50 @@ object MetricBatch extends QueryGroup {
       .drop("bkt", "pos", "off")
   }
 
+  /** The graded bucket/segment knobs shared by the two range-split
+    * consumers and their index memo. */
+  private val IdxBucketMs = 3600000L
+  private val IdxSegRows = 1000
+
+  /** Disk+session memo of the GLOBALLY-INDEXED event relation
+    * (event_type, ts, event_id, value, g, seg) at the graded knobs:
+    * `metric_anomaly` and `metric_moving_median` each re-ran the
+    * two-phase prefix-sum indexing per run — the standing ≥2-consumer
+    * memo rule. The index is deterministic (row_number over the
+    * (ts, event_id) total order within each (series, bucket)). */
+  private[graft] object EventsIndexMemo
+      extends graft.core.DerivedFixture("events_index_memo", "events") {
+    override protected[graft] def layoutTag: String =
+      s"v1-b$IdxBucketMs-s$IdxSegRows"
+
+    override protected def build(s: SparkSession, dir: String,
+        target: String): Unit =
+      indexedEventsDirect(s, dir).write.parquet(target)
+
+    def table(s: SparkSession, d: String): DataFrame =
+      s.read.parquet(ensure(s, d))
+  }
+
+  /** The un-memoized indexed relation (exposed so `MemoParitySpec`
+    * pins memo ≡ direct). */
+  private[graft] def indexedEventsDirect(s: SparkSession,
+      d: String): DataFrame =
+    withGlobalIndex(T.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      IdxBucketMs, IdxSegRows)
+
   private[operators] def anomalyRangeSplit(events: DataFrame,
-      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
+      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame =
+    anomalyFromIndexed(withGlobalIndex(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      bucketMs, segRows), segRows)
+
+  /** The detector over a prebuilt indexed relation — the registry path
+    * feeds the memo, [[anomalyRangeSplit]] rebuilds inline (specs). */
+  private def anomalyFromIndexed(gIn: DataFrame, segRows: Int): DataFrame = {
     require(segRows >= 21,
       s"anomaly range-split: segRows=$segRows cannot cover the 20-row frame")
-    val g = withGlobalIndex(events
-      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
-        dec(col("value")).as("v")), bucketMs, segRows)
+    val g = gIn.withColumn("v", dec(col("value")))
     val core = g.withColumn("ctx", lit(false))
     // frame-overlap duplication: a segment's last 20 rows also feed the
     // NEXT segment's window partition (context-only — filtered before zTail)
@@ -186,7 +223,7 @@ object MetricBatch extends QueryGroup {
   }
 
   private def anomaly(s: SparkSession, d: String): DataFrame =
-    anomalyRangeSplit(T.events(s, d))
+    anomalyFromIndexed(EventsIndexMemo.table(s, d), IdxSegRows)
 
   private val anomalySql =
     """WITH e AS (
@@ -251,12 +288,17 @@ object MetricBatch extends QueryGroup {
     * following frame), so every core row sees exactly its global
     * g−10 … g+10 frame. Tasks scale with data volume, not series count. */
   private[operators] def movingMedianRangeSplit(events: DataFrame,
-      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame = {
+      bucketMs: Long = 3600000L, segRows: Int = 1000): DataFrame =
+    movingMedianFromIndexed(withGlobalIndex(events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      bucketMs, segRows), segRows)
+
+  /** The filter over a prebuilt indexed relation — the registry path
+    * feeds the memo, [[movingMedianRangeSplit]] rebuilds inline. */
+  private def movingMedianFromIndexed(g: DataFrame,
+      segRows: Int): DataFrame = {
     require(segRows >= 21,
       s"median range-split: segRows=$segRows cannot cover the ±10 frame")
-    val g = withGlobalIndex(events
-      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
-      bucketMs, segRows)
     val pis = col("g") - col("seg") * segRows // 1-based position in segment
     val core = g.withColumn("ctx", lit(false))
     val ctxNext = g.filter(pis > segRows - 10)
@@ -272,7 +314,7 @@ object MetricBatch extends QueryGroup {
   }
 
   private def movingMedian(s: SparkSession, d: String): DataFrame =
-    movingMedianRangeSplit(T.events(s, d))
+    movingMedianFromIndexed(EventsIndexMemo.table(s, d), IdxSegRows)
 
   private val movingMedianSql =
     """WITH e AS (

@@ -77,6 +77,12 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("EventsIndexMemo equals the direct two-phase indexing") {
+    assertSameRows(
+      graft.operators.MetricBatch.EventsIndexMemo.table(spark, d),
+      graft.operators.MetricBatch.indexedEventsDirect(spark, d))
+  }
+
   test("MinhashSigMemo equals the direct graded signature derivation") {
     assertSameRows(
       Dedup.MinhashSigMemo.table(spark, d),
