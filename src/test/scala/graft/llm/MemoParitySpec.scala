@@ -77,6 +77,11 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("BPE MergesMemo equals the direct Sennrich loop") {
+    assert(BpeTrain.MergesMemo.merges(spark, d) ==
+      BpeTrain.learnDirect(spark, d))
+  }
+
   test("EventsIndexMemo equals the direct two-phase indexing") {
     assertSameRows(
       graft.operators.MetricBatch.EventsIndexMemo.table(spark, d),
