@@ -77,6 +77,21 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("unigram PieceScoresMemo equals the direct substring aggregation") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val wf = Dedup.words(graft.core.Tables.documents(spark, d))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    assertSameRows(
+      Subword.PieceScoresMemo.table(spark, d),
+      Subword.pieceScores(wf))
+  }
+
+  test("unigram Seg0Memo equals the direct broadcast-map DP") {
+    assertSameRows(
+      Subword.Seg0Memo.table(spark, d),
+      Subword.seg0Direct(spark, d))
+  }
+
   test("BPE MergesMemo equals the direct Sennrich loop") {
     assert(BpeTrain.MergesMemo.merges(spark, d) ==
       BpeTrain.learnDirect(spark, d))
