@@ -472,15 +472,16 @@ object TextStats extends QueryGroup {
   }
 
   private def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val pos = words(T.documents(s, d))
-      .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
     val bg = BigramCountsMemo.table(s, d)
     val bgModel = bg.groupBy(col("h1"), col("h2"))
       .agg(sum(col("c")).cast(LongType).as("cb"))
     // |V|-bounded; cut so its three consumers (two model joins + the
-    // corpus total) share one token-stream aggregation
+    // corpus total) share one aggregation. r15: the unigram counts fold
+    // from the term-frequency memo (Σ per-doc c ≡ the token-stream
+    // count per wh — same h48 hash) instead of re-exploding the corpus.
     val uni = graft.core.Materialize.cut(
-      pos.groupBy(col("wh")).agg(count(lit(1)).cast(LongType).as("cu")))
+      termFreqsMemo(s, d).groupBy(col("wh"))
+        .agg(sum(col("c")).cast(LongType).as("cu")))
     val n = uni.agg(sum(col("cu")).cast(LongType).as("nt"))
     val lp = bgModel
       .join(broadcast(uni.select(col("wh").as("h1"), col("cu").as("cu1"))),
