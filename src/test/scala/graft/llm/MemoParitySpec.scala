@@ -77,6 +77,12 @@ class MemoParitySpec extends SparkSuite {
       Pipeline.curateVerdictDirect(spark, d))
   }
 
+  test("PhashPairsFixture equals the direct banded-Hamming derivation") {
+    assertSameRows(
+      spark.read.parquet(Multimodal.PhashPairsFixture.ensure(spark)),
+      Multimodal.phashPairsDirect(spark))
+  }
+
   test("unigram PieceScoresMemo equals the direct substring aggregation") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val wf = Dedup.words(graft.core.Tables.documents(spark, d))
