@@ -88,4 +88,24 @@ object Tables {
     * `CAST(SUM(CAST(x AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)`. */
   def avgExact(c: Column): Column =
     sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** Unscaled-long view of a non-negative exactly-2-decimal double at
+    * scale log10(pow): (x·pow + 0.5)::long — three codegen-primitive
+    * ops per row where the decimal cast paid a Double.toString +
+    * BigDecimal parse. Identical integer under the same data contract
+    * the decimal casts rely on (values non-negative and exactly
+    * 2-decimal, so the +0.5 floor IS HALF_UP and a tie is never
+    * exercised). */
+  def unscaled(c: Column, pow: Int): Column =
+    (c * pow + lit(0.5d)).cast(LongType)
+
+  /** Exact double of an unscaled-long SUM back at scale log10(pow):
+    * one exact decimal division (the quotient's true scale is below
+    * the result scale, so nothing rounds) then ONE correctly-rounded
+    * cast — bit-identical to casting the exact decimal sum, valid past
+    * 2^53 where a double division of the raw long would double-round.
+    * Runs once per GROUP, never per row. */
+  def unscaledToDouble(c: Column, pow: Int): Column =
+    (c.cast(DecimalType(20, 0)) / lit(pow).cast(DecimalType(10, 0)))
+      .cast(DoubleType)
 }

@@ -84,14 +84,10 @@ object Relational extends QueryGroup {
     // (exact — the quotient's true scale ≤ s < result scale), then one
     // correctly-rounded cast to double — bit-identical to summing exact
     // decimals, which the oracle re-grades every run.
-    def u(c: Column, pow: Int): Column =
-      (c * pow + lit(0.5d)).cast(LongType)
+    import T.{unscaled => u, unscaledToDouble => scaled}
     val ep2 = u(col("l_extendedprice"), 100)
     val discU4 = ep2 * (lit(100L) - u(col("l_discount"), 100))
     val chargeU6 = discU4 * (lit(100L) + u(col("l_tax"), 100))
-    def scaled(c: Column, pow: Int): Column =
-      (c.cast(DecimalType(20, 0)) / lit(pow).cast(DecimalType(8, 0)))
-        .cast(DoubleType)
     val n = count(lit(1))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -139,12 +135,19 @@ object Relational extends QueryGroup {
     val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = T.orders(s, d)
     val l = T.lineitem(s, d)
-    val one = lit(1).cast(DecimalType(6, 4))
+    // revenue on unscaled longs (the q04 move): ep(12,4) × (1−disc)(6,4)
+    // has true scale 8 on 2-decimal data, so the per-row product is
+    // ep_u4 · (10^4 − d_u4) — primitive long math replacing two
+    // string-parsing decimal casts per row; the per-group total
+    // converts once through the exact-division edge (bit-identical,
+    // oracle re-graded)
+    import T.{unscaled => u, unscaledToDouble => scaled}
     broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(dec(col("l_extendedprice")) * (one - decr(col("l_discount"))))
-        .cast(DoubleType).as("revenue"))
+      .agg(scaled(sum(u(col("l_extendedprice"), 10000) *
+        (lit(10000L) - u(col("l_discount"), 10000))), 100000000)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
