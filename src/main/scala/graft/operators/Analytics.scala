@@ -404,7 +404,11 @@ object Analytics extends QueryGroup {
         max(col("ts")).as("session_end"),
         (max(col("us")) - min(col("us"))).as("duration_us"),
         countDistinct(col("event_type")).as("n_types"),
-        sum(T.dec(col("value"))).cast(DoubleType).as("value_sum"),
+        // unscaled-long sum (the q04 move): primitive per-row math, one
+        // exact-division edge per session — bit-identical to the
+        // decimal-sum cast on the non-negative 2-decimal values
+        T.unscaledToDouble(sum(T.unscaled(col("value"), 10000)), 10000)
+          .as("value_sum"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("has_purchase"))
       .select(col("user_id"), col("sid").as("session_seq"), col("n_events"),
