@@ -1552,7 +1552,7 @@ object Dedup extends QueryGroup {
 
   /** The un-memoized label derivation (exposed so `MemoParitySpec`
     * pins memo ≡ direct). */
-  private[llm] def clusterLabelsDirect(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusterLabelsDirect(s: SparkSession, d: String): DataFrame =
     ccLabels(GraphOps.PairsMemo.pairsAtLeast(s, d, 0.5))
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {

@@ -49,12 +49,23 @@ class MaterializeSpec extends SparkSuite {
     // this is the REGISTRY path (multi-round loops, real shingle join)
     // under the cluster-mode config, not a toy
     val d = "/root/testdata/sf0.01"
-    Seq("dedup_clusters", "graph_pagerank").foreach { name =>
+    // dedup_clusters reads the r15 label memo at query time; its loop
+    // (the thing that must checkpoint reliably in cluster mode) is the
+    // memo's BUILD path — drive that directly
+    val loops: Seq[(String, org.apache.spark.sql.SparkSession => Array[org.apache.spark.sql.Row])] = Seq(
+      "dedup_clusters label build" ->
+        ((ss: org.apache.spark.sql.SparkSession) =>
+          graft.llm.Dedup.clusterLabelsDirect(ss, d)
+            .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect()),
+      "graph_pagerank" ->
+        ((ss: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("graph_pagerank")(ss, d).collect()))
+    loops.foreach { case (name, run) =>
       val before = rddFiles(tmp).size
-      val reliable = SparkEntry.queries(name)(sess, d).collect()
+      val reliable = run(sess)
       assert(rddFiles(tmp).size > before,
         s"$name cut no lineage through the reliable dir")
-      val local = SparkEntry.queries(name)(spark, d).collect()
+      val local = run(spark)
       assert(reliable.toSeq === local.toSeq, s"$name diverged between modes")
       Release.storage(sess)
       Release.storage(spark)

@@ -10,8 +10,11 @@ class ReleaseSpec extends SparkSuite {
 
   test("storage-pinning queries leave zero persistent RDDs after release") {
     // one representative per pinning mechanism: localCheckpoint loops
-    // (pagerank, clusters) and cached self-join intermediates (tf-cosine)
-    Seq("graph_pagerank", "dedup_clusters", "dedup_tf_cosine").foreach { name =>
+    // (pagerank) and cached self-join intermediates (semdedup,
+    // tf-cosine). dedup_clusters reads the r15 label memo and pins
+    // nothing at query time — its loop's storage is exercised through
+    // clusterLabelsDirect in MaterializeSpec.
+    Seq("graph_pagerank", "dedup_semdedup", "dedup_tf_cosine").foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).collect()
       // the query genuinely pinned something — otherwise this spec tests
       // nothing and should be pointed at a different query

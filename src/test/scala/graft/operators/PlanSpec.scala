@@ -200,8 +200,7 @@ class PlanSpec extends SparkSuite {
     // range-split shape (RangeSplitSpec pins equivalence to the global
     // window): the trailing n/s1/s2 statistics are Window nodes over ONE
     // (event_type, seg) spec — exactly one exchange carries the segment
-    // key; a second would mean the data re-shuffled per statistic. The
-    // volume-scaling phase-1 key (event_type, bkt) must also appear.
+    // key; a second would mean the data re-shuffled per statistic.
     val df = SparkEntry.queries("metric_anomaly")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -209,8 +208,15 @@ class PlanSpec extends SparkSuite {
     val segEx = finalSection.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && l.contains("seg"))
     assert(segEx === 1, p)
-    assert(finalSection.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("bkt")), p)
+    // the volume-scaling phase-1 key (event_type, bkt) lives in the
+    // index memo's BUILD path since r15 (the memo rule: shapes are
+    // pinned where the work happens) — assert it there
+    val build = MetricBatch.indexedEventsDirect(spark, sfDir)
+    build.collect()
+    val bp = build.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(bp.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bkt")), bp)
   }
 
   test("chunk_documents: narrow generator — no shuffle before the output sort") {
