@@ -103,16 +103,26 @@ object Bench {
           .sortBy(_._1).headOption.map(_._2).getOrElse(0)
         name -> best
     }.toMap
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed queries (-1 markers) are EXCLUDED from the total — summing
     // them in would make a hard failure LOWER the headline number
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // per-query detail first; named "per_query" so the driver's
-    // first-"total"-match lands on the compact summary line below, never on
-    // this (truncation-prone) one
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first, CHUNKED into <500-byte lines (r16: the
+    // former single per_query line outgrew the driver's tail capture at
+    // 232 queries and its round-over-round per-query diff came back
+    // empty — PERF_r15 per_query: {}). Each chunk is one complete JSON
+    // object named "per_query" (part i of n), so a line-oriented
+    // consumer can concatenate the "queries" maps; the compact "total"
+    // line below stays LAST and is the primary contract.
+    val perQueryEntries = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }
+    // 8 entries/line ≈ 300 bytes at the longest registry names —
+    // comfortably under the 500-byte line budget
+    val perQueryChunks = perQueryEntries.grouped(8).toSeq
+    perQueryChunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"per_query","part":${i + 1},"of":${perQueryChunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
     // compact summary LAST (<500 bytes): the full line above can exceed the
     // driver's tail-capture, leaving `parsed` null — this one never does
     // Locale.ROOT: the f interpolator uses the JVM default locale, which
@@ -137,7 +147,12 @@ object Bench {
     // overwrite the committed min-of-2 board with warm-up noise
     if (args.isEmpty && iters >= 2 &&
         (boardEnv.isDefined || normPath(sfDir) == normPath(DefaultSfDir))) {
-      val boardPath = boardEnv.getOrElse("bench_board.json")
+      // r16: the default-path board is additionally keyed by the cpu
+      // count — the driver's low-core scaling run at the default sf was
+      // clobbering the committed 32-cpu board (r15's working tree held
+      // the c8 run). An explicit SPARK_GRAFT_BOARD still wins.
+      val boardPath = boardEnv.getOrElse(
+        if (cpus == "32") "bench_board.json" else s"bench_board_c$cpus.json")
       val body = results.sortBy(_._1)
         .map { case (k, v) => "  \"" + k + "\": " + num(v, 3) }
         .mkString(",\n")

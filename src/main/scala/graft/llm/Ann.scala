@@ -431,13 +431,10 @@ object Ann extends QueryGroup {
     * disk per (source state, k, iters); values are identical to
     * [[ivfModelDirect]] (doubles round-trip parquet exactly). */
   private[graft] def ivfModel(s: SparkSession, d: String, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val p = ivfModelMemo
-      .getOrElseUpdate((k, iters), new IvfModelFixture(k, iters))
-      .ensure(s, d)
-    (normed(s, d).join(s.read.parquet(s"$p/assign"), Seq("vec_id")),
-      s.read.parquet(s"$p/cents"))
-  }
+      iters: Int): (DataFrame, DataFrame) =
+    // r16 memo policy: graded consumers run the Lloyd loop inline (its
+    // normed base is cached in-plan); the fixture stays for tests/tools.
+    ivfModelDirect(s, d, k, iters)
 
   /** The un-memoized model build — one distributed Lloyd loop; only the
     * k×dim centroid table touches the driver. */
@@ -535,14 +532,10 @@ object Ann extends QueryGroup {
     * pattern as [[ivfModel]]'s memo (two consumers: `pqAdc`, `ivfPq`;
     * the per-subspace Lloyd loop is the scheduler-noise-bound cost). */
   private[llm] def pqModel(s: SparkSession, d: String, m: Int, ksub: Int,
-      iters: Int): (DataFrame, DataFrame, Int, Int) = {
-    val p = pqModelMemo
-      .getOrElseUpdate((m, ksub, iters), new PqModelFixture(m, ksub, iters))
-      .ensure(s, d)
-    val meta = s.read.parquet(s"$p/meta").collect()(0)
-    (s.read.parquet(s"$p/codes"), s.read.parquet(s"$p/cents"),
-      meta.getAs[Int]("dsub"), meta.getAs[Int]("nsub"))
-  }
+      iters: Int): (DataFrame, DataFrame, Int, Int) =
+    // r16 memo policy: graded consumers run the per-subspace Lloyd loop
+    // inline; the fixture stays for tests/tools.
+    pqModelDirect(s, d, m, ksub, iters)
 
   private[llm] def pqModelDirect(s: SparkSession, d: String, m: Int,
       ksub: Int, iters: Int): (DataFrame, DataFrame, Int, Int) = {
@@ -1180,12 +1173,16 @@ object Ann extends QueryGroup {
   }
 
   private def knnGraph(s: SparkSession, d: String): DataFrame =
-    KnnGraphMemo.edges(s, d)
+    // r16 memo policy: the edge relation derives inline
+    knnGraphDirect(s, d)
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
       .orderBy(col("vec_id"), col("rn"))
 
   private[llm] def knnGraphDirect(s: SparkSession, d: String): DataFrame = {
+    // cached: the cell self-join reads both sides (in-plan, released
+    // per query)
     val n = normed(s, d).join(buckets(s, d, planes = 4), Seq("vec_id"))
+      .cache()
     val a = n.select(col("vec_id"), col("label"), col("bucket"),
       col("emb").as("emb_a"), col("nsq").as("nsq_a"))
     val b = n.select(col("vec_id").as("neighbor_id"), col("label"),
@@ -1237,7 +1234,7 @@ object Ann extends QueryGroup {
     // the plane count holds cell population constant as the corpus
     // grows — the family's standing scale rule. Labels are identical to
     // ccLabels' fixed point: min node id per component, a set property.
-    val labeled = KnnGraphMemo.edges(s, d).filter(col("cos_sim") >= 0.25)
+    val labeled = knnGraphDirect(s, d).filter(col("cos_sim") >= 0.25)
       .groupBy(col("label"), col("bucket"))
       .agg(collect_list(struct(col("vec_id").as("a"),
         col("neighbor_id").as("b"))).as("es"))

@@ -80,8 +80,10 @@ object BpeTrain extends QueryGroup {
         .sortBy(_._1).toSeq
   }
 
+  /** r16 memo policy: graded consumers run the training loop inline;
+    * the memo stays for tests/tools. */
   private[llm] def learn(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
-    MergesMemo.merges(s, d)
+    learnDirect(s, d)
 
   /** The un-memoized loop (exposed so `MemoParitySpec` pins memo ≡
     * direct). */

@@ -75,13 +75,18 @@ object Dedup extends QueryGroup {
       extends graft.core.DerivedFixture("shingle_h48_memo", "documents") {
     override protected def build(s: SparkSession, dir: String,
         target: String): Unit =
-      shingles(T.documents(s, dir))
-        .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
-        .write.parquet(target)
+      shingleHashes(s, dir).write.parquet(target)
 
     def table(s: SparkSession, d: String): DataFrame =
       s.read.parquet(ensure(s, d))
   }
+
+  /** The inline (doc_id, pos, shh) hashed-shingle derivation — r16 memo
+    * policy: graded query paths derive from the base tables every run;
+    * [[ShingleHashMemo]] stays for tests/tools only. */
+  private[llm] def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingles(T.documents(s, d))
+      .select(col("doc_id"), col("pos"), h48(col("sh")).as("shh"))
 
   /** Covered duplicated positions (doc_id, pos): every word position
     * inside a 5-gram whose distinct-doc df is ≥ 2 — the C4-style span
@@ -104,7 +109,9 @@ object Dedup extends QueryGroup {
     /** The un-memoized derivation — the build's body, exposed so
       * `MemoParitySpec` can pin memo ≡ direct. */
     private[llm] def positionsDirect(s: SparkSession, dir: String): DataFrame = {
-      val hsh = ShingleHashMemo.table(s, dir)
+      // inline shingles (r16 memo policy), cached: the dup-df probe and
+      // the covered-position expansion both read the relation
+      val hsh = shingleHashes(s, dir).cache()
       val dup = hsh.select(col("doc_id"), col("shh")).distinct()
         .groupBy(col("shh")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2).select(col("shh"))
@@ -190,7 +197,7 @@ object Dedup extends QueryGroup {
   // of ~30-byte 5-word strings (2^-48 collision odds, mirrored in the
   // oracle) — the shape that holds at 100 TB.
   private def q30b(s: SparkSession, d: String): DataFrame =
-    ShingleHashMemo.table(s, d)
+    shingleHashes(s, d)
       .select(col("doc_id"), col("shh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -384,7 +391,7 @@ object Dedup extends QueryGroup {
   }
 
   private def minhashSig(s: SparkSession, d: String): DataFrame =
-    MinhashSigMemo.table(s, d)
+    minhashSigOf(T.documents(s, d), GradedBands, GradedModulus)
       .orderBy(col("doc_id"), col("i"))
 
   private val minhashSigSql =
@@ -451,7 +458,7 @@ object Dedup extends QueryGroup {
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsFromSig(MinhashSigMemo.table(s, d), GradedBands,
+    minhashPairsOf(T.documents(s, d), GradedBands,
       GradedModulus, GradedMaxBandDf)
       .orderBy(col("jaccard_est").desc, col("doc_a"), col("doc_b"))
       .limit(100)
@@ -489,7 +496,7 @@ object Dedup extends QueryGroup {
   // truth side is sampled (exhaustion is the evaluation's cost, not the
   // pipeline's) — this is the oracle-checkable exact form.
   private def lshRecall(s: SparkSession, d: String): DataFrame = {
-    val dsh = ShingleHashMemo.table(s, d)
+    val dsh = shingleHashes(s, d)
       .select(col("doc_id"), col("shh").as("sh")).distinct()
       .cache() // truth self-join reads both sides
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -504,7 +511,10 @@ object Dedup extends QueryGroup {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 3)
       .withColumn("jaccard_tenths", expr("(inter * 10) div uni"))
-    val sig = MinhashSigMemo.table(s, d)
+    // inline signatures (r16 memo policy), cached: the hot-band filter
+    // and both self-join sides read them within this one timed query
+    val sig = minhashSigOf(T.documents(s, d), GradedBands, GradedModulus)
+      .cache()
     val cool = sig.groupBy(col("i"), col("minhash"))
       .agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") <= 50).select(col("i"), col("minhash"))
@@ -661,12 +671,20 @@ object Dedup extends QueryGroup {
     * would OOM the driver. */
   private[llm] val MaxPairsBroadcastBytes = 32L << 20
 
+  /** The row-count form of the same ceiling, for consumers that derive
+    * the pair set in-plan (no fixture to stat): ~2M (doc_a, doc_b)
+    * rows ≈ the 32 MB parquet bound ≈ ~200 MB as a broadcast
+    * HashedRelation — safe on the standard driver. */
+  private[llm] val MaxPairsBroadcastRows = 2000000L
+
   /** The memoized candidate set every consumer reads (same rows as
     * [[simhashPairsDirect]] — the memo is content-keyed). Unordered: a
     * parquet read guarantees no row order, so the GRADED row re-sorts
     * ([[simhashPairsGraded]]); join consumers don't care. */
+  /** r16 memo policy: consumers derive the candidate set inline; the
+    * memo stays for tests/tools. */
   private[llm] def simhashPairs(s: SparkSession, d: String): DataFrame =
-    SimhashPairsMemo.pairs(s, d)
+    simhashPairsDirect(s, d)
 
   private def simhashPairsGraded(s: SparkSession, d: String): DataFrame =
     simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
@@ -853,7 +871,7 @@ object Dedup extends QueryGroup {
     // the shared covered-position relation (memoized across the three
     // span queries); countDistinct(doc_id) >= 2 and distinct-then-count
     // >= 2 select the identical dup-shingle set
-    val covered = DupCoverMemo.positions(s, d)
+    val covered = DupCoverMemo.positionsDirect(s, d)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
     words(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
@@ -979,8 +997,10 @@ object Dedup extends QueryGroup {
   }
 
   private def prefixFilter(s: SparkSession, d: String): DataFrame =
-    prefixFilterPairsFrom(ShingleHashMemo.table(s, d)
-      .select(col("doc_id"), col("shh").as("sh")).distinct())
+    // inline shingles (r16 memo policy), cached: the df table and the
+    // sorted-array agg both read the distinct set
+    prefixFilterPairsFrom(shingleHashes(s, d)
+      .select(col("doc_id"), col("shh").as("sh")).distinct().cache())
 
   // exhaustive uncapped oracle — equality IS the lossless-recall proof
   private val prefixFilterSql =
@@ -1013,7 +1033,7 @@ object Dedup extends QueryGroup {
     * Cached — read up to four times per consumer. */
   private[llm] def cappedShingleSet(s: SparkSession, d: String): DataFrame = {
     // hashed in the shared memo (the shuffle already carries longs)
-    val dsh = ShingleHashMemo.table(s, d)
+    val dsh = shingleHashes(s, d)
       .select(col("doc_id"), col("shh").as("sh"))
       .distinct()
       // read twice below (kept probe side + rare build side): cache so the
@@ -1039,8 +1059,10 @@ object Dedup extends QueryGroup {
     * was considered and rejected: per-query release would silently strip
     * the memoized DataFrame's caching and every later reuse would
     * recompute uncached, which is worse than honestly rebuilding. */
+  /** r16 memo policy: consumers derive the pair relation inline; the
+    * memo stays for tests/tools. */
   private[llm] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    JaccardPairsMemo.table(s, d)
+    jaccardPairsDirect(s, d)
 
   /** Disk+session memo of the FULL unthresholded capped-set Jaccard
     * pair relation (doc_a, doc_b, n_common, na, nb, jaccard): the
@@ -1553,7 +1575,10 @@ object Dedup extends QueryGroup {
   /** The un-memoized label derivation (exposed so `MemoParitySpec`
     * pins memo ≡ direct). */
   private[graft] def clusterLabelsDirect(s: SparkSession, d: String): DataFrame =
-    ccLabels(GraphOps.PairsMemo.pairsAtLeast(s, d, 0.5))
+    // cached: ccLabels unions both orientations of the inline pair set
+    // before its lineage cut (in-plan; released per query)
+    ccLabels(jaccardPairsDirect(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).cache())
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     // the >= 0.5 slice of the session-memoized >= 0.3 pair set (identical
@@ -1563,7 +1588,7 @@ object Dedup extends QueryGroup {
     // per session instead of five; the converged labels are themselves
     // memoized (see ClusterLabelsMemo) because keep_best re-runs them
     val docs = T.documents(s, d).select(col("doc_id"))
-    docs.join(ClusterLabelsMemo.labels(s, d), Seq("doc_id"), "left")
+    docs.join(clusterLabelsDirect(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
@@ -1759,22 +1784,27 @@ object Dedup extends QueryGroup {
     // cached because three consumers read it (both dot sides + norms),
     // released per query by core.Release.storage like every cache in
     // this family
-    val tf = TextStats.termFreqsMemo(s, d)
+    val tf = TextStats.corpusTermFreqs(s, d)
       .select(col("doc_id"), col("wh").as("wh2"), col("c"))
       .cache()
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("c") * col("c")).cast(DoubleType)).as("nn"))
     // the banded candidate list is FORCE-broadcast into the tf table
-    // when its materialized fixture is provably small (on-disk bytes ≤
-    // MaxPairsBroadcastBytes — AQE re-deciding this join's build side
+    // when it is provably small (AQE re-deciding this join's build side
     // was the round-12 driver-side outlier class; PlanSpec pins the
-    // shape at graded scale). `dots` (one row per candidate pair) is
-    // bounded by the same count, so the same gate lets it broadcast
-    // into the doc-sized norm table. Past the bound — pair count grows
-    // with the corpus — the hints drop and the joins shuffle.
-    val bcOk = SimhashPairsMemo.bytes(s, d) <= MaxPairsBroadcastBytes
+    // shape at graded scale). r16 memo policy: the candidate set
+    // derives inline, so the former fixture-bytes gate becomes a COUNT
+    // of the cached in-plan pair set — one scalar job (the pagerank
+    // nNodes precedent) over rows the dot join reads anyway. `dots`
+    // (one row per candidate pair) is bounded by the same count, so
+    // the same gate lets it broadcast into the doc-sized norm table.
+    // Past the bound — pair count grows with the corpus — the hints
+    // drop and the joins shuffle.
+    val pairs = simhashPairsDirect(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val bcOk = pairs.count() <= MaxPairsBroadcastRows
     def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
-    val dots = bc(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val dots = bc(pairs)
       .join(tf.select(col("doc_id").as("doc_a"), col("wh2"), col("c").as("ca")),
         Seq("doc_a"))
       .join(tf.select(col("doc_id").as("doc_b"), col("wh2"), col("c").as("cb")),

@@ -130,72 +130,133 @@ object EmbPca extends QueryGroup {
           (col("n").cast(DoubleType) * lit(1.0e12))).as("cov"))
       .orderBy(col("j"), col("k"))
 
-  /** The 1e6-scaled per-observation covariance, mirrored to a full
-    * (j, k, c) matrix and materialized once (the iteration below reads
-    * it every round; uncut, the analyzed plan doubles per round). */
-  private def fullMatrixOf(g: DataFrame): DataFrame = {
-    val covq = covarianceDfOf(g)
-    val cd = covq.select(col("j"), col("k"),
-      floor(col("cov_q").cast(DoubleType) / col("n").cast(DoubleType) / lit(1.0e6)
-        + lit(0.5)).cast(LongType).as("c"))
-    graft.core.Materialize.cut(cd.union(
-      cd.filter(col("j") =!= col("k")).select(col("k").as("j"), col("j").as("k"), col("c"))))
-  }
-
-  /** [[PowerIters]] rounds of power iteration from all-ones on a full
-    * (j, k, c) matrix at 1e6 scale; returns the 1e9-scaled unit-ish
-    * iterate (k, v9). Per-round `Materialize.cut` — w feeds both the
-    * norm and the next vector. */
-  private def powerIterate(cFull: DataFrame): DataFrame = {
-    var v = cFull.select(col("j").as("k")).distinct()
-      .select(col("k"), lit(1000000000L).as("v9")) // all-ones at 1e9 scale
-    (1 to PowerIters).foreach { _ =>
-      // exact integer matvec at 1e15 scale, rounded back to 1e9
-      val w = graft.core.Materialize.cut(cFull.join(v, Seq("k"))
-        .groupBy(col("j")).agg(sum(col("c") * col("v9")).as("w15"))
-        .select(col("j"),
-          floor(col("w15").cast(DoubleType) / lit(1.0e6) + lit(0.5))
-            .cast(LongType).as("w9")))
-      // exact squared norm (decimal — w9² exceeds long range)
-      val n2 = w.select(
-        sum(col("w9").cast(DecimalType(38, 0)) * col("w9").cast(DecimalType(38, 0)))
-          .as("n2"))
-      v = w.crossJoin(n2).select(
-        when(col("n2") > 0,
-          floor(col("w9").cast(DoubleType) / sqrt(col("n2").cast(DoubleType)) *
-            lit(1.0e9) + lit(0.5)).cast(LongType))
-          .otherwise(lit(0L)).as("v9"), col("j").as("k"))
-        .select(col("k"), col("v9"))
-    }
-    v
-  }
-
-  /** Per-dim quantized mean (k, qm) at 1e6 scale. */
-  private def meanVecOf(g: DataFrame): DataFrame =
-    sumsOf(g).select(col("j").as("k"),
-      floor(col("tj").cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
-        .cast(LongType).as("qm"))
-
   /** The whole spectral model every consumer below derives from the one
     * Gramian pass: per-dim mean (k, qm), the two iterated directions
     * (k, v9), and the scalar row (lam1_6, lam2_6, trace6). All BIGINTs
-    * (NULL trace on an empty corpus) — parquet round-trips them exactly,
-    * so the memoized model is value-identical to this direct build
-    * (`MemoParitySpec` pins it). */
+    * (NULL trace on an empty corpus).
+    *
+    * r16 (guide §1.2, the lake_cow metadata-fold precedent): the corpus
+    * pass stays distributed (ONE GramianAgg aggregation), but the
+    * spectral chain after it — covariance assembly, 2×[[PowerIters]]
+    * matvec fixed points, Rayleigh quotients, Hotelling deflation — now
+    * runs on the DRIVER over the collected gram buffer. That buffer is
+    * dim²-bounded (67 MB at the loud MaxDim=4096 ceiling), CORPUS-SIZE
+    * INDEPENDENT, and was already materialized as one row; the former
+    * dim²-row Spark formulation paid ~30 scheduler-bound tiny jobs per
+    * consumer for algebra a single core does in microseconds. Arithmetic
+    * is replicated operation-for-operation (same long/BigInt exact
+    * products, same single floor/sqrt/divide IEEE chains), so the model
+    * is bit-identical — `MemoParitySpec` pins it against the fixture
+    * built by the former formulation's values, and the oracle replays
+    * the identical chain in SQL. */
   private[llm] def pcaModelDirect(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val g = gram(s, d)
-    val c1 = fullMatrixOf(g)
-    val v1 = graft.core.Materialize.cut(powerIterate(c1))
-    val lam1 = rayleighLam(c1, v1)
-    val c2 = deflatedOf(c1, v1, lam1)
-    val v2 = graft.core.Materialize.cut(powerIterate(c2))
-    val lam2 = rayleighLam(c2, v2)
-    val trace = c1.filter(col("j") === col("k")).agg(sum(col("c")).as("trace6"))
-    val scalars = lam1.select(col("lam6").as("lam1_6"))
-      .crossJoin(lam2.select(col("lam6").as("lam2_6")))
-      .crossJoin(trace)
-    (meanVecOf(g), v1, v2, scalars)
+    import scala.jdk.CollectionConverters._
+    val g = quantized(s, d)
+      .agg(graft.functions.GramianAgg.gramian(col("qa"), MaxDim).as("g"))
+      .collect()(0).getStruct(0)
+    val dim = g.getInt(0)
+    val nj = g.getSeq[Long](1)
+    val tj = g.getSeq[Long](2)
+    val sArr = g.getSeq[Long](3)
+
+    // per-dim sums and floor-rounded integer means (rows only for dims
+    // some vector has — the explode parity)
+    val js = (0 until dim).filter(j => nj(j) > 0)
+    val qm: Map[Int, Long] = js.map(j =>
+      j -> math.floor(tj(j).toDouble / nj(j).toDouble + 0.5).toLong).toMap
+
+    // upper-triangle exact covariance at 1e12·n scale, collapsed to the
+    // 1e6-scaled per-n matrix entry c = floor(cov_q / n_j / 1e6 + 0.5),
+    // then mirrored to the full matrix — identical to the former
+    // covarianceDfOf → fullMatrixOf chain
+    val upper = for {
+      k <- 0 until dim
+      if nj(k) > 0
+      j <- 0 to k
+      if nj(j) > 0
+    } yield {
+      val sjk = sArr(k * (k + 1) / 2 + j)
+      val covQ = sjk - qm(j) * tj(k) - qm(k) * tj(j) + nj(j) * qm(j) * qm(k)
+      (j, k, math.floor(covQ.toDouble / nj(j).toDouble / 1.0e6 + 0.5).toLong)
+    }
+    val c1: Map[(Int, Int), Long] =
+      (upper ++ upper.collect { case (j, k, c) if j != k => (k, j, c) })
+        .map { case (j, k, c) => (j, k) -> c }.toMap
+
+    // [[PowerIters]] rounds from all-ones: exact long matvec at 1e15
+    // scale, floor-round back to 1e9, exact BigInt norm, one IEEE
+    // sqrt/divide chain per round — the former powerIterate verbatim
+    def powerIter(cm: Map[(Int, Int), Long]): Map[Int, Long] = {
+      var v: Map[Int, Long] =
+        cm.keys.map(_._1).toSeq.distinct.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to PowerIters) {
+        val w = scala.collection.mutable.Map.empty[Int, Long]
+        cm.foreach { case ((j, k), c) =>
+          v.get(k).foreach(v9 => w(j) = w.getOrElse(j, 0L) + c * v9)
+        }
+        val n2 = w.values.map { w15 =>
+          val w9 = math.floor(w15.toDouble / 1.0e6 + 0.5).toLong
+          BigInt(w9) * BigInt(w9)
+        }.sum
+        v = w.toMap.map { case (j, w15) =>
+          val w9 = math.floor(w15.toDouble / 1.0e6 + 0.5).toLong
+          j -> (if (n2 > 0)
+            math.floor(w9.toDouble / math.sqrt(n2.toDouble) * 1.0e9 + 0.5).toLong
+          else 0L)
+        }
+      }
+      v
+    }
+
+    // Rayleigh quotient λ̂ = vᵀCv / vᵀv, 1e6-scaled: exact BigInt
+    // numerator/denominator, one floor-round — the former rayleighLam
+    def rayleigh(cm: Map[(Int, Int), Long], v: Map[Int, Long]): Long = {
+      var num = BigInt(0)
+      cm.foreach { case ((j, k), c) =>
+        (v.get(j), v.get(k)) match {
+          case (Some(vj), Some(vk)) => num += BigInt(c) * BigInt(vj) * BigInt(vk)
+          case _ =>
+        }
+      }
+      val den = v.values.map(x => BigInt(x) * BigInt(x)).sum
+      if (den > 0) math.floor(num.toDouble / den.toDouble + 0.5).toLong else 0L
+    }
+
+    val v1 = powerIter(c1)
+    val lam1 = rayleigh(c1, v1)
+    // Hotelling deflation C₂ = C − λ̂₁·v̂₁v̂₁ᵀ — inner-join semantics of
+    // the former deflatedOf (pairs outside v̂₁'s key set drop)
+    val c2: Map[(Int, Int), Long] = c1.flatMap { case ((j, k), c) =>
+      (v1.get(j), v1.get(k)) match {
+        case (Some(vj), Some(vk)) =>
+          val t = BigInt(lam1) * BigInt(vj) * BigInt(vk)
+          Some((j, k) -> (c - math.floor(t.toDouble / 1.0e18 + 0.5).toLong))
+        case _ => None
+      }
+    }
+    val v2 = powerIter(c2)
+    val lam2 = rayleigh(c2, v2)
+    val trace: Option[Long] = {
+      val diag = c1.collect { case ((j, k), c) if j == k => c }
+      if (diag.isEmpty) None else Some(diag.sum)
+    }
+
+    import org.apache.spark.sql.Row
+    def vecDf(v: Map[Int, Long]): DataFrame = s.createDataFrame(
+      v.toSeq.sortBy(_._1).map { case (k, v9) => Row(k, v9) }.asJava,
+      StructType(Seq(StructField("k", IntegerType, nullable = false),
+        StructField("v9", LongType, nullable = false))))
+    val meanDf = s.createDataFrame(
+      js.map(j => Row(j, qm(j))).asJava,
+      StructType(Seq(StructField("k", IntegerType, nullable = false),
+        StructField("qm", LongType, nullable = false))))
+    val scalars = s.createDataFrame(
+      Seq(Row(lam1, lam2, trace.map(Long.box).orNull)).asJava,
+      StructType(Seq(StructField("lam1_6", LongType, nullable = false),
+        StructField("lam2_6", LongType, nullable = false),
+        StructField("trace6", LongType, nullable = true))))
+    (meanDf, vecDf(v1), vecDf(v2), scalars)
   }
 
   /** Disk+session memo of the spectral model — the `PqModelMemo` move
@@ -225,11 +286,10 @@ object EmbPca extends QueryGroup {
   /** The memoized (mean, v1, v2, scalars) model — identical values to
     * [[pcaModelDirect]] (BIGINT columns round-trip parquet exactly). */
   private[llm] def pcaModel(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val p = PcaModelFixture.ensure(s, d)
-    (s.read.parquet(s"$p/mean"), s.read.parquet(s"$p/v1"),
-      s.read.parquet(s"$p/v2"), s.read.parquet(s"$p/scalars"))
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    // r16 memo policy: graded consumers derive the spectral model
+    // inline; the fixture stays for tests/tools.
+    pcaModelDirect(s, d)
 
   /** Top principal component by [[PowerIters]] rounds of power iteration
     * on the 1e6-scaled per-n covariance, starting from all-ones — read
@@ -258,41 +318,6 @@ object EmbPca extends QueryGroup {
     * floor-round — shared by [[topPc2]]'s deflation and the
     * variance-explained scorecard. A zero iterate yields the defined
     * λ̂ = 0. */
-  private def rayleighLam(c1: DataFrame, v1: DataFrame): DataFrame = {
-    val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
-    val v1k = v1.select(col("k"), col("v9").as("vk"))
-    val num = c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
-      .select((col("c").cast(DecimalType(38, 0)) *
-        col("vj").cast(DecimalType(38, 0)) * col("vk").cast(DecimalType(38, 0)))
-        .as("t"))
-      .agg(sum(col("t")).as("num"))
-    val den = v1.select(
-      sum(col("v9").cast(DecimalType(38, 0)) * col("v9").cast(DecimalType(38, 0)))
-        .as("den"))
-    num.crossJoin(den).select(
-      when(col("den") > 0,
-        floor(col("num").cast(DoubleType) / col("den").cast(DoubleType) + lit(0.5))
-          .cast(LongType)).otherwise(lit(0L)).as("lam6"))
-  }
-
-  /** Hotelling deflation C₂ = C − λ̂₁·v̂₁v̂₁ᵀ in the family's integer
-    * discipline (exact DECIMAL(38,0) products collapsed by one fixed
-    * floor-round), shared by [[topPc2]] and [[whitenTop2]]. */
-  private def deflatedOf(c1: DataFrame, v1: DataFrame,
-      lam: DataFrame): DataFrame = {
-    val v1j = v1.select(col("k").as("j"), col("v9").as("vj"))
-    val v1k = v1.select(col("k"), col("v9").as("vk"))
-    graft.core.Materialize.cut(
-      c1.join(broadcast(v1j), Seq("j")).join(broadcast(v1k), Seq("k"))
-        .crossJoin(broadcast(lam))
-        .select(col("j"), col("k"),
-          (col("c") - floor(
-            (col("lam6").cast(DecimalType(38, 0)) *
-              col("vj").cast(DecimalType(38, 0)) * col("vk").cast(DecimalType(38, 0)))
-              .cast(DoubleType) / lit(1.0e18) + lit(0.5)).cast(LongType))
-            .as("c")))
-  }
-
   private def topPc2(s: SparkSession, d: String): DataFrame = {
     val (_, v1, v2, _) = pcaModel(s, d)
     v1.select(col("k"), col("v9").as("p1"))

@@ -97,11 +97,12 @@ object MlLsh extends QueryGroup {
     * flips `ml_dist_ok` (|ML sim − exact capped Jaccard| ≤ 0.1 — slack
     * covers 2^18 feature-hash collisions). */
   def minhashLshVerified(s: SparkSession, d: String): DataFrame = {
-    val ml = minhashLshPairs(s, d, maxJaccardDist = 0.4)
-    // exact side reads the shared graph pair memo (it stores the raw
-    // jaccard double, parquet-exact) instead of recomputing the capped
-    // shingle self-join the memo already paid for
-    val exact = GraphOps.PairsMemo.scoredPairsAtLeast(s, d, 0.8)
+    // r16 memo policy: both sides derive inline within this one timed
+    // query — the ML fit/self-join and the exact capped-Jaccard pairs
+    // (the capped shingle set underneath is cached by its own helper)
+    val ml = minhashLshPairsDirect(s, d, maxJaccardDist = 0.4)
+    val exact = Dedup.jaccardPairsDirect(s, d)
+      .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     exact.join(ml, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -1416,8 +1416,10 @@ object Multimodal {
     phashPairsOf(phashTable(spark), bandBits = 16, cap = PhashBandCap,
       hammingMax = PhashHammingMax)
 
+  // r16 memo policy: graded consumers derive the pair table inline;
+  // the fixture stays for tests/tools.
   private def phashPairsTable(spark: SparkSession): DataFrame =
-    spark.read.parquet(PhashPairsFixture.ensure(spark))
+    phashPairsDirect(spark)
 
   /** Band-width-parameterized banded Hamming pair join (SCALING.md: the
     * phash analogue of the minhash modulus rule). `bandBits` fixes the
@@ -1484,7 +1486,10 @@ object Multimodal {
     import spark.implicits._
     val p = PhashFixture.ensure(spark)
     val docs = spark.read.parquet(p).select(col("doc_id"))
+    // cached: ccLabels unions both orientations of the inline-derived
+    // pair set before its lineage cut (in-plan; released per query)
     val pairs = phashPairsTable(spark).select(col("doc_a"), col("doc_b"))
+      .cache()
     docs.join(Dedup.ccLabels(pairs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -216,12 +216,18 @@ object Pipeline extends QueryGroup {
     // words cannot contain the split character, so the pair is a
     // bijective encoding of the concatenated form the oracle used to
     // hash; the oracle now mirrors the pair derivation exactly)
-    val wc = TextStats.termFreqsMemo(s, d)
+    // r16 memo policy: both halves derive inline, from ONE cached pass
+    // over the positioned token stream (the word counts are its
+    // (doc_id, wh) agg; the bigram counts its lead() window — identical
+    // values to the former memo reads)
+    val pos = TextStats.BigramCountsMemo.positionedHashes(s, d).cache()
+    val wc = pos.groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("c"))
     val wordAgg = wc.groupBy(col("doc_id")).agg(
       sum(col("c")).cast(LongType).as("n_words"),
       count(lit(1)).as("n_uniq_words"),
       max(col("c")).as("top_word_n"))
-    val bc = TextStats.BigramCountsMemo.table(s, d)
+    val bc = TextStats.BigramCountsMemo.bigramCountsFrom(pos)
     val biAgg = bc.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_uniq_bigrams"),
       max(col("c")).as("top_bigram_n"))
@@ -278,8 +284,10 @@ object Pipeline extends QueryGroup {
   // df aggregation and the 1:N df join runs on 8-byte keys (a truly hot
   // boilerplate shingle is AQE-skew-split, same guard as the join family).
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
-    val dsh = Dedup.ShingleHashMemo.table(s, d)
-      .select(col("doc_id"), col("shh")).distinct()
+    // inline shingles (r16 memo policy), cached: the df aggregation and
+    // the coverage join both read the distinct set
+    val dsh = Dedup.shingleHashes(s, d)
+      .select(col("doc_id"), col("shh")).distinct().cache()
     val dfc = dsh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
     dsh.join(dfc, Seq("shh"))
       .groupBy(col("doc_id"))
@@ -548,8 +556,10 @@ object Pipeline extends QueryGroup {
       s.read.parquet(ensure(s, d))
   }
 
+  /** r16 memo policy: graded consumers derive the report inline; the
+    * memo stays for tests/tools. */
   private def decontaminate(s: SparkSession, d: String): DataFrame =
-    DecontamMemo.table(s, d)
+    decontaminateDirect(s, d)
 
   private def decontaminateGraded(s: SparkSession, d: String): DataFrame =
     decontaminate(s, d).orderBy(col("doc_id"))
@@ -641,7 +651,7 @@ object Pipeline extends QueryGroup {
     // the shared covered-position relation (memoized across the three
     // span queries — text_dup_coverage / text_dup_span_merge use the
     // identical rows)
-    val cov = Dedup.DupCoverMemo.positions(s, d)
+    val cov = Dedup.DupCoverMemo.positionsDirect(s, d)
     val kept = wrd.join(cov, Seq("doc_id", "pos"), "left_anti")
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
@@ -718,7 +728,7 @@ object Pipeline extends QueryGroup {
   // agg on 48-bit shingle keys, dup side distinct → 1 row/key); the
   // islands window and both rollups all ride ONE doc_id exchange.
   private def dupSpanMerge(s: SparkSession, d: String): DataFrame = {
-    val cov = Dedup.DupCoverMemo.positions(s, d)
+    val cov = Dedup.DupCoverMemo.positionsDirect(s, d)
     val spans = cov
       .withColumn("grp",
         col("pos") - row_number()
@@ -865,7 +875,7 @@ object Pipeline extends QueryGroup {
   }
 
   private def curateVerdict(s: SparkSession, d: String): DataFrame =
-    VerdictMemo.table(s, d).orderBy(col("doc_id"))
+    curateVerdictDirect(s, d).orderBy(col("doc_id"))
 
   private[llm] def curateVerdictDirect(s: SparkSession, d: String): DataFrame = {
     val rep = wordStats(T.documents(s, d))
@@ -936,7 +946,7 @@ object Pipeline extends QueryGroup {
 
   private def curateFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val firstFail = VerdictMemo.table(s, d) // unordered: aggregate-only
+    val firstFail = curateVerdictDirect(s, d) // unordered: aggregate-only
       .select(when(!col("keep"), split(col("reasons"), ",")(0))
         .as("first_fail"))
     val drops = firstFail.groupBy(col("first_fail"))
@@ -1064,7 +1074,7 @@ object Pipeline extends QueryGroup {
     * boundaries against the REAL logit distribution, not a copy that
     * could drift on a retune. */
   private[llm] def decileDocSignals(s: SparkSession, d: String): DataFrame = {
-    val tf = TextStats.termFreqsMemo(s, d)
+    val tf = TextStats.corpusTermFreqs(s, d)
     val n = Window.partitionBy(col("doc_id"))
     val terms = tf
       .withColumn("nt", sum(col("c")).over(n).cast(LongType))
@@ -1622,7 +1632,7 @@ object Pipeline extends QueryGroup {
     // become Σc, and one Materialize.cut serves the six consumers
     // (the ≥5-consumer rule from retrieval_prf's history)
     val t = graft.core.Materialize.cut(
-      TextStats.termFreqsMemo(s, d)
+      TextStats.corpusTermFreqs(s, d)
         .withColumn("b", col("wh") % B)
         .join(broadcast(T.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"))), Seq("doc_id")))

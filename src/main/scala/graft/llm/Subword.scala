@@ -88,15 +88,23 @@ object Subword extends QueryGroup {
   }
 
   /** The un-memoized round-0 segmentation (exposed so `MemoParitySpec`
-    * pins memo ≡ direct). */
+    * pins memo ≡ direct): one cut word-frequency pass feeds both the
+    * piece table and the DP word list. */
   private[llm] def seg0Direct(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val wf = graft.core.Materialize.cut(wordFreq(s, d))
+    seg0From(s, wf, pieceScores(wf))
+  }
+
+  /** The round-0 DP over a prebuilt (cut) word-frequency table and piece
+    * table — shared by [[seg0Direct]] and the query paths that also need
+    * `ps0` as a DataFrame (so one derivation serves both uses). */
+  private[llm] def seg0From(s: SparkSession, wf: DataFrame,
+      ps0: DataFrame): DataFrame = {
+    import s.implicits._
     val tooLong = wf.filter(length(col("word")) > MaxWordLen).count()
     require(tooLong == 0,
       s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
         "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
-    val ps0 = PieceScoresMemo.table(s, d)
     require(ps0.count() <= MaxPieces, s"piece vocabulary exceeds $MaxPieces")
     val m0 = s.sparkContext.broadcast(
       ps0.select(col("piece"), col("iscore")).as[(String, Long)].collect().toMap)
@@ -179,8 +187,8 @@ object Subword extends QueryGroup {
     * division). Wordless docs surface with zero counts and a NULL
     * ratio. */
   private def unigramSegment(s: SparkSession, d: String): DataFrame = {
-    // the guard counts and the DP live in Seg0Memo's build (seg0Direct)
-    val seg = Seg0Memo.table(s, d)
+    // r16 memo policy: the round-0 DP derives inline (guards included)
+    val seg = seg0Direct(s, d)
       .select(col("word"), col("score0").as("seg_score"), col("np0").as("np"))
     val perDoc = Dedup.words(T.documents(s, d))
       .join(broadcast(seg), Seq("word"))
@@ -351,11 +359,15 @@ object Subword extends QueryGroup {
     * usage aggregation. */
   private def unigramEmRound(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // round-0 DP + piece table from the shared memos (guards run in
-    // their builds); wf only feeds the second segmentation's word list
-    val wf = Seg0Memo.table(s, d).select(col("word"), col("freq"))
-    val ps0 = PieceScoresMemo.table(s, d)
-    val seg0 = Seg0Memo.table(s, d)
+    // r16 memo policy: round-0 DP + piece table derive inline from ONE
+    // cut word-frequency pass; ps0 is cached (the M-step join reads it
+    // as a DataFrame and the DP collects it) and seg0 is cached (the
+    // usage counts, the r0 stats and the second segmentation's word
+    // list all read it) — in-plan caches, released per query
+    val wfc = graft.core.Materialize.cut(wordFreq(s, d))
+    val ps0 = pieceScores(wfc).cache()
+    val seg0 = seg0From(s, wfc, ps0).cache()
+    val wf = seg0.select(col("word"), col("freq"))
     val used = seg0.select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
     val ps1 = ps0.join(used, Seq("piece"), "left")
@@ -417,11 +429,12 @@ object Subword extends QueryGroup {
     * broadcast DP. */
   private def unigramPrune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // round-0 paths + piece table from the shared memos (guards run in
-    // their builds); the E-step usage counts read the memoized pieces
-    val seg0 = Seg0Memo.table(s, d)
+    // r16 memo policy: round-0 paths + piece table derive inline from
+    // ONE cut word-frequency pass (caches as in unigram_em_round)
+    val wfc = graft.core.Materialize.cut(wordFreq(s, d))
+    val ps0 = pieceScores(wfc).cache()
+    val seg0 = seg0From(s, wfc, ps0).cache()
     val wf = seg0.select(col("word"), col("freq"))
-    val ps0 = PieceScoresMemo.table(s, d)
     val used = seg0.select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
     val cand = ps0.join(used, Seq("piece"), "left")
@@ -518,10 +531,10 @@ object Subword extends QueryGroup {
     require(tooLong == 0,
       s"$tooLong words exceed the $MaxWordLen-char DP unroll — " +
         "raise MaxWordLen (and the oracle's staged CTEs) for this corpus")
-    // piece table from the shared memo — a parquet read keeps the
-    // no-collect contract (only the DRIVER-map construction is what
-    // this variant documents living without)
-    val ps = PieceScoresMemo.table(s, d).select(col("piece"), col("iscore"))
+    // piece table derived inline from the already-cut word frequencies
+    // (r16 memo policy) — still no driver map: only the DRIVER-map
+    // construction is what this variant documents living without
+    val ps = pieceScores(wf).select(col("piece"), col("iscore"))
     // best[j, i) over single pieces: v = iscore·64 − 1 (the key delta)
     val base = wf
       .select(col("word"), expr(

@@ -145,7 +145,7 @@ object TextStats extends QueryGroup {
   // 5-word shingle strings — hashing first is what survives 100 TB
   // (2^-48 collision odds; distinct-per-doc makes the window order total).
   private def winnow(s: SparkSession, d: String): DataFrame = {
-    val dsh = Dedup.ShingleHashMemo.table(s, d)
+    val dsh = Dedup.shingleHashes(s, d)
       .select(col("doc_id"), col("shh").as("h"))
       .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
@@ -389,7 +389,9 @@ object TextStats extends QueryGroup {
   // ever outgrows broadcast, the build side is unique per key, which is
   // exactly the shape AQE's skew-split handles.
   private def perplexity(s: SparkSession, d: String): DataFrame = {
-    val tf = termFreqsMemo(s, d)
+    // inline tf (r16 memo policy), cached: the vocab model and the
+    // scoring join both read it within this one timed query
+    val tf = corpusTermFreqs(s, d).cache()
     val voc = tf.groupBy(col("wh")).agg(sum(col("c")).cast(LongType).as("cw"))
     val n = voc.agg(sum(col("cw")).cast(LongType).as("nt"))
     val lp = voc.crossJoin(broadcast(n))
@@ -455,11 +457,15 @@ object TextStats extends QueryGroup {
         target: String): Unit =
       tableDirect(s, dir).write.parquet(target)
 
-    /** The un-memoized derivation — the build's body, exposed so
-      * `MemoParitySpec` can pin memo ≡ direct. */
-    private[llm] def tableDirect(s: SparkSession, dir: String): DataFrame = {
-      val pos = words(T.documents(s, dir))
+    /** The positioned 48-bit-hashed token stream the bigram window runs
+      * over — exposed so consumers can share ONE corpus scan between the
+      * bigram counts and a unigram aggregation. */
+    private[llm] def positionedHashes(s: SparkSession, dir: String): DataFrame =
+      words(T.documents(s, dir))
         .select(col("doc_id"), col("pos"), Dedup.h48(col("word")).as("wh"))
+
+    /** The bigram-count window+agg over a prebuilt positioned stream. */
+    private[llm] def bigramCountsFrom(pos: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       pos.withColumn("wh2", lead(col("wh"), 1).over(w))
         .filter(col("wh2").isNotNull)
@@ -467,21 +473,30 @@ object TextStats extends QueryGroup {
         .agg(count(lit(1)).as("c"))
     }
 
+    /** The un-memoized derivation — the build's body, exposed so
+      * `MemoParitySpec` can pin memo ≡ direct. */
+    private[llm] def tableDirect(s: SparkSession, dir: String): DataFrame =
+      bigramCountsFrom(positionedHashes(s, dir))
+
     def table(s: SparkSession, d: String): DataFrame =
       s.read.parquet(ensure(s, d))
   }
 
   private def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val bg = BigramCountsMemo.table(s, d)
+    // r16 memo policy: both the bigram counts and the unigram counts
+    // derive inline, from ONE cached pass over the positioned token
+    // stream (the bigram window and the unigram agg share the scan;
+    // count(*) per wh over the stream ≡ Σ per-doc termFreqs c). The
+    // cache is in-plan — released by the harness after the query.
+    val pos = BigramCountsMemo.positionedHashes(s, d).cache()
+    val bg = BigramCountsMemo.bigramCountsFrom(pos).cache()
     val bgModel = bg.groupBy(col("h1"), col("h2"))
       .agg(sum(col("c")).cast(LongType).as("cb"))
     // |V|-bounded; cut so its three consumers (two model joins + the
-    // corpus total) share one aggregation. r15: the unigram counts fold
-    // from the term-frequency memo (Σ per-doc c ≡ the token-stream
-    // count per wh — same h48 hash) instead of re-exploding the corpus.
+    // corpus total) share one aggregation.
     val uni = graft.core.Materialize.cut(
-      termFreqsMemo(s, d).groupBy(col("wh"))
-        .agg(sum(col("c")).cast(LongType).as("cu")))
+      pos.groupBy(col("wh"))
+        .agg(count(lit(1)).cast(LongType).as("cu")))
     val n = uni.agg(sum(col("cu")).cast(LongType).as("nt"))
     val lp = bgModel
       .join(broadcast(uni.select(col("wh").as("h1"), col("cu").as("cu1"))),
@@ -557,7 +572,10 @@ object TextStats extends QueryGroup {
   // and the final /n is one IEEE division. Docs with <2 words are
   // absent (unscorable).
   private def kneserNey(s: SparkSession, d: String): DataFrame = {
-    val bg = BigramCountsMemo.table(s, d)
+    // r16 memo policy: inline derivation; cached because bg feeds both
+    // the model aggregation and the final scoring join (in-plan cache,
+    // released by the harness after the query)
+    val bg = BigramCountsMemo.tableDirect(s, d).cache()
     val bgModel = graft.core.Materialize.cut(
       bg.groupBy(col("h1"), col("h2"))
         .agg(sum(col("c")).cast(LongType).as("cb")))
@@ -637,7 +655,7 @@ object TextStats extends QueryGroup {
   // text_tfidf/perplexity libm rule); c·logp sums exactly in decimal and
   // ONE IEEE division closes the formula.
   private def entropy(s: SparkSession, d: String): DataFrame = {
-    val tf = termFreqsMemo(s, d)
+    val tf = corpusTermFreqs(s, d)
     val tw = Window.partitionBy(col("doc_id"))
     tf.withColumn("n", sum(col("c")).over(tw).cast(LongType))
       .withColumn("logp",
@@ -721,10 +739,12 @@ object TextStats extends QueryGroup {
       s.read.parquet(ensure(s, d))
   }
 
-  /** The memoized corpus term-frequency relation — identical rows to
-    * `termFreqs(T.documents(s, d))` (`MemoParitySpec` pins it). */
-  private[llm] def termFreqsMemo(s: SparkSession, d: String): DataFrame =
-    TermFreqsMemo.table(s, d)
+  /** The corpus term-frequency relation, derived inline from the base
+    * table. r16 memo policy: graded query paths never read persisted
+    * derived fixtures — every bench/oracle invocation computes from the
+    * parquet inputs; [[TermFreqsMemo]] stays for tests/tools only. */
+  private[llm] def corpusTermFreqs(s: SparkSession, d: String): DataFrame =
+    termFreqs(T.documents(s, d))
 
   /** Disk+session memo of the BM25 "model" — the four derived tables
     * every retrieval pass re-aggregated from the corpus tf at query
@@ -765,7 +785,7 @@ object TextStats extends QueryGroup {
     * so `MemoParitySpec` can pin memo ≡ direct. */
   private[llm] def bm25ModelDirect(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tf = TermFreqsMemo.table(s, d)
+    val tf = corpusTermFreqs(s, d)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast(LongType).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(LongType).cast(DoubleType) /
@@ -855,8 +875,10 @@ object TextStats extends QueryGroup {
       s.read.parquet(ensure(s, d))
   }
 
+  /** r16 memo policy: the graded consumers derive the score table
+    * inline ([[bm25ScoresDirect]]); the memo stays for tests/tools. */
   private[llm] def bm25Scores(s: SparkSession, d: String): DataFrame =
-    Bm25ScoresMemo.table(s, d)
+    bm25ScoresDirect(s, d)
 
   /** Disk+session memo of the rank-annotated FIRST-STAGE CANDIDATE
     * POOL — the standard retrieval artifact downstream rerankers start
@@ -994,7 +1016,7 @@ object TextStats extends QueryGroup {
   // the logit to 0 — no libm anywhere. Empty/whitespace-only docs have
   // no terms and are absent (unscorable), same as the tfidf family.
   private def classifier(s: SparkSession, d: String): DataFrame =
-    termFreqsMemo(s, d)
+    corpusTermFreqs(s, d)
       .withColumn("w", pmod(col("wh"), lit(1009L)) - lit(504L))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("w")).as("wsum"),
@@ -1043,19 +1065,29 @@ object TextStats extends QueryGroup {
   private def prf(s: SparkSession, d: String): DataFrame = {
     // History of this derivation's cost (the r11 driver priced a
     // SEVEN-consumer tf recompute at 12.55 s vs the builder's 5.33):
-    // r11 added a Materialize.cut, r15 moved tf to the parquet memo,
-    // and now the dl/st/df/qidf model is ALSO a shared memo (read back
-    // as tiny parquet) — the query-time tf consumers drop from seven
-    // to TWO (feedback mining + the expanded scoring pass), and at two
-    // consumers a parquet re-read beats a corpus-sized localCheckpoint
-    // write, so the cut goes too
-    val tf = termFreqsMemo(s, d)
-    val (dl, st, df_, qidf) = Bm25ModelMemo.parts(s, d)
-    // feedback = top-3 of the first pass — sliced from the memoized
-    // rank pool (identical rows: the pool carries the same total-order
-    // rank the window here assigned; re-sorting millions of score rows
-    // per run to keep 3 was the fb stage's whole cost)
-    val fb = Bm25TopRanksMemo.table(s, d)
+    // r11 cut tf once, r15 moved tf + the model + the rank pool to
+    // persisted memos — which the r16 memo policy takes back OFF the
+    // graded clock. Everything derives inline here, within this one
+    // timed query: tf is CACHED (in-plan, released by the harness after
+    // the query) because seven subtrees read it (three model aggs, the
+    // first-pass scoring, feedback mining, and the expanded second
+    // pass); the tiny model tables (dl, df, qidf — doc/vocab-bounded)
+    // are cached too so the two scoring passes share one derivation
+    // instead of cloning the window/agg trees.
+    val tf = termFreqs(T.documents(s, d)).cache()
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("dl")).cache()
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df")).cache()
+    val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
+      st.select(col("n_docs"))).cache()
+    // feedback = top-3 of the first pass under the family's total order
+    val fw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val fb = bm25Score(tf, qidf, dl, st.select(col("avgdl")))
+      .withColumn("rn", row_number().over(fw).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("q_doc"), col("doc_id"))
     // feedback-term mining: the 3·|probes|-row fb set broadcasts into the
@@ -1159,11 +1191,14 @@ object TextStats extends QueryGroup {
   // is two IEEE divisions of exact integers and one addition —
   // bit-identical across engines; rank ties break on doc_id.
   private def rrf(s: SparkSession, d: String): DataFrame = {
-    // lexical arm = top-10 of the first pass, sliced from the memoized
-    // rank pool (same total order; see Bm25TopRanksMemo)
-    val lex = Bm25TopRanksMemo.table(s, d)
-      .filter(col("rn") <= 10)
-      .select(col("q_doc"), col("doc_id"), col("rn").as("lex_rn"))
+    // lexical arm = top-10 of the first BM25 pass, derived inline (r16
+    // memo policy) under the family's total order
+    val lw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val lex = bm25ScoresDirect(s, d)
+      .withColumn("lex_rn", row_number().over(lw).cast(LongType))
+      .filter(col("lex_rn") <= 10)
+      .select(col("q_doc"), col("doc_id"), col("lex_rn"))
     val n = Ann.normed(s, d)
     val q = n.filter(isProbe(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),

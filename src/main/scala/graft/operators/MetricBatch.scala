@@ -223,7 +223,7 @@ object MetricBatch extends QueryGroup {
   }
 
   private def anomaly(s: SparkSession, d: String): DataFrame =
-    anomalyFromIndexed(EventsIndexMemo.table(s, d), IdxSegRows)
+    anomalyFromIndexed(indexedEventsDirect(s, d), IdxSegRows)
 
   private val anomalySql =
     """WITH e AS (
@@ -314,7 +314,7 @@ object MetricBatch extends QueryGroup {
   }
 
   private def movingMedian(s: SparkSession, d: String): DataFrame =
-    movingMedianFromIndexed(EventsIndexMemo.table(s, d), IdxSegRows)
+    movingMedianFromIndexed(indexedEventsDirect(s, d), IdxSegRows)
 
   private val movingMedianSql =
     """WITH e AS (

@@ -60,8 +60,11 @@ object Mining extends QueryGroup {
       s.read.parquet(ensure(s, d))
   }
 
+  /** r16 memo policy: graded consumers derive the frequent-pair
+    * relation inline (its basket base is Materialize.cut inside); the
+    * memo stays for tests/tools. */
   private def liftedPairs(s: SparkSession, d: String): DataFrame =
-    LiftedPairsMemo.table(s, d)
+    liftedPairsDirect(s, d)
 
   /** Frequent pairs with both item supports and lift. Columns:
     * (ia, ib, pair_cnt, supp_a, supp_b, n_orders, lift). */

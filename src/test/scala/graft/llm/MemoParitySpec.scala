@@ -157,7 +157,7 @@ class MemoParitySpec extends SparkSuite {
 
   test("TermFreqsMemo equals the inline termFreqs corpus derivation") {
     assertSameRows(
-      TextStats.termFreqsMemo(spark, d),
+      TextStats.TermFreqsMemo.table(spark, d),
       TextStats.termFreqs(graft.core.Tables.documents(spark, d)))
   }
 
