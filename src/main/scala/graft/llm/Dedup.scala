@@ -1091,9 +1091,22 @@ object Dedup extends QueryGroup {
   private[llm] def jaccardPairsDirect(s: SparkSession, d: String): DataFrame = {
     val kept = cappedShingleSet(s, d)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+    // r16: pair generation by per-shingle sorted doc arrays instead of
+    // the a⋈b self-join — the df cap (≤ 50) bounds every list, the
+    // x<y pairs come from one narrow array transform (the Mining
+    // basket idiom), and the groupBy(sh) rides the partitioning the
+    // cap join already established, so the token relation is shuffled
+    // once less and the join build disappears. Counts are identical:
+    // each shared shingle contributes exactly one (min, max) pair row.
+    val pairs = kept.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
@@ -1394,7 +1407,11 @@ object Dedup extends QueryGroup {
         when(col("cosc_a").isNotNull && col("cosc_b").isNotNull,
           when(col("cosc_a") > col("cosc_b"), col("vec_a"))
             .otherwise(col("vec_b"))).as("drop_id"))
-    val base = n.groupBy(col("label"))
+    // r16: population stats read the CACHED joined relation instead of
+    // re-deriving the srp-cell pipeline from the scan — cosc has exactly
+    // one row per surviving vector (perVec covers every n row), so n2's
+    // (label, bucket) population is n's
+    val base = n2.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), countDistinct(col("bucket")).as("n_cells"))
     val pairAgg = pairs.groupBy(col("label"))
       .agg(count(lit(1)).as("n_dup_pairs"),
@@ -1800,11 +1817,15 @@ object Dedup extends QueryGroup {
     // the same gate lets it broadcast into the doc-sized norm table.
     // Past the bound — pair count grows with the corpus — the hints
     // drop and the joins shuffle.
-    val pairs = simhashPairsDirect(s, d)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val bcOk = pairs.count() <= MaxPairsBroadcastRows
+    // gate input: the PROVABLE pair ceiling docs·bands·cap/2 from one
+    // column-less parquet count (row-group metadata speed) — no need to
+    // materialize the pair set just to size it, so the pair pipeline
+    // runs exactly once, fused into the dot join (its only consumer)
+    val nDocs = T.documents(s, d).count()
+    val bcOk = nDocs * 4L * 50L / 2L <= MaxPairsBroadcastRows
     def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
-    val dots = bc(pairs)
+    val dots = bc(simhashPairsDirect(s, d)
+        .select(col("doc_a"), col("doc_b")))
       .join(tf.select(col("doc_id").as("doc_a"), col("wh2"), col("c").as("ca")),
         Seq("doc_a"))
       .join(tf.select(col("doc_id").as("doc_b"), col("wh2"), col("c").as("cb")),

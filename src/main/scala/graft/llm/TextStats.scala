@@ -1083,10 +1083,17 @@ object TextStats extends QueryGroup {
     val df_ = tf.groupBy(col("wh")).agg(count(lit(1)).as("df")).cache()
     val qidf = topIdfTerms(tf.filter(isProbe(col("doc_id"))), df_,
       st.select(col("n_docs"))).cache()
+    // FIRST-PASS scores, cached: the feedback slice AND the final
+    // ranking both read them (r16 — the former shape re-scored the
+    // original query terms from the postings a second time inside the
+    // expanded pass; per-(probe, doc) BM25 is a sum over terms, so
+    // score2 = score1 ⊕ expansion-only contributions, exact decimal
+    // adds — identical totals, one full scoring pass saved)
+    val s1 = bm25Score(tf, qidf, dl, st.select(col("avgdl"))).cache()
     // feedback = top-3 of the first pass under the family's total order
     val fw = Window.partitionBy(col("q_doc"))
       .orderBy(col("score_dec").desc, col("doc_id"))
-    val fb = bm25Score(tf, qidf, dl, st.select(col("avgdl")))
+    val fb = s1
       .withColumn("rn", row_number().over(fw).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("q_doc"), col("doc_id"))
@@ -1115,9 +1122,29 @@ object TextStats extends QueryGroup {
     // nothing, and the phases' extra tf passes are pure overhead. WAND
     // pays off on skewed real vocabularies (the PostingsIndex spec
     // proves strict pruning on a crafted skew corpus) — not here.
+    // expansion-only contributions (2 terms per probe — a small slice
+    // of the posting lists), merged with the cached first pass: BM25's
+    // per-(probe, doc) score is Σ per-term contribs, each contrib is
+    // rounded BEFORE the sum, and decimal addition is exact and
+    // associative, so s1 ⊕ se is bit-identical to re-scoring the
+    // 5-term union; candidates (docs matching ANY term) are exactly
+    // the full-outer domain
+    val se = bm25Score(tf, expTerms, dl, st.select(col("avgdl")))
+    val zeroDec = lit(0).cast(DecimalType(30, 10))
+    val merged = s1
+      .select(col("q_doc"), col("doc_id"),
+        col("score_dec").as("s1d"), col("n_terms").as("n1"))
+      .join(se.select(col("q_doc"), col("doc_id"),
+        col("score_dec").as("s2d"), col("n_terms").as("n2")),
+        Seq("q_doc", "doc_id"), "full_outer")
+      .select(col("q_doc"), col("doc_id"),
+        (coalesce(col("s1d"), zeroDec) + coalesce(col("s2d"), zeroDec))
+          .as("score_dec"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_terms"))
     val rw = Window.partitionBy(col("q_doc"))
       .orderBy(col("score_dec").desc, col("doc_id"))
-    bm25Score(tf, qidf.unionByName(expTerms), dl, st.select(col("avgdl")))
+    merged
       .withColumn("rn", row_number().over(rw).cast(LongType))
       .filter(col("rn") <= 10)
       .select(col("q_doc"), col("rn"), col("doc_id"), col("n_terms"),

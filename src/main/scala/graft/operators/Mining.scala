@@ -111,14 +111,20 @@ object Mining extends QueryGroup {
   /** Association rules: each frequent pair in both directions, ranked by
     * confidence = pair_cnt / supp(antecedent). Lift is direction-free. */
   private def mineRules(s: SparkSession, d: String): DataFrame = {
+    // r16: both rule directions come from ONE narrow explode per pair
+    // row — the former fwd ∪ rev union cloned the whole inline
+    // frequent-pair derivation into each branch (identical rows: each
+    // pair emits exactly its two directed rules)
     val lp = liftedPairs(s, d)
-    val fwd = lp.select(col("ia").as("antecedent"),
-      col("ib").as("consequent"), col("pair_cnt"),
-      col("supp_a").as("supp_ante"), col("lift"))
-    val rev = lp.select(col("ib").as("antecedent"),
-      col("ia").as("consequent"), col("pair_cnt"),
-      col("supp_b").as("supp_ante"), col("lift"))
-    fwd.union(rev)
+    lp.select(explode(array(
+        struct(col("ia").as("antecedent"), col("ib").as("consequent"),
+          col("pair_cnt"), col("supp_a").as("supp_ante"), col("lift")),
+        struct(col("ib").as("antecedent"), col("ia").as("consequent"),
+          col("pair_cnt"), col("supp_b").as("supp_ante"), col("lift"))))
+        .as("r"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("r.pair_cnt").as("pair_cnt"),
+        col("r.supp_ante").as("supp_ante"), col("r.lift").as("lift"))
       .withColumn("conf",
         col("pair_cnt").cast(DoubleType) / col("supp_ante").cast(DoubleType))
       .orderBy(col("conf").desc, col("antecedent"), col("consequent"))

@@ -530,10 +530,11 @@ class PlanSpec extends SparkSuite {
     // the r11 driver-gate lesson: both LMs' efficiency story leaned on
     // size-based AQE broadcasts that another JVM's stats flipped to
     // multi-exchange SMJ (19.9 s / 15.1 s vs the builder's 2.1 / 2.4).
-    // The plans are now pinned: the shared lead()-window bigram table is
-    // Materialize.cut (so the scoring plan starts from the checkpoint
-    // RDD — no Window, no corpus scan) and every vocabulary-bounded
-    // model join is broadcast()-forced — no JVM gets to vote.
+    // r16 (memo policy): the bigram table derives INLINE and is
+    // .cache()d in-plan, so the pin is now: the scoring side reads the
+    // in-memory relation (no second window over the corpus), and every
+    // vocabulary-bounded model join is broadcast()-forced — no JVM
+    // gets to vote.
     for (name <- Seq("text_bigram_lm", "text_kneser_ney")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
@@ -542,25 +543,27 @@ class PlanSpec extends SparkSuite {
       assert(finalSection.contains("BroadcastHashJoin"), s"$name:\n$p")
       assert(!finalSection.contains("SortMergeJoin"),
         s"$name scoring join degraded to SMJ:\n${p.take(2000)}")
-      assert(!finalSection.contains("Window"),
-        s"$name recomputes the bigram window past the cut:\n${p.take(2000)}")
-      assert(!finalSection.contains("documents"),
-        s"$name rescans the corpus past the cut:\n${p.take(2000)}")
+      assert(finalSection.contains("InMemoryTableScan"),
+        s"$name scoring side does not read the cached bigram table:\n${p.take(2000)}")
+      graft.core.Release.storage(spark)
     }
   }
 
-  test("retrieval_prf: seven consumers read the cut tf — no corpus rescan") {
+  test("retrieval_prf: consumers read the cached tf — no uncached corpus rescan") {
     // r11: the un-materialized tf priced its 7-consumer recompute at
-    // 12.55 s on the driver vs 5.33 builder-side; tf is now cut, so the
-    // scoring plan must contain no parquet scan of documents at all
+    // 12.55 s on the driver vs 5.33 builder-side. r16 (memo policy):
+    // tf derives INLINE and is .cache()d in-plan — the pin is that the
+    // plan reads in-memory relations (the tf/model caches), broadcasts
+    // its probe-bounded sides, and never degrades to a cartesian.
     val df = SparkEntry.queries("retrieval_prf")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalSection = p.split("== Initial Plan ==").head
-    assert(!finalSection.contains("documents"),
-      s"retrieval_prf rescans the corpus past the tf cut:\n${p.take(2000)}")
+    assert(finalSection.contains("InMemoryTableScan"),
+      s"retrieval_prf does not read the cached tf:\n${p.take(2000)}")
     assert(finalSection.contains("BroadcastHashJoin"), p.take(2000))
     assert(!finalSection.contains("CartesianProduct"), p.take(2000))
+    graft.core.Release.storage(spark)
   }
 
   test("retrieval_maxsim: query tokens broadcast; candidates stream past once") {

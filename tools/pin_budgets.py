@@ -47,6 +47,23 @@ WIDE_FAMILY = {
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_prefix_filter", "q30_fingerprint_dedup", "q30b_shingle_stats",
     "q31_cosine_topk",
+    # r16: the memo policy routed every md5/shingle/term-hash corpus
+    # scan back inline, so the whole text/dedup/graph tail now tracks
+    # documents.parquet page-cache state per query (the round-12 driver
+    # outlier class) -- same wide margin as the original family.
+    "dedup_clusters", "dedup_keep_best", "dedup_lsh_recall",
+    "graph_modularity", "graph_pagerank", "graph_triangles",
+    "graph_degree_dist", "graph_kcore", "graph_lpa_communities",
+    "text_dup_coverage", "text_dedup_spans", "text_dup_span_merge",
+    "text_winnow_fp", "text_boilerplate", "text_edit_distance",
+    "decontaminate_ngram", "curate_verdict", "curate_funnel",
+    "text_bm25", "retrieval_rrf", "retrieval_prf",
+    "text_perplexity", "text_entropy", "text_classifier",
+    "text_bigram_lm", "text_kneser_ney", "text_repetition",
+    "curate_dsir_weights", "curate_signal_deciles",
+    "text_unigram_segment", "unigram_em_round", "unigram_prune",
+    "unigram_segment_sharded", "bpe_train", "bpe_train_tokens",
+    "text_tfidf", "text_collocations", "text_zipf_fit", "text_quality",
 }
 
 if len(sys.argv) < 3:
