@@ -3,9 +3,12 @@
 
 Usage: python3 tools/merge_sf1_bench.py <sf01.json> <sf1.json>
 
-Each input is the one-line per_query JSON Bench prints. The output keeps
-the artifact's shape: per-query {sf0.1, sf1, ratio} plus the offender
-list under the sweep's allowance (10x the sf0.1 time + 2s).
+Each input is either a bench_board.json-style file (whole-file JSON
+with a "queries" map) or a capture of Bench stdout (r16: the per-query
+detail prints as CHUNKED {"metric":"per_query","part":i,...} lines —
+all parts are concatenated). The output keeps the artifact's shape:
+per-query {sf0.1, sf1, ratio} plus the offender list under the sweep's
+allowance (10x the sf0.1 time + 2s).
 """
 import json
 import sys
@@ -13,9 +16,24 @@ import sys
 ALLOW_FACTOR, ALLOW_SLACK = 10.0, 2.0
 
 
+def load_queries(path):
+    txt = open(path).read()
+    try:
+        return json.loads(txt)["queries"]
+    except (json.JSONDecodeError, KeyError):
+        qs = {}
+        for line in txt.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"per_query"' in line:
+                qs.update(json.loads(line)["queries"])
+        if not qs:
+            raise SystemExit(f"{path}: neither a board file nor per_query lines")
+        return qs
+
+
 def main():
-    sf01 = json.loads(open(sys.argv[1]).readline())["queries"]
-    sf1 = json.loads(open(sys.argv[2]).readline())["queries"]
+    sf01 = load_queries(sys.argv[1])
+    sf1 = load_queries(sys.argv[2])
     assert set(sf01) == set(sf1), "query sets differ between the two runs"
     queries, offenders = {}, []
     for q in sorted(sf01):
