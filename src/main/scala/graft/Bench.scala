@@ -182,15 +182,22 @@ object Bench {
     // still carries the numbers alongside the non-zero rc.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "bench_budgets.json")
     val budgetFile = new java.io.File(budgetPath)
-    // the gate only judges the full default board at the default sf —
-    // subset/dev and sweep runs (sf1, custom fixtures) have different
-    // per-query costs and would false-alarm. Path compare is normalized
-    // (scheme prefix / trailing slash) so an equivalent spelling can't
-    // silently run the default board ungated.
+    // the gate only judges the full default board at the default sf AND
+    // the default 32-cpu count — subset/dev and sweep runs (sf1, custom
+    // fixtures) have different per-query costs, and the budgets are
+    // 32-core ceilings: r16's inline derivations parallelize (unlike
+    // the overhead-bound memoized board), so the driver's low-core
+    // scaling run would breach them on core count alone, which is a
+    // measurement category, not a regression. Path compare is
+    // normalized (scheme prefix / trailing slash) so an equivalent
+    // spelling can't silently run the default board ungated.
     val gateApplies = args.isEmpty && iters >= 2 &&
-      normPath(sfDir) == normPath(DefaultSfDir)
+      normPath(sfDir) == normPath(DefaultSfDir) && cpus == "32"
     if (args.isEmpty && iters >= 2 && !gateApplies)
-      System.err.println(s"[bench] non-default sf dir $sfDir - regression gate skipped")
+      System.err.println(if (cpus != "32")
+        s"[bench] non-default cpu count $cpus - regression gate skipped " +
+          "(budgets are 32-core ceilings)"
+      else s"[bench] non-default sf dir $sfDir - regression gate skipped")
     if (budgetFile.isFile && gateApplies) {
       val src = scala.io.Source.fromFile(budgetFile, "UTF-8")
       val text = try src.mkString finally src.close()
